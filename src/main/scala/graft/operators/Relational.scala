@@ -1,0 +1,509 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator inventory (SURVEY.md §2.2–§2.6 + §5 t2 suite).
+  *
+  * The reference (`mitodl/odl-etl`) has a single projection + scalar-hash
+  * transform (`email_mapping/email_mapping.py:43-54`); every other relational
+  * operator here is the driver-mandated t2 coverage: filters, equi/semi/anti/
+  * outer/theta joins, hash aggregation, windows, top-k, set ops, subqueries,
+  * rollup, string/date/JSON scalar functions.
+  *
+  * Design rules (100 TB posture):
+  *  - declarative DataFrame plans only — Catalyst does pushdown/pruning;
+  *  - dimension joins take an explicit `broadcast()` hint (nation/region are
+  *    tiny at any scale factor; at 100 TB they are still < 10 MB);
+  *  - fact-fact joins (lineitem ⋈ orders) stay shuffle hash/sort-merge on the
+  *    join key — AQE picks the physical strategy at runtime;
+  *  - every query ends in a deterministic ORDER BY so results are stable
+  *    across engines regardless of partitioning (tie-broken by a unique key);
+  *  - computed integer columns are cast to BIGINT and double aggregates are
+  *    `round()`ed identically on both the Spark and DuckDB-oracle side, so
+  *    value hashes match bit-for-bit.
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  private val discPrice: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1-shaped pricing summary: full-scan hash aggregation with
+    // map-side partial agg; 6 groups out — the canonical "big scan, tiny
+    // result" shape that must never shuffle raw rows.
+    "q01_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(discPrice), 2).as("sum_disc_price"),
+          round(sum(discPrice * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Predicate + projection pushdown: both reach the parquet scan
+    // (PushedFilters / ReadSchema in explain).
+    "q02_filter_project" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") < 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Fact-fact-dim join chain: lineitem ⋈ orders shuffles on the order key,
+    // customer joins on custkey; revenue per customer.
+    "q03_revenue_by_customer" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+          round(sum(discPrice), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("c_custkey")
+    }),
+
+    // Broadcast dimension joins: nation and region are tiny at every scale —
+    // explicit broadcast() keeps this a map-side join with zero shuffle of
+    // the customer fact side.
+    "q04_customer_geo" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          round(avg("c_acctbal"), 4).as("avg_bal"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Left-semi join (EXISTS): customers having at least one order.
+    "q05_semi_join" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // Left-anti join (NOT EXISTS): customers with no orders.
+    "q06_anti_join" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    // Left-outer join preserving zero-order customers; count(col) skips nulls
+    // exactly like SQL count(o_orderkey).
+    "q07_outer_join" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spent"))
+        .orderBy("c_custkey")
+    }),
+
+    // Window ranking: top-3 orders per customer. Tie-broken by o_orderkey so
+    // row_number is deterministic across engines.
+    "q08_window_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // lag/lead over an event stream keyed by user; delta of consecutive
+    // values ordered by the unique event_id.
+    "q09_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      t(s, d, "events")
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .withColumn("delta", round(col("value") - col("prev_value"), 4))
+        .select("user_id", "event_id", "event_type", "value", "delta")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Global top-k: orderBy + limit plans as TakeOrderedAndProject — per-
+    // partition heaps, no global sort. Tie-broken by key.
+    "q10_global_topk" -> ((s, d) => {
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // Set operations with SQL semantics: UNION (distinct), INTERSECT, EXCEPT.
+    "q11_set_ops" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val a = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val b = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+      a.union(b).distinct.withColumn("op", lit("union"))
+        .unionByName(a.intersect(b).withColumn("op", lit("intersect")))
+        .unionByName(a.except(b).withColumn("op", lit("except")))
+        .select("op", "c_custkey")
+        .orderBy("op", "c_custkey")
+    }),
+
+    // DISTINCT (dedup-shaped aggregation).
+    "q12_distinct" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Statistical aggregates per group.
+    "q13_agg_stats" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(min("l_quantity"), 2).as("min_qty"),
+          round(max("l_quantity"), 2).as("max_qty"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(stddev_samp("l_quantity"), 4).as("sd_qty"),
+          round(var_samp("l_quantity"), 4).as("var_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // CASE WHEN bucketing + conditional aggregation.
+    "q14_case_buckets" -> ((s, d) => {
+      t(s, d, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") < 100000, "low")
+            .when(col("o_totalprice") < 250000, "mid")
+            .otherwise("high"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"),
+          count(when(col("o_orderstatus") === "F", 1)).as("n_finished"))
+        .orderBy("bucket")
+    }),
+
+    // String scalar-function surface (codegen'd built-ins, no UDFs).
+    "q15_string_funcs" -> ((s, d) => {
+      t(s, d, "part")
+        .select(
+          col("p_partkey"),
+          lower(col("p_name")).as("name_lc"),
+          upper(col("p_brand")).as("brand_uc"),
+          length(col("p_name")).cast("bigint").as("name_len"),
+          substring(col("p_type"), 1, 4).as("type4"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"))
+        .orderBy("p_partkey")
+    }),
+
+    // Date/time extraction + monthly aggregation.
+    "q16_date_funcs" -> ((s, d) => {
+      t(s, d, "orders")
+        .withColumn("yr", year(col("o_orderdate")).cast("bigint"))
+        .withColumn("mo", month(col("o_orderdate")).cast("bigint"))
+        .groupBy("yr", "mo")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("yr", "mo")
+    }),
+
+    // JSON-in-string extraction (events.props = {"k": int}).
+    "q17_json_extract" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+        .withColumn("k_bucket", (col("k") % 10).cast("bigint"))
+        .groupBy("k_bucket")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("k_bucket")
+    }),
+
+    // ROLLUP grouping sets (subtotal + grand-total rows).
+    "q18_rollup" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Scalar subquery: orders above the global average price.
+    "q19_scalar_subquery" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val avgPrice = orders.agg(avg("o_totalprice").as("a"))
+      orders.join(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("a"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // HAVING: post-aggregation filter.
+    "q20_having" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+        .filter(col("n_orders") >= 5)
+        .orderBy("o_custkey")
+    }),
+
+    // Deterministic argmax via self-join (ties resolved by min orderkey) —
+    // the shuffle-safe alternative to max_by at scale.
+    "q21_argmax_join" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val maxes = orders.groupBy(col("o_custkey").as("mc")).agg(max("o_totalprice").as("max_price"))
+      orders
+        .join(maxes, col("o_custkey") === col("mc") && col("o_totalprice") === col("max_price"))
+        .groupBy("o_custkey", "max_price")
+        .agg(min("o_orderkey").as("best_orderkey"))
+        .select("o_custkey", "best_orderkey", "max_price")
+        .orderBy("o_custkey")
+    }),
+
+    // Salted SHA-256 (reference parity: email_mapping/email_mapping.py:49-51)
+    // — composed from codegen'd built-ins, NOT a UDF. Customer name stands in
+    // for the email column; semantics identical (UTF-8, lowercase hex).
+    "q22_salted_hash" -> ((s, d) => {
+      t(s, d, "customer")
+        .select(
+          col("c_custkey"),
+          sha2(concat(lit("graft-salt::"), col("c_name")), 256).as("user_hash"))
+        .orderBy("c_custkey")
+    }),
+
+    // Exact + distinct counting per group.
+    "q23_count_distinct" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_items"))
+        .orderBy("l_suppkey")
+    }),
+
+    // Theta/range join against a broadcast band table (non-equi condition).
+    "q24_range_join_bands" -> ((s, d) => {
+      val bands = s.createDataFrame(Seq(
+        ("low", 0.0, 100000.0),
+        ("mid", 100000.0, 250000.0),
+        ("high", 250000.0, 1000000000.0)))
+        .toDF("band", "lo", "hi")
+      t(s, d, "orders")
+        .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("band")
+    }),
+
+    // Five-table star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region,
+    // revenue per region — dims broadcast, facts shuffle once per key.
+    "q25_star_join" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          round(sum(discPrice), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name")
+    }),
+
+    // Correlated-style aggregation pushed through a join: supplier activity.
+    "q26_supplier_activity" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(discPrice), 2).as("revenue"), count(lit(1)).as("n_items"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "revenue", "n_items")
+        .orderBy("s_suppkey")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_revenue_by_customer" ->
+      """SELECT c_custkey, c_name,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
+    "q04_customer_geo" ->
+      """SELECT r_name, n_name, count(*) AS n_customers, round(avg(c_acctbal),4) AS avg_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | round(coalesce(sum(o_totalprice), 0.0),2) AS total_spent
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q08_window_topk_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q09_window_lag" ->
+      """SELECT user_id, event_id, event_type, value,
+        | round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), 4) AS delta
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q10_global_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q11_set_ops" ->
+      """SELECT 'union' AS op, c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION SELECT c_custkey FROM customer WHERE c_acctbal > 5000) t1
+        |UNION ALL
+        |SELECT 'intersect' AS op, c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 5000) t2
+        |UNION ALL
+        |SELECT 'except' AS op, c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 5000) t3
+        |ORDER BY op, c_custkey""".stripMargin,
+
+    "q12_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q13_agg_stats" ->
+      """SELECT l_returnflag,
+        | round(min(l_quantity),2) AS min_qty, round(max(l_quantity),2) AS max_qty,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(stddev_samp(l_quantity),4) AS sd_qty,
+        | round(var_samp(l_quantity),4) AS var_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q14_case_buckets" ->
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+        |            WHEN o_totalprice < 250000 THEN 'mid'
+        |            ELSE 'high' END AS bucket,
+        | count(*) AS n_orders, round(sum(o_totalprice),2) AS total,
+        | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q15_string_funcs" ->
+      """SELECT p_partkey, lower(p_name) AS name_lc, upper(p_brand) AS brand_uc,
+        | length(p_name) AS name_len, substr(p_type, 1, 4) AS type4,
+        | p_brand || '#' || p_type AS brand_type,
+        | regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q16_date_funcs" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        | count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
+
+    "q17_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        | count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
+
+    "q18_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q19_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q20_having" ->
+      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 5 ORDER BY o_custkey""".stripMargin,
+
+    "q21_argmax_join" ->
+      """SELECT o.o_custkey, min(o.o_orderkey) AS best_orderkey, m.max_price
+        |FROM orders o JOIN (
+        |  SELECT o_custkey AS mc, max(o_totalprice) AS max_price FROM orders GROUP BY o_custkey) m
+        | ON o.o_custkey = m.mc AND o.o_totalprice = m.max_price
+        |GROUP BY o.o_custkey, m.max_price ORDER BY o.o_custkey""".stripMargin,
+
+    "q22_salted_hash" ->
+      """SELECT c_custkey, sha256('graft-salt::' || c_name) AS user_hash
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q23_count_distinct" ->
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_items
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q24_range_join_bands" ->
+      """SELECT band, count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        |FROM orders JOIN (VALUES ('low', 0.0, 100000.0), ('mid', 100000.0, 250000.0),
+        |                        ('high', 250000.0, 1000000000.0)) b(band, lo, hi)
+        | ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q25_star_join" ->
+      """SELECT r_name, round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q26_supplier_activity" ->
+      """SELECT s_suppkey, s_name, n_name,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue, count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY s_suppkey, s_name, n_name ORDER BY s_suppkey""".stripMargin)
+}
