@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.SimHashAgg
+
+/** Deduplication operators over `documents` (driver north-star scope):
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard near-dup detection.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is a hash-groupBy on a content fingerprint — shuffles only
+  *    (fp, doc_id), never text;
+  *  - MinHash signatures are computed with map-side partial `min` aggregation
+  *    (32 aggregates over the exploded shingle stream), then banded: an
+  *    equi-join on (band, band_hash) finds candidates WITHOUT any pairwise
+  *    scan — the only near-dup path that survives 100 TB. Skewed bands
+  *    (boilerplate shingles) are AQE skew-join territory; the verify stage
+  *    re-checks true Jaccard so false candidates cost only compute;
+  *  - SimHash uses a typed Aggregator (one 64-int buffer per doc to the
+  *    shuffle) and 16-bit band LSH over the 64-bit signature;
+  *  - n-gram Jaccard is the quadratic baseline, contained by blocking on
+  *    (length bucket) — kept for correctness comparison, not the scale path.
+  */
+object DedupOps {
+
+  private val numHashes = 32
+  private val numBands = 8 // r = 4 rows per band
+
+  /** doc_id → distinct word-3-gram shingle array. */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents").select(col("doc_id"), TextOps.shingles.as("sh"))
+
+  /** MinHash signature columns h0..h31 via min(xxhash64(seed, shingle)). */
+  private def signatures(shingled: DataFrame): DataFrame = {
+    val exploded = shingled.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Exact Jaccard verification of candidate (a, b) pairs. */
+  private def verifyJaccard(s: SparkSession, d: String, pairs: DataFrame): DataFrame = {
+    val sh = docShingles(s, d)
+    pairs
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+      .withColumn("jac",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .select("a", "b", "jac")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: group by canonical content fingerprint, keep the smallest
+    // doc_id (deterministic keeper), count copies.
+    "q50_dedup_exact" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), md5(TextOps.normText).as("fp"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy("fp")
+    }),
+
+    // MinHash + LSH near-dedup: shingle → 32 minhashes → 8 bands of 4 →
+    // band-hash equi-join for candidates → exact-Jaccard verify → top pairs.
+    "q51_minhash_lsh" -> ((s, d) => {
+      val sigs = signatures(docShingles(s, d))
+      val bandStructs = (0 until numBands).map { b =>
+        val cols = (0 until 4).map(r => col(s"h${b * 4 + r}"))
+        struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+      }
+      val banded = sigs
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val candidates = banded.as("x")
+        .join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      verifyJaccard(s, d, candidates)
+        .filter(col("jac") >= 0.5)
+        .orderBy(col("jac").desc, col("a"), col("b"))
+        .limit(50)
+    }),
+
+    // SimHash near-dedup: 64-bit signature via the typed SimHashAgg
+    // aggregator, 16-bit chunk LSH for candidates, Hamming-distance verify.
+    "q52_simhash" -> ((s, d) => {
+      import s.implicits._
+      val tokenHashes = Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .select(col("doc_id"), xxhash64(col("tok")).as("th"))
+        .as[(Long, Long)]
+      val sigs = tokenHashes
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(SimHashAgg.toColumn.name("simhash"))
+        .toDF("doc_id", "simhash")
+      val chunks = sigs.select(
+        col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("c"), shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ch"))): _*)).as("cc"))
+        .select(col("doc_id"), col("simhash"), col("cc.c").as("c"), col("cc.ch").as("ch"))
+      chunks.as("x")
+        .join(chunks.as("y"),
+          col("x.c") === col("y.c") && col("x.ch") === col("y.ch") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("bigint").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 16)
+        .orderBy(col("hamming"), col("a"), col("b"))
+        .limit(50)
+    }),
+
+    // n-gram Jaccard near-dup baseline: quadratic within (length-bucket)
+    // blocks; oracle-checkable since both engines share the shingle algebra.
+    "q53_ngram_jaccard" -> ((s, d) => {
+      val sh = docShingles(s, d)
+        .join(Tables.load(s, d, "documents").select("doc_id", "n_chars"), "doc_id")
+        .withColumn("blk", (col("n_chars") / 50).cast("bigint"))
+      sh.select(col("doc_id").as("a"), col("sh").as("sh_a"), col("blk")).as("x")
+        .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b"), col("blk")).as("y"), "blk")
+        .filter(col("a") < col("b"))
+        .withColumn("jac",
+          round(size(array_intersect(col("sh_a"), col("sh_b"))) /
+            size(array_union(col("sh_a"), col("sh_b"))), 4))
+        .select("a", "b", "jac")
+        .orderBy(col("jac").desc, col("a"), col("b"))
+        .limit(20)
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q50_dedup_exact" ->
+      s"""SELECT md5(${TextOps.normTextSql}) AS fp, min(doc_id) AS keeper, count(*) AS n_copies
+         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "q53_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+         | sh AS (SELECT doc_id, CAST(floor(n_chars / 50) AS BIGINT) AS blk,
+         |        ${TextOps.shinglesSql} AS s FROM t)
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         | round(len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))), 4) AS jac
+         |FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |ORDER BY jac DESC, a, b LIMIT 20""".stripMargin)
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-stream operators over `events` (timestamped table).
+  *
+  * These run in BATCH mode here — the exact same transformations run under
+  * Structured Streaming via [[graft.streaming.EventStream]] (readStream +
+  * watermark + the same windowed aggregations); keeping batch-first means one
+  * code path is oracle-checked and the streaming wrapper stays thin.
+  *
+  * Timestamps: events.ts is nanos-parquet normalized to microseconds by
+  * [[graft.Tables]]; session logic compares integer microseconds
+  * (`unix_micros`) so Spark and the DuckDB oracle agree exactly.
+  */
+object EventOps {
+
+  private val gapMicros = 1800L * 1000 * 1000 // 30 min session gap
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Tumbling-window aggregation (hourly) by event type.
+    "q40_hourly_by_type" -> ((s, d) => {
+      Tables.load(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("hr", "event_type")
+    }),
+
+    // Gap-based sessionization via window functions: new session when the
+    // per-user gap exceeds 30 minutes; running sum of session starts gives
+    // the session id. Integer-microsecond comparison for engine parity.
+    "q41_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.load(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag("us", 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > gapMicros, 1L).otherwise(0L))
+        .withColumn("sid", sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id")
+        .agg(max("sid").cast("bigint").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // Native Spark session windows (the scale path: state-store backed under
+    // streaming). Session identity is exposed as min(event_id) so the output
+    // carries no raw timestamps (engine-neutral). Spark merges events whose
+    // gap is STRICTLY less than 30 min, so the oracle splits on gap >= 30min.
+    "q42_session_window" -> ((s, d) => {
+      Tables.load(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(min("event_id").as("session_first_event"),
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"))
+        .select("user_id", "session_first_event", "n_events", "sum_value")
+        .orderBy("user_id", "session_first_event")
+    }),
+
+    // Pivot: daily event-type count matrix (fixed pivot values → static
+    // schema, nulls filled to 0 to match SQL conditional aggregation).
+    "q43_daily_pivot" -> ((s, d) => {
+      Tables.load(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0, Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("day")
+    }),
+
+    // Deterministic first/last per user via min_by/max_by on the unique
+    // event_id (shuffle-safe argmin/argmax, no window needed).
+    "q44_first_last" -> ((s, d) => {
+      Tables.load(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          min_by(col("event_type"), col("event_id")).as("first_type"),
+          max_by(col("event_type"), col("event_id")).as("last_type"),
+          min_by(col("value"), col("event_id")).as("first_value"),
+          max_by(col("value"), col("event_id")).as("last_value"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_hourly_by_type" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_type,
+        | count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY hr, event_type ORDER BY hr, event_type""".stripMargin,
+
+    "q41_sessionize" ->
+      """WITH x AS (
+        | SELECT user_id, event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        | FROM events),
+        |y AS (
+        | SELECT user_id,
+        |  sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM x)
+        |SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM y GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q42_session_window" ->
+      """WITH x AS (
+        | SELECT user_id, event_id, value,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        | FROM events),
+        |y AS (
+        | SELECT user_id, event_id, value,
+        |  sum(CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM x)
+        |SELECT user_id, min(event_id) AS session_first_event, count(*) AS n_events,
+        | round(sum(value),2) AS sum_value
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_first_event""".stripMargin,
+
+    "q43_daily_pivot" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        | count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        | count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        | count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    "q44_first_last" ->
+      """SELECT user_id,
+        | arg_min(event_type, event_id) AS first_type,
+        | arg_max(event_type, event_id) AS last_type,
+        | arg_min(value, event_id) AS first_value,
+        | arg_max(value, event_id) AS last_value,
+        | count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

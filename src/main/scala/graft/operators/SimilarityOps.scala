@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity search over `embeddings` (ArrayType(FloatType), dim=64).
+  *
+  * Scale design (100 TB):
+  *  - brute-force top-k broadcasts the (small) query set and streams the
+  *    corpus once — a single narrow pass, no shuffle of vectors; the per-
+  *    query top-k is a TakeOrdered over (query, score);
+  *  - the LSH path buckets vectors by random-hyperplane sign bits: bucket
+  *    assignment is a map-side projection, candidate generation an equi-join
+  *    on the bucket id — corpus is never paired quadratically. Recall is
+  *    tuned by bits/tables; the exact-cosine re-rank happens only inside
+  *    buckets;
+  *  - all arithmetic is done on array<double> (cast once) with sequential
+  *    higher-order folds so results match the DuckDB oracle bit-for-bit
+  *    before rounding.
+  */
+object SimilarityOps {
+
+  /** Cosine similarity of two array<double> columns via codegen'd
+    * higher-order functions: dot / (||a|| * ||b||). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  private def vectors(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
+
+  /** Deterministic random hyperplanes (seeded) for sign-LSH. */
+  private def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Brute-force cosine top-k: queries (vec_id < 10) broadcast against the
+    // full corpus; rank by rounded similarity with vec_id tie-break so the
+    // ordering is identical across engines.
+    "q60_knn_brute" -> ((s, d) => {
+      val v = vectors(s, d)
+      val queries = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val scored = v.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .withColumn("sim", round(cosine(col("q_emb"), col("emb")), 6))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+      scored
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("sim"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Sign-LSH ANN: 8 random hyperplanes → 256 buckets; candidates share a
+    // bucket with the query, exact cosine re-ranks inside the bucket.
+    "q61_ann_lsh" -> ((s, d) => {
+      val planes = typedlit(hyperplanes(8, 64))
+      val v = vectors(s, d)
+        .withColumn("planes", planes)
+        .withColumn("bucket", expr(
+          """aggregate(
+            |  transform(planes, (p, i) ->
+            |    IF(aggregate(zip_with(emb, p, (x, y) -> x * y), 0D, (a, x) -> a + x) >= 0,
+            |       shiftleft(1L, i), 0L)),
+            |  0L, (acc, x) -> acc + x)""".stripMargin))
+        .select("vec_id", "emb", "bucket")
+      val queries = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("bucket"))
+      val scored = v.join(broadcast(queries), Seq("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", round(cosine(col("q_emb"), col("emb")), 6))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+      scored
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("sim"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Per-vector statistics: L2 norm, mean, min, max — narrow map over the
+    // array column, oracle-checked against DuckDB list lambdas.
+    "q62_vector_stats" -> ((s, d) => {
+      vectors(s, d)
+        .withColumn("l2_norm",
+          round(sqrt(aggregate(transform(col("emb"), x => x * x), lit(0.0), (a, x) => a + x)), 6))
+        .withColumn("mean",
+          round(aggregate(col("emb"), lit(0.0), (a, x) => a + x) / size(col("emb")), 6))
+        .withColumn("vmin", round(array_min(col("emb")), 6))
+        .withColumn("vmax", round(array_max(col("emb")), 6))
+        .select("vec_id", "label", "l2_norm", "mean", "vmin", "vmax")
+        .orderBy("vec_id")
+    }),
+
+    // Embedding-cosine near-duplicate detection: same-label blocking, top-20
+    // most similar pairs (the embedding analog of q51/q53).
+    "q63_embedding_neardup" -> ((s, d) => {
+      val v = vectors(s, d)
+      v.select(col("vec_id").as("a"), col("emb").as("emb_a"), col("label")).as("x")
+        .join(v.select(col("vec_id").as("b"), col("emb").as("emb_b"), col("label")).as("y"), "label")
+        .filter(col("a") < col("b"))
+        .withColumn("sim", round(cosine(col("emb_a"), col("emb_b")), 6))
+        .select("label", "a", "b", "sim")
+        .orderBy(col("sim").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
+    // Per-label centroids (posexplode → element-wise mean → re-assemble),
+    // then the full label×label centroid cosine matrix. Rows-only: element-
+    // wise cross-row aggregation has no direct DuckDB analog.
+    "q64_label_centroids" -> ((s, d) => {
+      val centroids = vectors(s, d)
+        .select(col("label"), posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(avg("x").as("cx"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+        .withColumn("centroid", expr("transform(pairs, p -> p.cx)"))
+        .select("label", "centroid")
+      centroids.select(col("label").as("la"), col("centroid").as("ca")).as("x")
+        .join(centroids.select(col("label").as("lb"), col("centroid").as("cb")).as("y"),
+          col("la") < col("lb"))
+        .withColumn("sim", round(cosine(col("ca"), col("cb")), 6))
+        .select("la", "lb", "sim")
+        .orderBy("la", "lb")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q60_knn_brute" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        | q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
+        | scored AS (
+        |  SELECT q.q_id, v.vec_id AS n_id,
+        |   round(list_cosine_similarity(q.q_emb, v.emb), 6) AS sim
+        |  FROM v CROSS JOIN q WHERE v.vec_id <> q.q_id),
+        | ranked AS (
+        |  SELECT q_id, n_id, sim,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q62_vector_stats" ->
+      """SELECT vec_id, label,
+        | round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm,
+        | round(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6) AS mean,
+        | round(CAST(list_min(embedding) AS DOUBLE), 6) AS vmin,
+        | round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q63_embedding_neardup" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT x.label, x.vec_id AS a, y.vec_id AS b,
+        | round(list_cosine_similarity(x.emb, y.emb), 6) AS sim
+        |FROM v x JOIN v y ON x.label = y.label AND x.vec_id < y.vec_id
+        |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin)
+}

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators over `documents` (driver north-star scope:
+  * language-ID, quality scoring, token counting, document fingerprinting).
+  *
+  * Everything is composed from codegen'd Catalyst built-ins — `split`,
+  * higher-order `filter`/`transform`, `regexp_replace`, `md5` — no UDFs, so
+  * whole-stage codegen spans the full pipeline and the operators scale as
+  * pure map-side work (no shuffle except the final ORDER BY / top-k).
+  */
+object TextOps {
+
+  /** Whitespace tokens of the raw text. */
+  private val toks: Column = split(col("text"), "\\s+")
+
+  /** In-SQL helper: count of tokens of `text` present in `words`. */
+  private def hitCount(words: Seq[String]): Column = {
+    val arr = words.map(w => s"'$w'").mkString(",")
+    expr(s"size(filter(split(lower(text), '\\\\s+'), t -> array_contains(array($arr), t)))")
+      .cast("bigint")
+  }
+
+  private val enStops = Seq("the", "and", "of", "to", "in", "is", "a", "it", "on", "for")
+  private val deStops = Seq("der", "die", "und", "das", "nicht", "ist", "ein", "zu")
+  private val frStops = Seq("le", "la", "et", "les", "des", "un", "une", "dans")
+  private val esStops = Seq("el", "los", "y", "que", "una", "por", "con", "para")
+
+  /** Canonical normalized form used by fingerprint + exact dedup:
+    * lowercase, strip non-[a-z0-9 ], collapse whitespace, trim. */
+  private[operators] val normText: Column =
+    trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "\\s+", " "))
+
+  /** Same normalization in DuckDB SQL (regexp_replace needs the 'g' flag). */
+  private[operators] val normTextSql: String =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))"""
+
+  /** Distinct word-3-gram shingles — the unit for Jaccard/MinHash dedup.
+    * Docs always have >= 10 tokens (checked against all SFs), so the
+    * sequence bound never degenerates. */
+  private[operators] val shingles: Column = expr(
+    """array_distinct(transform(
+      |  sequence(1, size(split(text, ' ')) - 2),
+      |  i -> concat_ws(' ', element_at(split(text, ' '), i),
+      |                 element_at(split(text, ' '), i + 1),
+      |                 element_at(split(text, ' '), i + 2))))""".stripMargin)
+
+  /** DuckDB equivalent of [[shingles]] (1-based list comprehension). */
+  private[operators] val shinglesSql: String =
+    """list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      | for i in range(1, len(w) - 1)])""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token counting: whitespace tokenization + distinct counts + average
+    // token length — pure narrow map, no shuffle.
+    "q30_text_stats" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(toks).cast("bigint").as("n_tokens"),
+          size(array_distinct(toks)).cast("bigint").as("n_unique_tokens"),
+          length(col("text")).cast("bigint").as("n_chars_calc"),
+          round(length(regexp_replace(col("text"), "\\s", "")) / size(toks), 4).as("avg_token_len"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: stopword ratio, type-token ratio, length saturation —
+    // a composable double in [0,1] per document.
+    "q31_text_quality" -> ((s, d) => {
+      // quality_score is rounded ONCE from the raw ratios — rounding the
+      // components first would land sums exactly on .00005 boundaries where
+      // Spark and DuckDB round differently.
+      Tables.load(s, d, "documents")
+        .withColumn("n_tokens", size(toks).cast("bigint"))
+        .withColumn("stop_hits", hitCount(enStops))
+        .withColumn("raw_stop", col("stop_hits") / col("n_tokens"))
+        .withColumn("raw_ttr", size(array_distinct(toks)) / size(toks))
+        .withColumn("raw_len", least(length(col("text")) / lit(500.0), lit(1.0)))
+        .withColumn("stop_ratio", round(col("raw_stop"), 4))
+        .withColumn("ttr", round(col("raw_ttr"), 4))
+        .withColumn("len_sat", round(col("raw_len"), 4))
+        .withColumn("quality_score",
+          round(col("raw_stop") * 0.3 + col("raw_ttr") * 0.4 + col("raw_len") * 0.3, 4))
+        .select("doc_id", "n_tokens", "stop_hits", "stop_ratio", "ttr", "len_sat", "quality_score")
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID: stopword-list hit counts per candidate language, argmax
+    // with a fixed precedence (en > de > fr > es) — the classic n-gram/
+    // stopword heuristic as a single codegen'd projection.
+    "q32_lang_id" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .withColumn("en_hits", hitCount(enStops))
+        .withColumn("de_hits", hitCount(deStops))
+        .withColumn("fr_hits", hitCount(frStops))
+        .withColumn("es_hits", hitCount(esStops))
+        .withColumn("lang_guess",
+          when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits")
+            && col("en_hits") >= col("es_hits"), "en")
+            .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits"), "de")
+            .when(col("fr_hits") >= col("es_hits"), "fr")
+            .otherwise("es"))
+        .select("doc_id", "en_hits", "de_hits", "fr_hits", "es_hits", "lang_guess")
+        .orderBy("doc_id")
+    }),
+
+    // Document fingerprinting: md5 over the canonical normalized text plus a
+    // winnowing-style signature — the 8 lexicographically-smallest md5s of
+    // the doc's shingles, joined. Content-defined, order-insensitive, and
+    // identical across engines (md5 is engine-neutral, unlike xxhash).
+    "q33_fingerprint" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .withColumn("fp_full", md5(normText))
+        .withColumn("sh", shingles)
+        .withColumn("fp_winnow",
+          array_join(slice(array_sort(transform(col("sh"), sh => md5(sh))), 1, 8), ","))
+        .select("doc_id", "fp_full", "fp_winnow")
+        .orderBy("doc_id")
+    }),
+
+    // Corpus token frequency: explode + count — the one text op that
+    // genuinely shuffles (by token); partial aggregation keeps the shuffle
+    // at |vocab| not |tokens|.
+    "q34_token_freq" -> ((s, d) => {
+      Tables.load(s, d, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }))
+
+  private def hitCountSql(words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString(",")
+    s"""len(list_filter(string_split_regex(lower(text), '\\s+'), t -> list_contains([$arr], t)))"""
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_text_stats" ->
+      """SELECT doc_id,
+        | len(string_split_regex(text, '\s+')) AS n_tokens,
+        | len(list_distinct(string_split_regex(text, '\s+'))) AS n_unique_tokens,
+        | length(text) AS n_chars_calc,
+        | round(length(regexp_replace(text, '\s', '', 'g')) / len(string_split_regex(text, '\s+')), 4) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_text_quality" -> {
+      s"""SELECT doc_id, n_tokens, stop_hits,
+         | round(stop_hits / n_tokens, 4) AS stop_ratio,
+         | round(n_unique / n_tokens, 4) AS ttr,
+         | round(least(length(text) / 500.0, 1.0), 4) AS len_sat,
+         | round((stop_hits / n_tokens) * 0.3 + (n_unique / n_tokens) * 0.4
+         |       + least(length(text) / 500.0, 1.0) * 0.3, 4) AS quality_score
+         |FROM (SELECT doc_id, text,
+         |  len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |  len(list_distinct(string_split_regex(text, '\\s+'))) AS n_unique,
+         |  ${hitCountSql(enStops)} AS stop_hits
+         | FROM documents) t ORDER BY doc_id""".stripMargin
+    },
+
+    "q32_lang_id" -> {
+      s"""SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+         | CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+         |      WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+         |      WHEN fr_hits >= es_hits THEN 'fr' ELSE 'es' END AS lang_guess
+         |FROM (SELECT doc_id,
+         |  ${hitCountSql(enStops)} AS en_hits,
+         |  ${hitCountSql(deStops)} AS de_hits,
+         |  ${hitCountSql(frStops)} AS fr_hits,
+         |  ${hitCountSql(esStops)} AS es_hits
+         | FROM documents) t ORDER BY doc_id""".stripMargin
+    },
+
+    "q33_fingerprint" ->
+      s"""SELECT doc_id, md5($normTextSql) AS fp_full,
+         | array_to_string(list_sort(list_transform(sh, x -> md5(x)))[1:8], ',') AS fp_winnow
+         |FROM (SELECT doc_id, text, $shinglesSql AS sh
+         |      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) t0) t
+         |ORDER BY doc_id""".stripMargin,
+
+    "q34_token_freq" ->
+      """SELECT token, count(*) AS n FROM (
+        | SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)
+}
