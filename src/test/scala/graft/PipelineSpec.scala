@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources._
+
+/** Reference-parity pipeline tests: email mapping end-to-end, partitioned
+  * sink layout + dynamic overwrite, prefix catalog, course-export fan-out,
+  * config loader (FIXTURES.md §A). */
+class PipelineSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("email mapping end-to-end: layout + hash parity") {
+    val tmp = Files.createTempDirectory("graft-em").toString
+    val cfg = EtlConfig("mitopen", "jdbc:none", "users", "bucket", "s3kr1t", None, None)
+    val src = Seq(("alice", "alice@example.com"), ("bob", "bøb@exämple.com")).toDF("username", "email")
+    val dest = EmailMapping.run(src, cfg, tmp)
+    assert(dest.endsWith("/mitopen_user_map"))
+    val out = spark.read.parquet(dest).as[(String, String)].collect().toMap
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def h(e: String) = md.digest(("s3kr1t" + e).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out("alice") == h("alice@example.com"))
+    assert(out("bob") == h("bøb@exämple.com"))
+    assert(out.keySet == Set("alice", "bob"))
+  }
+
+  test("partitioned sink: YYYYMMDD layout and dynamic partition overwrite") {
+    val tmp = Files.createTempDirectory("graft-ps").toString
+    val d1 = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val d2 = Seq((3, "c")).toDF("id", "v")
+    PartitionedSink.writeDaily(PartitionedSink.stamped(d1, Some("20260801")), tmp)
+    PartitionedSink.writeDaily(PartitionedSink.stamped(d2, Some("20260802")), tmp)
+    assert(new java.io.File(s"$tmp/load_date=20260801").isDirectory)
+    assert(spark.read.parquet(tmp).count() == 3)
+    // overwrite day 2 only — day 1 must survive
+    val d2b = Seq((4, "d"), (5, "e")).toDF("id", "v")
+    PartitionedSink.writeDaily(PartitionedSink.stamped(d2b, Some("20260802")), tmp)
+    val after = spark.read.parquet(tmp)
+    assert(after.count() == 4)
+    assert(after.filter(col("load_date") === "20260801").count() == 2)
+  }
+
+  test("single-file contract writes exactly one part file") {
+    val tmp = Files.createTempDirectory("graft-sf").toString + "/out"
+    PartitionedSink.writeSingleFile(Seq((1, "x")).toDF("id", "v"), tmp)
+    val parts = new java.io.File(tmp).listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.length == 1)
+  }
+
+  test("prefix catalog lists first-level prefixes only") {
+    val base = Files.createTempDirectory("graft-pc")
+    Files.createDirectories(base.resolve("mailgun/ds1/nested"))
+    Files.createDirectories(base.resolve("mailgun/ds2"))
+    Files.writeString(base.resolve("mailgun/loosefile.txt"), "x")
+    val targets = PrefixCatalog.listFirstLevelPrefixes(spark, base.resolve("mailgun").toString)
+    assert(targets.map(t => new org.apache.hadoop.fs.Path(t.path).getName) == Seq("ds1", "ds2"))
+    assert(targets.forall(_.exclusions.isEmpty))
+  }
+
+  test("course export fans out, is idempotent, and re-ingests as binary") {
+    val tmp = Files.createTempDirectory("graft-ce").toString
+    val ids = CourseExport.courseIds("course-v1:MITx+6.00x+2026\n\ncourse-v1:MITx+8.01x+2026\n")
+    assert(ids.length == 2)
+    def exporter(id: String): Array[Byte] = s"tarball-of-$id".getBytes("UTF-8")
+    CourseExport.exportAll(spark, ids, tmp, exporter, parallelism = 2)
+    CourseExport.exportAll(spark, ids, tmp, exporter, parallelism = 2) // idempotent re-run
+    val blobs = CourseExport.readBlobs(spark, tmp)
+    assert(blobs.count() == 2)
+    val contents = blobs.select("content").as[Array[Byte]].collect().map(new String(_, "UTF-8")).toSet
+    assert(contents == ids.map(i => s"tarball-of-$i").toSet)
+  }
+
+  test("config loader: app-keyed layout, flat fallback, fail-fast validation") {
+    val yml = Files.createTempFile("graft", ".yml")
+    Files.writeString(yml,
+      """mitopen:
+        |  db_url: jdbc:postgresql://h/db
+        |  user_table: auth_user
+        |  s3_bucket: b
+        |  hash_salt: s
+        |""".stripMargin)
+    val cfg = EtlConfig.load(yml.toString, "mitopen")
+    assert(cfg.dbUrl == "jdbc:postgresql://h/db" && cfg.hashSalt == "s")
+    // flat fallback
+    val flat = Files.createTempFile("graft", ".yml")
+    Files.writeString(flat, "db_url: u\nuser_table: t\ns3_bucket: b\nhash_salt: hs\n")
+    assert(EtlConfig.load(flat.toString, "whatever").userTable == "t")
+    // fail fast on missing key / missing file
+    val bad = Files.createTempFile("graft", ".yml")
+    Files.writeString(bad, "mitopen:\n  db_url: u\n")
+    intercept[IllegalArgumentException](EtlConfig.load(bad.toString, "mitopen"))
+    intercept[IllegalArgumentException](EtlConfig.load("/nope/x.yml", "a"))
+  }
+}

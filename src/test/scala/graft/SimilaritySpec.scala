@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SimilarityOps
+
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cos(a: Seq[Double], b: Seq[Double]): Double =
+    Seq((a, b)).toDF("a", "b")
+      .select(SimilarityOps.cosine(col("a"), col("b")).as("c"))
+      .as[Double].head()
+
+  test("cosine: identical vectors → 1") {
+    assert(math.abs(cos(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)) - 1.0) < 1e-12)
+  }
+
+  test("cosine: orthogonal vectors → 0") {
+    assert(math.abs(cos(Seq(1.0, 0.0), Seq(0.0, 5.0))) < 1e-12)
+  }
+
+  test("cosine: opposite vectors → -1") {
+    assert(math.abs(cos(Seq(1.0, 1.0), Seq(-2.0, -2.0)) + 1.0) < 1e-12)
+  }
+
+  test("cosine: scale-invariant") {
+    val v1 = Seq(0.3, -0.7, 0.2, 0.9)
+    val v2 = Seq(0.1, 0.4, -0.5, 0.2)
+    assert(math.abs(cos(v1, v2) - cos(v1.map(_ * 100), v2.map(_ * 0.01))) < 1e-12)
+  }
+
+  test("brute-force KNN: neighbors are sorted by similarity, self excluded") {
+    val out = graft.operators.SimilarityOps.queries("q60_knn_brute")(spark, TestSpark.sf)
+      .select("q_id", "rank", "n_id", "sim")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._4).sliding(2).forall { case Array(x, y) => x >= y; case _ => true },
+        s"neighbors of $q not sorted by sim")
+      assert(!rows.exists(_._3 == q), s"query $q returned itself")
+    }
+  }
+
+  test("ANN-LSH results are a subset-quality approximation of brute force") {
+    val brute = graft.operators.SimilarityOps.queries("q60_knn_brute")(spark, TestSpark.sf)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ann = graft.operators.SimilarityOps.queries("q61_ann_lsh")(spark, TestSpark.sf)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(ann.nonEmpty, "LSH returned no candidates")
+    // sanity only: LSH pairs must reference valid query ids
+    assert(ann.forall(_._1 < 10))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStream
+
+/** Streaming ⇔ batch equivalence: the streaming wrappers must produce the
+  * same aggregates as the batch EventOps code on the same input. */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  /** File stream sources tail directories; stage the single-file test
+    * parquet into one. */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    dir.toString
+  }
+
+  test("streaming hourly agg matches batch on sf0.001 events") {
+    val stream = EventStream.fromDirectory(spark, eventsDir)
+    EventStream.runToMemory(EventStream.hourlyByType(stream), "hourly_test")
+    val streamed = spark.table("hourly_test")
+      .select("hr", "event_type", "n").orderBy("hr", "event_type").collect()
+    val batch = graft.Tables.load(spark, TestSpark.sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("hr", "event_type").collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("streaming session windows match batch session_window counts") {
+    val stream = EventStream.fromDirectory(spark, eventsDir)
+    EventStream.runToMemory(EventStream.sessionized(stream), "sessions_test")
+    val streamed = spark.table("sessions_test")
+      .orderBy("user_id", "session_first_event").collect()
+    val batch = graft.Tables.load(spark, TestSpark.sf, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(min("event_id").as("session_first_event"), count(lit(1)).as("n_events"))
+      .select("user_id", "session_first_event", "n_events")
+      .orderBy("user_id", "session_first_event").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("flatMapGroupsWithState running totals accumulate per user") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val events = input.toDF().select(col("_1").as("user_id"), col("_2").as("value"))
+    val q = EventStream.runningTotals(spark, events)
+      .writeStream.format("memory").queryName("running_test")
+      .outputMode("update").start()
+    input.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+    q.processAllAvailable()
+    input.addData((1L, 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("running_test")
+      .groupBy("userId").agg(max("nEvents").as("n"), max("totalValue").as("v"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(1L) == ((3L, 17.0)))
+    assert(rows(2L) == ((1L, 1.0)))
+  }
+}
