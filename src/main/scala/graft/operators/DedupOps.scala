@@ -29,7 +29,7 @@ object DedupOps {
 
   /** doc_id → distinct word-3-gram shingle array. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "documents").select(col("doc_id"), TextOps.shingles.as("sh"))
+    TextOps.withShingles(Tables.load(s, d, "documents")).select("doc_id", "sh")
 
   /** MinHash signature columns h0..h31 via min(xxhash64(seed, shingle)). */
   private def signatures(shingled: DataFrame): DataFrame = {
@@ -38,9 +38,9 @@ object DedupOps {
     exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Exact Jaccard verification of candidate (a, b) pairs. */
-  private def verifyJaccard(s: SparkSession, d: String, pairs: DataFrame): DataFrame = {
-    val sh = docShingles(s, d)
+  /** Exact Jaccard verification of candidate (a, b) pairs against a
+    * (persisted) doc_id → shingles frame. */
+  private def verifyJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
     pairs
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
       .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
@@ -64,8 +64,14 @@ object DedupOps {
 
     // MinHash + LSH near-dedup: shingle → 32 minhashes → 8 bands of 4 →
     // band-hash equi-join for candidates → exact-Jaccard verify → top pairs.
+    // The shingled frame feeds three subtrees (signatures + both verify
+    // sides); persist() materializes it once instead of recomputing the
+    // shingle scan per subtree — at 100 TB this is the checkpointed
+    // signature table every production near-dedup pipeline keeps anyway.
     "q51_minhash_lsh" -> ((s, d) => {
-      val sigs = signatures(docShingles(s, d))
+      val shingled = docShingles(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sigs = signatures(shingled)
       val bandStructs = (0 until numBands).map { b =>
         val cols = (0 until 4).map(r => col(s"h${b * 4 + r}"))
         struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
@@ -79,7 +85,7 @@ object DedupOps {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
-      verifyJaccard(s, d, candidates)
+      verifyJaccard(shingled, candidates)
         .filter(col("jac") >= 0.5)
         .orderBy(col("jac").desc, col("a"), col("b"))
         .limit(50)
@@ -115,18 +121,29 @@ object DedupOps {
         .limit(50)
     }),
 
-    // n-gram Jaccard near-dup baseline: quadratic within (length-bucket)
-    // blocks; oracle-checkable since both engines share the shingle algebra.
+    // n-gram Jaccard near-dup baseline within (length-bucket) blocks.
+    // Computed as an INVERTED-INDEX join — explode shingles, equi-join on
+    // (block, shingle), count hits per pair — instead of pairing documents
+    // quadratically and intersecting arrays: only pairs that actually share
+    // a shingle ever materialize, which is the difference between O(pairs)
+    // set-intersections and O(postings²-per-shingle) at 100 TB. Pairs with
+    // zero overlap (jac = 0) never appear, which cannot affect a top-k by
+    // descending Jaccard as long as ≥ k overlapping pairs exist.
     "q53_ngram_jaccard" -> ((s, d) => {
       val sh = docShingles(s, d)
         .join(Tables.load(s, d, "documents").select("doc_id", "n_chars"), "doc_id")
         .withColumn("blk", (col("n_chars") / 50).cast("bigint"))
-      sh.select(col("doc_id").as("a"), col("sh").as("sh_a"), col("blk")).as("x")
-        .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b"), col("blk")).as("y"), "blk")
-        .filter(col("a") < col("b"))
-        .withColumn("jac",
-          round(size(array_intersect(col("sh_a"), col("sh_b"))) /
-            size(array_union(col("sh_a"), col("sh_b"))), 4))
+        .withColumn("n_sh", size(col("sh")))
+      val postings = sh.select(col("doc_id"), col("blk"), col("n_sh"), explode(col("sh")).as("t"))
+      postings.as("x")
+        .join(postings.as("y"),
+          col("x.blk") === col("y.blk") && col("x.t") === col("y.t") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .groupBy(
+          col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jac", round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
         .select("a", "b", "jac")
         .orderBy(col("jac").desc, col("a"), col("b"))
         .limit(20)

@@ -326,6 +326,19 @@ object Relational {
         .orderBy("r_name")
     }),
 
+    // Exact interpolated percentiles (sort-based aggregation) per group.
+    "q27_percentiles" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // Correlated-style aggregation pushed through a join: supplier activity.
     "q26_supplier_activity" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -499,6 +512,15 @@ object Relational {
         | JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q27_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q26_supplier_activity" ->
       """SELECT s_suppkey, s_name, n_name,

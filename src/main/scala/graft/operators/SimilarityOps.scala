@@ -22,9 +22,22 @@ import graft.Tables
   */
 object SimilarityOps {
 
-  /** Cosine similarity of two array<double> columns via codegen'd
-    * higher-order functions: dot / (||a|| * ||b||). */
+  /** Cosine similarity: the native fused [[graft.plans.CosineSimilarity]]
+    * expression (single pass, zero allocation, codegen'd). Numerically
+    * identical to [[cosineComposed]] — each accumulator folds in the same
+    * element order — so oracle parity is preserved. */
   def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    GraftBridge.column(graft.plans.CosineSimilarity(
+      Cast(GraftBridge.expression(a), ArrayType(DoubleType)),
+      Cast(GraftBridge.expression(b), ArrayType(DoubleType))))
+  }
+
+  /** Reference implementation from composed built-ins (zip_with/aggregate);
+    * kept for the equivalence spec and as the no-extensions fallback. */
+  def cosineComposed(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x))
@@ -111,6 +124,49 @@ object SimilarityOps {
         .select("label", "a", "b", "sim")
         .orderBy(col("sim").desc, col("a"), col("b"))
         .limit(20)
+    }),
+
+    // IVF (inverted-file) ANN: coarse-quantize the corpus into cells around
+    // k centroids (derived here by element-wise mean per label block — a
+    // stand-in for a k-means pass, which is just this same aggregation
+    // iterated); assign every vector to its nearest centroid; probe the
+    // nprobe=3 cells nearest the query and re-rank exactly inside them.
+    // Scale path: centroids broadcast (k×dim is KBs); cell assignment is one
+    // narrow pass; the probe join touches nprobe/k of the corpus.
+    "q65_ann_ivf" -> ((s, d) => {
+      val v = vectors(s, d)
+      val centroids = v
+        .select(col("label").as("cell"), posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg("x").as("cx"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+        .withColumn("centroid", expr("transform(pairs, p -> p.cx)"))
+        .select("cell", "centroid")
+      // nearest-cell assignment for every vector (corpus × k, k tiny)
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist").desc, col("cell"))
+      val assigned = v.join(broadcast(centroids))
+        .withColumn("cdist", cosine(col("emb"), col("centroid")))
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("emb"), col("cell"))
+      // queries probe their nprobe=3 nearest cells
+      val wProbe = Window.partitionBy("q_id").orderBy(col("cdist").desc, col("cell"))
+      val probes = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+        .join(broadcast(centroids))
+        .withColumn("cdist", cosine(col("q_emb"), col("centroid")))
+        .withColumn("rk", row_number().over(wProbe))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("q_emb"), col("cell"))
+      val wRank = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", round(cosine(col("q_emb"), col("emb")), 6))
+        .withColumn("rank", row_number().over(wRank).cast("bigint"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("sim"))
+        .orderBy("q_id", "rank")
     }),
 
     // Per-label centroids (posexplode → element-wise mean → re-assemble),

@@ -40,13 +40,17 @@ object TextOps {
 
   /** Distinct word-3-gram shingles — the unit for Jaccard/MinHash dedup.
     * Docs always have >= 10 tokens (checked against all SFs), so the
-    * sequence bound never degenerates. */
-  private[operators] val shingles: Column = expr(
-    """array_distinct(transform(
-      |  sequence(1, size(split(text, ' ')) - 2),
-      |  i -> concat_ws(' ', element_at(split(text, ' '), i),
-      |                 element_at(split(text, ' '), i + 1),
-      |                 element_at(split(text, ' '), i + 2))))""".stripMargin)
+    * sequence bound never degenerates.
+    *
+    * The token array MUST be bound to a column (`w`) before the lambda
+    * references it: inlining `split(text,' ')` inside the lambda makes
+    * Catalyst re-evaluate the split per element — O(tokens²) regex work per
+    * document (measured 6.8 s vs 0.3 s over 5000 docs at sf0.1). */
+  private[operators] def withShingles(df: DataFrame, out: String = "sh"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    df.withColumn(out, GraftBridge.column(
+      graft.plans.WordShingles(GraftBridge.expression(col("text")), 3)))
+  }
 
   /** DuckDB equivalent of [[shingles]] (1-based list comprehension). */
   private[operators] val shinglesSql: String =
@@ -113,12 +117,26 @@ object TextOps {
     // the doc's shingles, joined. Content-defined, order-insensitive, and
     // identical across engines (md5 is engine-neutral, unlike xxhash).
     "q33_fingerprint" -> ((s, d) => {
-      Tables.load(s, d, "documents")
+      withShingles(Tables.load(s, d, "documents"))
         .withColumn("fp_full", md5(normText))
-        .withColumn("sh", shingles)
         .withColumn("fp_winnow",
           array_join(slice(array_sort(transform(col("sh"), sh => md5(sh))), 1, 8), ","))
         .select("doc_id", "fp_full", "fp_winnow")
+        .orderBy("doc_id")
+    }),
+
+    // BPE-ish pre-tokenization: GPT-2-style split into letter runs, digit
+    // runs, and punctuation runs (the subword pre-pass every BPE tokenizer
+    // applies before merges). Pattern is restricted to syntax valid in both
+    // Java regex and RE2 so the oracle matches exactly.
+    "q35_bpe_tokens" -> ((s, d) => {
+      val bpePat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+      Tables.load(s, d, "documents")
+        .withColumn("n_ws_tokens", size(toks).cast("bigint"))
+        .withColumn("n_bpe_tokens",
+          size(regexp_extract_all(lower(col("text")), lit(bpePat), lit(0))).cast("bigint"))
+        .withColumn("bpe_per_ws", round(col("n_bpe_tokens") / col("n_ws_tokens"), 4))
+        .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "bpe_per_ws")
         .orderBy("doc_id")
     }),
 
@@ -181,6 +199,14 @@ object TextOps {
          |FROM (SELECT doc_id, text, $shinglesSql AS sh
          |      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) t0) t
          |ORDER BY doc_id""".stripMargin,
+
+    "q35_bpe_tokens" ->
+      """SELECT doc_id,
+        | len(string_split_regex(text, '\s+')) AS n_ws_tokens,
+        | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+        | round(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |       / len(string_split_regex(text, '\s+')), 4) AS bpe_per_ws
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q34_token_freq" ->
       """SELECT token, count(*) AS n FROM (

@@ -21,6 +21,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => CosineSimilarity(
         Cast(children.head, ArrayType(DoubleType)),
         Cast(children(1), ArrayType(DoubleType)))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      WordShingles.info,
+      (children: Seq[Expression]) => WordShingles(
+        children.head,
+        children(1) match {
+          case Literal(v: Int, _) => v
+          case other => other.eval().asInstanceOf[Int]
+        })))
     ext.injectOptimizerRule(_ => SelfCosineToOne)
   }
 }

@@ -19,7 +19,7 @@ class ExtensionsSpec extends AnyFunSuite {
       .filter(col("a") < col("b"))
     val diffs = pairs
       .withColumn("native", expr("graft_cosine(ea, eb)"))
-      .withColumn("composed", SimilarityOps.cosine(col("ea"), col("eb")))
+      .withColumn("composed", SimilarityOps.cosineComposed(col("ea"), col("eb")))
       .select(max(abs(col("native") - col("composed"))).as("d"))
       .as[Double].head()
     assert(diffs < 1e-12, s"native vs composed cosine diverged by $diffs")

@@ -72,6 +72,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(contents == ids.map(i => s"tarball-of-$i").toSet)
   }
 
+  test("archive sink reproduces the daily tar.gz layout and round-trips") {
+    val exportDir = Files.createTempDirectory("graft-ar-src")
+    Files.writeString(exportDir.resolve("course1.tar.gz"), "blob-one")
+    Files.writeString(exportDir.resolve("course2.tar.gz"), "blob-two")
+    val root = Files.createTempDirectory("graft-ar-root").toString
+    val dest = ArchiveSink.dailyArchive(exportDir.toString, root, "20260812")
+    assert(dest.toString.endsWith("/20260812/exported_courses_20260812.tar.gz"))
+    ArchiveSink.dailyArchive(exportDir.toString, root, "20260812") // idempotent overwrite
+    // round-trip: un-tar and compare contents
+    val tin = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+      new java.util.zip.GZIPInputStream(java.nio.file.Files.newInputStream(dest)))
+    val entries = Iterator.continually(tin.getNextEntry).takeWhile(_ != null)
+      .map(e => e.getName -> new String(tin.readAllBytes(), "UTF-8")).toMap
+    tin.close()
+    assert(entries == Map("course1.tar.gz" -> "blob-one", "course2.tar.gz" -> "blob-two"))
+  }
+
   test("config loader: app-keyed layout, flat fallback, fail-fast validation") {
     val yml = Files.createTempFile("graft", ".yml")
     Files.writeString(yml,
