@@ -71,6 +71,20 @@ object EventOps {
         .orderBy("day")
     }),
 
+    // As-of lookup as a window: for every event, the value of the user's
+    // most recent PRIOR 'purchase' event (last_value IGNORE NULLS over the
+    // preceding frame) — the point-in-time-correct join pattern for feature
+    // backfills, with no shuffle beyond the per-user window.
+    "q45_asof_prev_purchase" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.load(s, d, "events")
+        .withColumn("prev_purchase_value",
+          last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true).over(w))
+        .select("user_id", "event_id", "event_type", "value", "prev_purchase_value")
+        .orderBy("user_id", "event_id")
+    }),
+
     // Deterministic first/last per user via min_by/max_by on the unique
     // event_id (shuffle-safe argmin/argmax, no window needed).
     "q44_first_last" -> ((s, d) => {
@@ -128,6 +142,13 @@ object EventOps {
         | count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         | count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    "q45_asof_prev_purchase" ->
+      """SELECT user_id, event_id, event_type, value,
+        | last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |  OVER (PARTITION BY user_id ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
 
     "q44_first_last" ->
       """SELECT user_id,

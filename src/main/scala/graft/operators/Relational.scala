@@ -339,6 +339,34 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Salted two-phase aggregation — the skew pattern: phase 1 aggregates on
+    // (key, salt) spreading a hot key over 16 reducers; phase 2 merges the
+    // partials. Identical result to a plain groupBy (the oracle is one), at
+    // the cost of a second (tiny) shuffle — the trade every 100 TB pipeline
+    // makes when one key holds 10% of the data.
+    "q28_salted_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(sum(discPrice).as("partial_rev"), count(lit(1)).as("partial_n"))
+        .groupBy("l_returnflag")
+        .agg(round(sum("partial_rev"), 2).as("revenue"), sum("partial_n").as("n_items"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Top-k per group through the CUSTOM physical operator (bounded
+    // per-group heaps, one shuffle, no partition sort) — same result
+    // contract as the q08 window formulation; the oracle is the windowed
+    // SQL, so the custom plan is hash-checked against the classic plan.
+    "q29_topk_custom" -> ((s, d) => {
+      graft.plans.TopKPerGroup(
+        t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        groupCols = Seq("o_custkey"),
+        orderCols = Seq(("o_totalprice", true), ("o_orderkey", false)),
+        k = 3)
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
     // Correlated-style aggregation pushed through a join: supplier activity.
     "q26_supplier_activity" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -521,6 +549,19 @@ object Relational {
         | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q28_salted_agg" ->
+      """SELECT l_returnflag,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q29_topk_custom" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "q26_supplier_activity" ->
       """SELECT s_suppkey, s_name, n_name,

@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => other.eval().asInstanceOf[Int]
         })))
     ext.injectOptimizerRule(_ => SelfCosineToOne)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
 
