@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.DriverManager
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{EmailMapping, EtlConfig}
+
+/** Real JDBC round-trip for the email-mapping source (S1) against an
+  * embedded Derby database (ships with Spark), exercising partitioned
+  * reads exactly as a Postgres source would. */
+class JdbcSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("partitioned JDBC extract + salted-hash pipeline end-to-end") {
+    // keep derby.log out of the repo root
+    System.setProperty("derby.system.home", Files.createTempDirectory("graft-derby-home").toString)
+    val dbDir = Files.createTempDirectory("graft-derby").toString + "/userdb"
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE users (id INT PRIMARY KEY, username VARCHAR(64), email VARCHAR(128))")
+      val ps = conn.prepareStatement("INSERT INTO users VALUES (?, ?, ?)")
+      for (i <- 1 to 57) {
+        ps.setInt(1, i); ps.setString(2, s"user$i"); ps.setString(3, s"user$i@example.org")
+        ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally conn.close()
+
+    val cfg = EtlConfig("app", url, "users", "bucket", "pepper", None, None)
+    val extracted = EmailMapping.extractJdbc(spark, cfg,
+      partitionColumn = "id", lower = 1, upper = 57, numPartitions = 4)
+    assert(extracted.rdd.getNumPartitions == 4, "JDBC read not partitioned")
+    assert(extracted.columns.toSeq == Seq("USERNAME", "EMAIL") ||
+      extracted.columns.toSeq == Seq("username", "email"))
+
+    val out = Files.createTempDirectory("graft-jdbc-out").toString
+    val normalized = extracted.toDF("username", "email")
+    val dest = EmailMapping.run(normalized, cfg, out)
+    val result = spark.read.parquet(dest)
+    assert(result.count() == 57)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def h(e: String) = md.digest(("pepper" + e).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    import spark.implicits._
+    val m = result.as[(String, String)].collect().toMap
+    assert(m("user7") == h("user7@example.org"))
+  }
+}
