@@ -367,6 +367,14 @@ object Relational {
         .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
     }),
 
+    // ANSI SQL surface parity: ONE SQL string (CTE + join + window) executed
+    // verbatim by spark.sql over registered views AND by the DuckDB oracle —
+    // the engine's SQL front-end is interchangeable with the oracle's.
+    "q46_sql_surface" -> ((s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql(sharedSql)
+    }),
+
     // Correlated-style aggregation pushed through a join: supplier activity.
     "q26_supplier_activity" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -378,7 +386,21 @@ object Relational {
         .orderBy("s_suppkey")
     }))
 
+  /** Engine-neutral ANSI SQL: runs unchanged on Spark SQL and DuckDB. */
+  private val sharedSql: String =
+    """WITH ranked AS (
+      |  SELECT c_name, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_orderstatus = 'F'
+      |)
+      |SELECT c_name, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+      |FROM ranked WHERE rn <= 2
+      |ORDER BY c_name, rn""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q46_sql_surface" -> sharedSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -76,6 +76,59 @@ object EventStream {
       .toDF()
   }
 
+  final case class SessionState(userId: Long, nEvents: Long, lastEventMicros: Long)
+
+  /** Event-time-bounded session tracking via mapGroupsWithState with
+    * EventTimeTimeout: state for a user expires once the watermark passes
+    * 30 minutes beyond their last event — the production pattern for
+    * unbounded key spaces (state size tracks ACTIVE keys, not ever-seen
+    * keys). Emits (userId, nEvents) on every update and a final tombstone
+    * row (nEvents = -1) when a session times out. */
+  def sessionTracking(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    // The WATERMARKED ts column itself must flow into the stateful operator
+    // (projecting it to a long first makes the analyzer reject the
+    // EventTimeTimeout), so the tuple keeps the timestamp.
+    val typed = events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("_1"), col("ts").as("_2"))
+      .as[(Long, java.sql.Timestamp)]
+    typed
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionState(userId, -1L, s.lastEventMicros)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(userId, 0L, 0L))
+            var n = prev.nEvents
+            var lastTs = prev.lastEventMicros
+            rows.foreach { case (_, t) => n += 1; lastTs = math.max(lastTs, t.getTime * 1000) }
+            val next = SessionState(userId, n, lastTs)
+            state.update(next)
+            state.setTimeoutTimestamp(lastTs / 1000 + 30L * 60 * 1000) // ms + 30 min
+            next
+          }
+        })
+      .toDF()
+  }
+
+  /** Streaming → idempotent partitioned parquet via foreachBatch: each
+    * micro-batch is stamped with its load date and written with dynamic
+    * partition overwrite (graft.sources.PartitionedSink), so replays of a
+    * batch overwrite exactly the partitions they touch. */
+  def toPartitionedParquet(df: DataFrame, root: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.PartitionedSink.writeDaily(
+          graft.sources.PartitionedSink.stamped(batch.toDF()), root)
+      }
+      .start()
+
   /** Run any of the above to an in-memory sink and block until the source is
     * drained — used by tests and local smoke runs. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Complete): Unit = {

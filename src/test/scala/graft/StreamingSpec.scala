@@ -45,6 +45,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("foreachBatch streams into the idempotent partitioned sink") {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
+    val stream = EventStream.fromDirectory(spark, eventsDir)
+      .select("event_id", "user_id", "event_type", "value")
+    val q = EventStream.toPartitionedParquet(stream, root)
+    q.processAllAvailable()
+    q.stop()
+    val written = spark.read.parquet(root)
+    assert(written.count() == graft.Tables.load(spark, TestSpark.sf, "events").count())
+    assert(written.columns.contains("load_date"))
+  }
+
+  test("event-time timeout session tracking expires state behind the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDF().select(col("_1").as("user_id"), col("_2").as("ts"))
+    val q = EventStream.sessionTracking(spark, events)
+      .writeStream.format("memory").queryName("session_tracking")
+      .outputMode("update").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    input.addData((1L, ts(0)), (1L, ts(1)), (2L, ts(2)))
+    q.processAllAvailable()
+    // push event time far past user 1's timeout (30 min) + watermark (10 min)
+    input.addData((2L, ts(55)))
+    q.processAllAvailable()
+    input.addData((2L, ts(59))) // one more batch so timeouts fire
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("session_tracking")
+      .select("userId", "nEvents").as[(Long, Long)].collect()
+    assert(rows.contains((1L, 2L)), s"user 1 updates missing: ${rows.toSeq}")
+    assert(rows.contains((1L, -1L)), s"user 1 state never timed out: ${rows.toSeq}")
+  }
+
   test("flatMapGroupsWithState running totals accumulate per user") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
