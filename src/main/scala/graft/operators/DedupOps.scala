@@ -31,12 +31,13 @@ object DedupOps {
   private def docShingles(s: SparkSession, d: String): DataFrame =
     TextOps.withShingles(Tables.load(s, d, "documents")).select("doc_id", "sh")
 
-  /** MinHash signature columns h0..h31 via min(xxhash64(seed, shingle)). */
-  private def signatures(shingled: DataFrame): DataFrame = {
-    val exploded = shingled.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-  }
+  /** MinHash signatures via the single imperative sketch aggregate
+    * ([[graft.plans.MinHashSketchAgg]]): one array<long> buffer per doc,
+    * map-side combined — not 32 separate min(xxhash64) expression trees. */
+  private def signatures(shingled: DataFrame): DataFrame =
+    shingled.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .groupBy("doc_id")
+      .agg(graft.plans.MinHashSketchAgg.sketch(col("shingle"), numHashes).as("sig"))
 
   /** Exact Jaccard verification of candidate (a, b) pairs against a
     * (persisted) doc_id → shingles frame. */
@@ -73,7 +74,7 @@ object DedupOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sigs = signatures(shingled)
       val bandStructs = (0 until numBands).map { b =>
-        val cols = (0 until 4).map(r => col(s"h${b * 4 + r}"))
+        val cols = (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1))
         struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
       }
       val banded = sigs

@@ -30,6 +30,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Literal(v: Int, _) => v
           case other => other.eval().asInstanceOf[Int]
         })))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      MinHashSketchAgg.info,
+      (children: Seq[Expression]) => MinHashSketchAgg(
+        children.head,
+        children(1).eval().asInstanceOf[Int]).toAggregateExpression()))
     ext.injectOptimizerRule(_ => SelfCosineToOne)
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }

@@ -40,6 +40,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!optimized.contains("graft_cosine"), "graft_cosine survived optimization")
   }
 
+  test("minhash sketch: containment and sensitivity of signatures") {
+    import graft.plans.MinHashSketchAgg
+    val docs = Seq(
+      (1L, (1 to 50).map(i => s"sh$i")),          // base
+      (2L, (1 to 50).map(i => s"sh$i")),          // identical
+      (3L, (1 to 50).map(i => if (i == 25) "CHANGED" else s"sh$i")), // near
+      (4L, (1 to 50).map(i => s"other$i")))       // disjoint
+      .toDF("doc_id", "sh")
+    val sigs = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy("doc_id")
+      .agg(MinHashSketchAgg.sketch(col("s"), 32).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L), "identical sets must have identical signatures")
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(agree(sigs(1L), sigs(3L)) > agree(sigs(1L), sigs(4L)),
+      "near-identical sets must agree on more minhashes than disjoint sets")
+    assert(sigs(1L).length == 32)
+    // SQL surface
+    val viaSql = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy("doc_id").agg(expr("graft_minhash(s, 32)").as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaSql(1L) == sigs(1L))
+  }
+
   test("type check rejects non-array arguments") {
     intercept[Exception] {
       Seq((1, 2)).toDF("a", "b").select(expr("graft_cosine(a, b)")).collect()
