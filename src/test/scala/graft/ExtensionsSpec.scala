@@ -64,6 +64,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql(1L) == sigs(1L))
   }
 
+  test("graft_shingles SQL function matches the Column-API shingler") {
+    val viaSql = Tables.load(spark, TestSpark.sf, "documents").limit(20)
+      .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val viaApi = graft.operators.TextOps
+      .withShingles(Tables.load(spark, TestSpark.sf, "documents").limit(20))
+      .select(col("doc_id"), col("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(viaSql == viaApi)
+    assert(viaSql.values.forall(_.nonEmpty))
+  }
+
   test("type check rejects non-array arguments") {
     intercept[Exception] {
       Seq((1, 2)).toDF("a", "b").select(expr("graft_cosine(a, b)")).collect()
