@@ -390,6 +390,31 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // CUBE grouping sets with per-column grouping flags.
+    "q48_cube" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          grouping(col("l_returnflag")).cast("bigint").as("g_rf"),
+          grouping(col("l_linestatus")).cast("bigint").as("g_ls"),
+          count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("total"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first,
+          col("g_rf"), col("g_ls"))
+    }),
+
+    // Running total per customer (cumulative window over a unique order).
+    "q49_running_total" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .withColumn("running_spend", round(sum("o_totalprice").over(w), 2))
+        .withColumn("order_seq", row_number().over(
+          Window.partitionBy("o_custkey").orderBy("o_orderkey")).cast("bigint"))
+        .select("o_custkey", "order_seq", "o_orderkey", "o_totalprice", "running_spend")
+        .orderBy("o_custkey", "order_seq")
+    }),
+
     // Correlated-style aggregation pushed through a join: supplier activity.
     "q26_supplier_activity" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -599,6 +624,22 @@ object Relational {
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         | FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "q48_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        | CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        | count(*) AS n, round(sum(l_extendedprice),2) AS total
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, g_rf, g_ls""".stripMargin,
+
+    "q49_running_total" ->
+      """SELECT o_custkey,
+        | row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS order_seq,
+        | o_orderkey, o_totalprice,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |FROM orders ORDER BY o_custkey, order_seq""".stripMargin,
 
     "q26_supplier_activity" ->
       """SELECT s_suppkey, s_name, n_name,

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * a single space; fewer than n tokens → empty array.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType && n >= 1) TypeCheckResult.TypeCheckSuccess
@@ -31,8 +31,12 @@ case class WordShingles(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingles"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+  override protected def nullSafeEval(input: Any): Any =
+    shingle(input.asInstanceOf[UTF8String])
+
+  /** Public so generated code can call it directly. */
+  def shingle(input: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = input.toString.split(" ", -1)
     if (words.length < n) new GenericArrayData(Array.empty[Any])
     else {
       val seen = new java.util.LinkedHashSet[String](words.length * 2)
@@ -56,6 +60,16 @@ case class WordShingles(child: Expression, n: Int)
       while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
       new GenericArrayData(out)
     }
+  }
+
+  /** Codegen: call straight into [[nullSafeEval]] via a captured reference —
+    * the loop itself gains nothing from inlining, but generating a call
+    * keeps the enclosing WholeStageCodegen span intact (a CodegenFallback
+    * here would force the whole projection onto the interpreted path). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = $self.shingle($input);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
