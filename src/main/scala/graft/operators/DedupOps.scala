@@ -31,6 +31,29 @@ object DedupOps {
   private def docShingles(s: SparkSession, d: String): DataFrame =
     TextOps.withShingles(Tables.load(s, d, "documents")).select("doc_id", "sh")
 
+  /** Full MinHash+LSH near-dup pair detection over any (doc_id, text)
+    * frame: signatures → banded candidates → exact-Jaccard verify.
+    * Returns (a, b, jac) with a < b; used by q51 and [[DedupPipeline]]. */
+  def minHashNearDupPairs(docs: DataFrame): DataFrame = {
+    val shingled = TextOps.withShingles(docs).select("doc_id", "sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = signatures(shingled)
+    val bandStructs = (0 until numBands).map { b =>
+      val cols = (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    verifyJaccard(shingled, candidates)
+  }
+
   /** MinHash signatures via the single imperative sketch aggregate
     * ([[graft.plans.MinHashSketchAgg]]): one array<long> buffer per doc,
     * map-side combined — not 32 separate min(xxhash64) expression trees. */
@@ -70,23 +93,7 @@ object DedupOps {
     // shingle scan per subtree — at 100 TB this is the checkpointed
     // signature table every production near-dedup pipeline keeps anyway.
     "q51_minhash_lsh" -> ((s, d) => {
-      val shingled = docShingles(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sigs = signatures(shingled)
-      val bandStructs = (0 until numBands).map { b =>
-        val cols = (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1))
-        struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
-      }
-      val banded = sigs
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      val candidates = banded.as("x")
-        .join(banded.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .distinct()
-      verifyJaccard(shingled, candidates)
+      minHashNearDupPairs(Tables.load(s, d, "documents").select("doc_id", "text"))
         .filter(col("jac") >= 0.5)
         .orderBy(col("jac").desc, col("a"), col("b"))
         .limit(50)

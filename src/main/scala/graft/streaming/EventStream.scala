@@ -129,6 +129,26 @@ object EventStream {
       }
       .start()
 
+  /** Stream-stream interval join: attribute each purchase to the same
+    * user's click within the preceding 30 minutes. Both sides are
+    * watermarked so Spark can bound the join state (clicks older than
+    * watermark + interval are evicted) — the canonical streaming
+    * attribution shape. Works identically on batch frames. */
+  def clickPurchaseAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("value").as("amount"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"), col("amount"))
+  }
+
   /** Run any of the above to an in-memory sink and block until the source is
     * drained — used by tests and local smoke runs. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Complete): Unit = {

@@ -46,6 +46,33 @@ class DedupSpec extends AnyFunSuite {
     assert(once.count() == 2)
   }
 
+  test("DedupPipeline.Exact removes normalized duplicates, keeps senior ids") {
+    import graft.operators.DedupPipeline
+    val docs = Seq(
+      (10L, "Hello,   World!"), (20L, "hello world"), // same after normalization
+      (30L, "something else")).toDF("id", "body")
+    val kept = DedupPipeline.dedup(docs, "id", "body", DedupPipeline.Exact)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(10L, 30L))
+  }
+
+  test("DedupPipeline.MinHashLsh drops planted near-dups and is idempotent") {
+    import graft.operators.DedupPipeline
+    val docs = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")
+    val n0 = docs.count()
+    val deduped = DedupPipeline.dedup(docs, "doc_id", "text", DedupPipeline.MinHashLsh(0.8))
+    val n1 = deduped.count()
+    assert(n1 < n0, "no near-dups dropped, but sf0.001 has planted pairs")
+    // idempotent: a second pass drops nothing
+    val n2 = DedupPipeline.dedup(deduped, "doc_id", "text", DedupPipeline.MinHashLsh(0.8)).count()
+    assert(n2 == n1, s"second pass dropped ${n1 - n2} more rows")
+    // every dropped doc has a surviving senior near-duplicate
+    val pairs = DedupPipeline.nearDupPairs(docs, "doc_id", "text", 0.8)
+      .select("a", "b").as[(Long, Long)].collect()
+    val keptIds = deduped.select("doc_id").as[Long].collect().toSet
+    assert(pairs.forall { case (a, b) => !keptIds.contains(b) || keptIds.contains(a) })
+  }
+
   test("MinHash-LSH finds the planted near-duplicates at sf0.001") {
     val out = graft.operators.DedupOps.queries("q51_minhash_lsh")(spark, TestSpark.sf)
     val top = out.select("jac").as[Double].collect()

@@ -81,6 +81,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((1L, -1L)), s"user 1 state never timed out: ${rows.toSeq}")
   }
 
+  test("stream-stream interval join attributes purchases to prior clicks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Double, java.sql.Timestamp)]
+    val cdf = clicks.toDF().toDF("user_id", "event_id", "ts")
+    val pdf = purchases.toDF().toDF("user_id", "event_id", "value", "ts")
+    val q = EventStream.clickPurchaseAttribution(cdf, pdf)
+      .writeStream.format("memory").queryName("attribution").outputMode("append").start()
+    clicks.addData((1L, 100L, ts(0)), (1L, 101L, ts(5)), (2L, 200L, ts(1)))
+    purchases.addData(
+      (1L, 900L, 50.0, ts(10)),  // within 30 min of clicks 100 and 101
+      (2L, 901L, 10.0, ts(45)))  // 44 min after click 200 → NOT attributed
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attribution")
+      .select("user_id", "purchase_id", "click_id").as[(Long, Long, Long)].collect().toSet
+    assert(rows == Set((1L, 900L, 100L), (1L, 900L, 101L)), s"got $rows")
+  }
+
   test("flatMapGroupsWithState running totals accumulate per user") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
