@@ -38,6 +38,25 @@ object PartitionedSink {
   def writeSingleFile(df: DataFrame, dir: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
 
+  /** Small-file compaction for one partition: rewrite `root/load_date=<d>`
+    * into ~`targetBytes`-sized files. Daily micro-batch / streaming sinks
+    * accrete small files; unchecked, a 100 TB table becomes metadata-bound
+    * (every scan lists millions of objects). Run as a maintenance pass per
+    * closed partition; overwrite keeps it idempotent. Returns file count. */
+  def compactPartition(spark: SparkSession, root: String, date: String,
+                       targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val path = new org.apache.hadoop.fs.Path(s"$root/$LoadDateCol=$date")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path.toString)
+    df.repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(path.toString + "__compact")
+    fs.delete(path, true)
+    fs.rename(new org.apache.hadoop.fs.Path(path.toString + "__compact"), path)
+    nFiles
+  }
+
   /** Catalog registration for a partitioned root (the engine-native analog
     * of pointing the Glue crawler at the prefix —
     * `mailgun_crawler/manage_crawler_targets.py:8-9`): register an external

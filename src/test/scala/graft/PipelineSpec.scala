@@ -89,6 +89,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(entries == Map("course1.tar.gz" -> "blob-one", "course2.tar.gz" -> "blob-two"))
   }
 
+  test("partition compaction merges small files and preserves rows") {
+    val root = Files.createTempDirectory("graft-compact").toString
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("v", col("id") * 2)
+    // write one day as many small files
+    PartitionedSink.writeDaily(
+      PartitionedSink.stamped(df.repartition(16), Some("20260810")), root)
+    val before = new java.io.File(s"$root/load_date=20260810")
+      .listFiles().count(_.getName.startsWith("part-"))
+    assert(before == 16)
+    val n = PartitionedSink.compactPartition(spark, root, "20260810")
+    val after = new java.io.File(s"$root/load_date=20260810")
+      .listFiles().count(_.getName.startsWith("part-"))
+    assert(after == n && n < before)
+    val back = spark.read.parquet(root)
+    assert(back.count() == 1000)
+    assert(back.agg(sum("v")).head().getLong(0) == (0L until 1000L).map(_ * 2).sum)
+  }
+
+  test("metrics recorder captures actions and feeds the notifier") {
+    val rec = Metrics.install(spark)
+    val probe = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val out = Files.createTempDirectory("graft-metrics").toString + "/t"
+    probe.write.parquet(out)
+    // listener delivery is async; poll briefly
+    val deadline = System.currentTimeMillis() + 10000
+    while (rec.snapshot.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(rec.snapshot.nonEmpty, "no actions recorded")
+    assert(rec.snapshot.exists(!_.failed))
+    var notified: String = null
+    val notifier = new Notifier {
+      def notify(m: String): Unit = notified = m
+      def healthcheck(): Boolean = true
+    }
+    assert(Metrics.finish(rec, notifier))
+    assert(notified != null && notified.contains("actions="))
+  }
+
   test("config loader: app-keyed layout, flat fallback, fail-fast validation") {
     val yml = Files.createTempFile("graft", ".yml")
     Files.writeString(yml,
