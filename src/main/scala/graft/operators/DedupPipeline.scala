@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** User-facing corpus deduplication API — the operator a training-data
   * pipeline actually calls: hand it a corpus, get back the kept rows.
@@ -34,10 +35,54 @@ object DedupPipeline {
           .select(idCol)
         docs.join(keepers, idCol)
       case MinHashLsh(threshold) =>
-        val dropped = nearDupPairs(docs, idCol, textCol, threshold)
-          .select(col("b").as(idCol)).distinct()
+        // cluster the near-dup graph so CHAINS dedup correctly (a~b, b~c
+        // keeps only a even when a!~c), then keep each cluster's senior.
+        val labeled = clusters(nearDupPairs(docs, idCol, textCol, threshold))
+        val dropped = labeled.filter(col("node") =!= col("label"))
+          .select(col("node").as(idCol))
         docs.join(dropped, Seq(idCol), "left_anti")
     }
+
+  /** Connected components over a near-dup pair graph via min-label
+    * propagation: every node converges to the smallest id reachable from it
+    * (its cluster representative). Returns (node, label).
+    *
+    * Each iteration is one join + aggregation — the hash-to-min pattern that
+    * scales to billions of edges; iterations are materialized (persist +
+    * count) so the loop adds plan DEPTH not plan WIDTH, and lineage is cut
+    * with localCheckpoint every few rounds (at cluster scale: checkpoint to
+    * reliable storage). Near-dup graphs have tiny diameters (dup clusters
+    * are near-cliques), so convergence is typically 2–3 iterations. */
+  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("src"), col("label").as("srcLabel")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min("srcLabel").as("nbrLabel"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nbrLabel"), col("label"))).as("newLabel"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.filter(col("newLabel") =!= col("label")).isEmpty
+      val prev = labels
+      labels = next.select(col("node"), col("newLabel").as("label"))
+        .localCheckpoint(eager = true)
+      prev.unpersist()
+      next.unpersist()
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
 
   /** Verified near-duplicate pairs (a < b, exact Jaccard >= threshold) via
     * the MinHash-LSH path — exposed for auditing what dedup() would drop. */

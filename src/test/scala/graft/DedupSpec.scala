@@ -73,6 +73,15 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => !keptIds.contains(b) || keptIds.contains(a) })
   }
 
+  test("connected-components clustering resolves chains and separate clusters") {
+    import graft.operators.DedupPipeline
+    // chain 1-2, 2-3, 3-4 plus isolated pair 10-11 plus singleton-free graph
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("a", "b")
+    val labels = DedupPipeline.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("MinHash-LSH finds the planted near-duplicates at sf0.001") {
     val out = graft.operators.DedupOps.queries("q51_minhash_lsh")(spark, TestSpark.sf)
     val top = out.select("jac").as[Double].collect()

@@ -76,6 +76,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql.values.forall(_.nonEmpty))
   }
 
+  test("WordShingles matches a reference implementation on arbitrary texts") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.unsafe.types.UTF8String
+    def reference(text: String, n: Int): Seq[String] =
+      text.split(" ", -1).toSeq.sliding(n).filter(_.size == n).map(_.mkString(" ")).distinct.toSeq
+    val genText = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "the", "x1", "", "ünïcødé"))
+      .map(_.mkString(" "))
+    val prop = Prop.forAll(genText) { text =>
+      val got = graft.plans.WordShingles(
+        org.apache.spark.sql.catalyst.expressions.Literal(UTF8String.fromString(text),
+          org.apache.spark.sql.types.StringType), 3)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType).toSeq.map(_.toString)
+      got == reference(text, 3)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.toString)
+  }
+
   test("type check rejects non-array arguments") {
     intercept[Exception] {
       Seq((1, 2)).toDF("a", "b").select(expr("graft_cosine(a, b)")).collect()
