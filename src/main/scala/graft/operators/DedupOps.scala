@@ -35,8 +35,13 @@ object DedupOps {
     * frame: signatures → banded candidates → exact-Jaccard verify.
     * Returns (a, b, jac) with a < b; used by q51 and [[DedupPipeline]]. */
   def minHashNearDupPairs(docs: DataFrame): DataFrame = {
+    // The shingled frame feeds three subtrees (signatures + both verify
+    // sides). With the native WordShingles expression the recompute is a
+    // cheap narrow scan, so we deliberately do NOT persist here — a cached
+    // copy could never be safely unpersisted from inside a lazy plan and
+    // would pin block-manager memory for the session. At 100 TB, persist
+    // the SIGNATURE table explicitly at the pipeline level instead.
     val shingled = TextOps.withShingles(docs).select("doc_id", "sh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = signatures(shingled)
     val bandStructs = (0 until numBands).map { b =>
       val cols = (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1))

@@ -27,8 +27,7 @@ object DedupPipeline {
   def dedup(docs: DataFrame, idCol: String, textCol: String, strategy: Strategy): DataFrame =
     strategy match {
       case Exact =>
-        val norm = trim(regexp_replace(
-          regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), "\\s+", " "))
+        val norm = TextOps.normTextOf(col(textCol))
         val keepers = docs
           .select(col(idCol), md5(norm).as("__fp"))
           .groupBy("__fp").agg(min(col(idCol)).as(idCol))
@@ -81,6 +80,11 @@ object DedupPipeline {
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"clusters(): label propagation did not converge within $maxIter " +
+          "iterations — components wider than maxIter hops carry multiple " +
+          "representatives; raise maxIter for deep duplicate chains")
     labels
   }
 

@@ -326,16 +326,22 @@ object Relational {
         .orderBy("r_name")
     }),
 
-    // Exact interpolated percentiles (sort-based aggregation) per group.
+    // Exact interpolated percentiles per group — ONE array-percentile
+    // aggregate (a single value buffer per group) rather than four separate
+    // percentile() calls that would each buffer the column independently.
     "q27_percentiles" -> ((s, d) => {
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+          expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))").as("ps"),
           count(lit(1)).as("n"))
+        .select(
+          col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p25"),
+          round(element_at(col("ps"), 2), 4).as("p50"),
+          round(element_at(col("ps"), 3), 4).as("p75"),
+          round(element_at(col("ps"), 4), 4).as("p95"),
+          col("n"))
         .orderBy("l_returnflag")
     }),
 

@@ -30,9 +30,13 @@ object TextOps {
   private val esStops = Seq("el", "los", "y", "que", "una", "por", "con", "para")
 
   /** Canonical normalized form used by fingerprint + exact dedup:
-    * lowercase, strip non-[a-z0-9 ], collapse whitespace, trim. */
-  private[operators] val normText: Column =
-    trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "\\s+", " "))
+    * lowercase, strip non-[a-z0-9 ], collapse whitespace, trim. The ONE
+    * definition shared by q33/q50 and DedupPipeline — keep in sync with
+    * [[normTextSql]]. */
+  def normTextOf(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), "\\s+", " "))
+
+  private[operators] val normText: Column = normTextOf(col("text"))
 
   /** Same normalization in DuckDB SQL (regexp_replace needs the 'g' flag). */
   private[operators] val normTextSql: String =

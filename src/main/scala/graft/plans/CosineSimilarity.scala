@@ -30,20 +30,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
 
   override def dataType: DataType = DoubleType
+  // nullable even for non-null children: length mismatch yields NULL
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
+  /** Mismatched lengths yield NULL — DuckDB's list_cosine_similarity errors
+    * on them, so silently truncating to the shorter array would return a
+    * plausible-but-wrong number where the oracle aborts. */
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = xs.getDouble(i); val y = ys.getDouble(i)
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
+    val n = xs.numElements()
+    if (ys.numElements() != n) null
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = xs.getDouble(i); val y = ys.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -56,14 +64,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = $a.getDouble($i);
-         |  double $y = $b.getDouble($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $a.getDouble($i);
+         |    double $y = $b.getDouble($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -74,4 +86,44 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object CosineSimilarity {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, "graft_cosine")
+}
+
+/** cos(x, x) computed in ONE norm pass instead of cosine's dot + 2 norms —
+  * the semantics-preserving target of [[SelfCosineToOne]]: NULL input stays
+  * NULL, a zero vector stays NaN (0/0), anything else is exactly 1.0. */
+case class SelfCosine(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"graft_self_cosine requires array<double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_self_cosine"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    var norm = 0.0
+    var i = 0
+    val n = xs.numElements()
+    while (i < n) { val x = xs.getDouble(i); norm += x * x; i += 1 }
+    if (norm == 0.0) Double.NaN else 1.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val norm = ctx.freshName("norm")
+      s"""
+         |double $norm = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double x = $a.getDouble($i); $norm += x * x;
+         |}
+         |${ev.value} = ($norm == 0.0) ? Double.NaN : 1.0;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -41,11 +41,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
-/** graft_cosine(x, x) ≡ 1.0 for any non-zero vector; fold it away. */
+/** Rewrite graft_cosine(x, x) to the single-pass [[SelfCosine]] — 3 array
+  * traversals become 1 with IDENTICAL semantics (NULL → NULL, zero vector →
+  * NaN, else exactly 1.0). Folding to a literal would be wrong: it changes
+  * results for NULL inputs and zero vectors. */
 object SelfCosineToOne extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case CosineSimilarity(a, b) if a.deterministic && a.semanticEquals(b) =>
-        Literal(1.0, DoubleType)
+        SelfCosine(a)
     }
 }

@@ -23,18 +23,39 @@ object CourseExport {
   def courseIds(raw: String): Seq[String] =
     raw.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** Filesystem-safe blob name: sanitized id, plus a short content hash of
+    * the ORIGINAL id whenever sanitization changed it — so distinct ids
+    * like `course/a` and `course:a` can never collide on `course_a`. */
+  private[sources] def safeName(id: String): String = {
+    val safe = id.replaceAll("[^A-Za-z0-9._-]", "_")
+    if (safe == id) safe
+    else {
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(id.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      s"$safe-$digest"
+    }
+  }
+
   /** Parallel export: ids → executor-side exporter calls → one blob per id.
-    * Repartitions to `parallelism` so the fan-out width is explicit. */
+    * Repartitions to `parallelism` so the fan-out width is explicit.
+    *
+    * Blobs are written through the Hadoop FileSystem API from the
+    * EXECUTORS, so `outDir` must be a shared filesystem URI (file:// in
+    * local mode, hdfs:///s3a:// on a cluster) — executor-local java.nio
+    * writes would scatter blobs across worker disks. */
   def exportAll(spark: SparkSession, ids: Seq[String], outDir: String,
                 exporter: String => Array[Byte], parallelism: Int = 8): Unit = {
     import spark.implicits._
-    Files.createDirectories(Paths.get(outDir))
+    Files.createDirectories(Paths.get(outDir.stripPrefix("file:")))
     spark.createDataset(ids)
       .repartition(parallelism)
       .foreachPartition { part: Iterator[String] =>
+        val conf = new org.apache.hadoop.conf.Configuration()
         part.foreach { id =>
-          val safe = id.replaceAll("[^A-Za-z0-9._-]", "_")
-          Files.write(Paths.get(s"$outDir/$safe.tar.gz"), exporter(id))
+          val dest = new org.apache.hadoop.fs.Path(s"$outDir/${safeName(id)}.tar.gz")
+          val fs = dest.getFileSystem(conf)
+          val out = fs.create(dest, true)
+          try out.write(exporter(id)) finally out.close()
         }
       }
   }

@@ -27,9 +27,18 @@ object Notifier {
     * surfaced as false (healthcheck), mirroring the reference. */
   final class Webhook(slackUrl: String, healthUrl: String) extends Notifier {
     private val client = java.net.http.HttpClient.newHttpClient()
+    private def jsonStr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     def notify(message: String): Unit =
       try {
-        val body = s"""{"text":${"\"" + message.replace("\"", "\\\"") + "\""}}"""
+        val body = s"""{"text":${jsonStr(message)}}"""
         val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(slackUrl))
           .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
           .header("Content-Type", "application/json").build()

@@ -50,10 +50,22 @@ object PartitionedSink {
     val bytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(path.toString)
+    val compactPath = new org.apache.hadoop.fs.Path(path.toString + "__compact")
+    val oldPath = new org.apache.hadoop.fs.Path(path.toString + "__old")
     df.repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(path.toString + "__compact")
-    fs.delete(path, true)
-    fs.rename(new org.apache.hadoop.fs.Path(path.toString + "__compact"), path)
+      .write.mode(SaveMode.Overwrite).parquet(compactPath.toString)
+    // crash-safe swap: the live partition is renamed aside BEFORE the
+    // compacted copy moves in, and deleted only once the swap completed —
+    // a crash at any point leaves either the old or the new data at `path`
+    // (or recoverable at `__old`), never a missing partition.
+    fs.delete(oldPath, true)
+    if (!fs.rename(path, oldPath))
+      throw new java.io.IOException(s"compaction: could not move $path aside")
+    if (!fs.rename(compactPath, path)) {
+      fs.rename(oldPath, path) // roll back
+      throw new java.io.IOException(s"compaction: could not install $compactPath")
+    }
+    fs.delete(oldPath, true)
     nFiles
   }
 

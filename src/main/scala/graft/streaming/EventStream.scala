@@ -116,16 +116,23 @@ object EventStream {
       .toDF()
   }
 
-  /** Streaming → idempotent partitioned parquet via foreachBatch: each
-    * micro-batch is stamped with its load date and written with dynamic
-    * partition overwrite (graft.sources.PartitionedSink), so replays of a
-    * batch overwrite exactly the partitions they touch. */
+  /** Streaming → idempotent partitioned parquet via foreachBatch. Each
+    * micro-batch writes under (load_date, batch_id): dynamic partition
+    * overwrite then replaces EXACTLY that batch's partition — a replayed
+    * batch (failure recovery) overwrites its own previous output instead of
+    * wiping the day's other batches (which plain per-day overwrite would do)
+    * or duplicating rows (which append would do). */
   def toPartitionedParquet(df: DataFrame, root: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.sources.PartitionedSink.writeDaily(
-          graft.sources.PartitionedSink.stamped(batch.toDF()), root)
+        graft.sources.PartitionedSink.stamped(batch.toDF())
+          .withColumn("batch_id", lit(batchId))
+          .write
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(graft.sources.PartitionedSink.LoadDateCol, "batch_id")
+          .mode("overwrite")
+          .parquet(root)
       }
       .start()
 

@@ -31,13 +31,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(sim - 1.0) < 1e-12)
   }
 
-  test("SelfCosineToOne folds self-similarity to a literal") {
+  test("SelfCosineToOne rewrites to single-pass SelfCosine, preserving semantics") {
     val df = Tables.load(spark, TestSpark.sf, "embeddings")
       .select(col("embedding").cast("array<double>").as("e"))
       .withColumn("s", expr("graft_cosine(e, e)"))
     val optimized = df.queryExecution.optimizedPlan.toString
-    assert(optimized.contains("1.0"), s"rule did not fold:\n$optimized")
-    assert(!optimized.contains("graft_cosine"), "graft_cosine survived optimization")
+    assert(optimized.contains("graft_self_cosine"), s"rule did not rewrite:\n$optimized")
+    assert(df.filter(abs(col("s") - 1.0) > 1e-12).count() == 0)
+    // NULL input stays NULL; zero vector stays NaN — a literal fold would break both
+    val edge = Seq(Tuple1(Seq(0.0, 0.0)), Tuple1(null.asInstanceOf[Seq[Double]]))
+      .toDF("e").withColumn("s", expr("graft_cosine(e, e)"))
+    val vals = edge.select("s").collect().map(r => if (r.isNullAt(0)) "null"
+      else if (r.getDouble(0).isNaN) "nan" else r.getDouble(0).toString)
+    assert(vals.toSet == Set("null", "nan"), s"edge semantics changed: ${vals.toSeq}")
+  }
+
+  test("graft_cosine returns NULL on length mismatch (oracle errors there)") {
+    val r = Seq((Seq(1.0, 2.0), Seq(1.0)))
+      .toDF("a", "b").select(expr("graft_cosine(a, b)").as("s")).collect()
+    assert(r.head.isNullAt(0))
   }
 
   test("minhash sketch: containment and sensitivity of signatures") {

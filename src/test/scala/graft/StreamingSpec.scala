@@ -55,6 +55,9 @@ class StreamingSpec extends AnyFunSuite {
     val written = spark.read.parquet(root)
     assert(written.count() == graft.Tables.load(spark, TestSpark.sf, "events").count())
     assert(written.columns.contains("load_date"))
+    // batches land in distinct (load_date, batch_id) partitions so a replay
+    // of one batch cannot wipe the day's other batches
+    assert(written.columns.contains("batch_id"))
   }
 
   test("event-time timeout session tracking expires state behind the watermark") {
