@@ -13,11 +13,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JVM/codegen spin-up + parquet footer reads, so the
-    // first timed query isn't charged for session initialization.
+    // Untimed warmup: parquet footer reads for every table, plus one
+    // join+aggregate query end-to-end so whole-stage codegen compilation
+    // and JIT are paid before the first timed query.
     graft.Tables.names.foreach { n =>
       try graft.Tables.load(spark, sfDir, n).count() catch { case _: Throwable => () }
     }
+    try SparkEntry.queries("q25_star_join")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     // noop sink forces FULL evaluation of every output column — count()
     // would let Catalyst prune the projections being measured (sha2,
     // regex, cosine arithmetic would vanish from the timed plan).

@@ -129,6 +129,25 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // PII scrubbing: redact email addresses, URLs, and long digit runs —
+    // the standard pre-training hygiene pass. Patterns are Java/RE2-common
+    // so the oracle applies the identical transforms.
+    "q36_pii_scrub" -> ((s, d) => {
+      val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val urlPat = "https?://[^ ]+"
+      val digitPat = "[0-9]{6,}"
+      Tables.load(s, d, "documents")
+        .withColumn("n_emails", size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).cast("bigint"))
+        .withColumn("n_urls", size(regexp_extract_all(col("text"), lit(urlPat), lit(0))).cast("bigint"))
+        .withColumn("n_digit_runs", size(regexp_extract_all(col("text"), lit(digitPat), lit(0))).cast("bigint"))
+        .withColumn("scrubbed",
+          regexp_replace(regexp_replace(regexp_replace(col("text"),
+            emailPat, "<EMAIL>"), urlPat, "<URL>"), digitPat, "<NUM>"))
+        .withColumn("scrub_fp", md5(col("scrubbed")))
+        .select("doc_id", "n_emails", "n_urls", "n_digit_runs", "scrub_fp")
+        .orderBy("doc_id")
+    }),
+
     // BPE-ish pre-tokenization: GPT-2-style split into letter runs, digit
     // runs, and punctuation runs (the subword pre-pass every BPE tokenizer
     // applies before merges). Pattern is restricted to syntax valid in both
@@ -203,6 +222,17 @@ object TextOps {
          |FROM (SELECT doc_id, text, $shinglesSql AS sh
          |      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents) t0) t
          |ORDER BY doc_id""".stripMargin,
+
+    "q36_pii_scrub" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+        | len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
+        | len(regexp_extract_all(text, '[0-9]{6,}')) AS n_digit_runs,
+        | md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |   'https?://[^ ]+', '<URL>', 'g'),
+        |   '[0-9]{6,}', '<NUM>', 'g')) AS scrub_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q35_bpe_tokens" ->
       """SELECT doc_id,
