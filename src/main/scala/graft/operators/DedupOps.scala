@@ -68,7 +68,7 @@ object DedupOps {
       .agg(graft.plans.MinHashSketchAgg.sketch(col("shingle"), numHashes).as("sig"))
 
   /** Exact Jaccard verification of candidate (a, b) pairs against a
-    * (persisted) doc_id → shingles frame. */
+    * doc_id → shingles frame. */
   private def verifyJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
     pairs
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
@@ -92,11 +92,8 @@ object DedupOps {
     }),
 
     // MinHash + LSH near-dedup: shingle → 32 minhashes → 8 bands of 4 →
-    // band-hash equi-join for candidates → exact-Jaccard verify → top pairs.
-    // The shingled frame feeds three subtrees (signatures + both verify
-    // sides); persist() materializes it once instead of recomputing the
-    // shingle scan per subtree — at 100 TB this is the checkpointed
-    // signature table every production near-dedup pipeline keeps anyway.
+    // band-hash equi-join for candidates → exact-Jaccard verify → top pairs
+    // (see minHashNearDupPairs for the materialization trade-off).
     "q51_minhash_lsh" -> ((s, d) => {
       minHashNearDupPairs(Tables.load(s, d, "documents").select("doc_id", "text"))
         .filter(col("jac") >= 0.5)

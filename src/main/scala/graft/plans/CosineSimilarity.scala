@@ -89,8 +89,11 @@ object CosineSimilarity {
 }
 
 /** cos(x, x) computed in ONE norm pass instead of cosine's dot + 2 norms —
-  * the semantics-preserving target of [[SelfCosineToOne]]: NULL input stays
-  * NULL, a zero vector stays NaN (0/0), anything else is exactly 1.0. */
+  * the target of [[SelfCosineToOne]]: NULL input stays NULL; zero vectors
+  * and vectors containing NaN/Infinity (or whose norm overflows) stay NaN,
+  * matching graft_cosine's 0/0, NaN-propagation and Inf/Inf results;
+  * everything else is exactly 1.0 (where the unfused form may differ from
+  * 1.0 in the final ulp, since sqrt(n)*sqrt(n) ≠ n in floating point). */
 case class SelfCosine(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -108,7 +111,7 @@ case class SelfCosine(child: Expression)
     var i = 0
     val n = xs.numElements()
     while (i < n) { val x = xs.getDouble(i); norm += x * x; i += 1 }
-    if (norm == 0.0) Double.NaN else 1.0
+    if (java.lang.Double.isFinite(norm) && norm > 0.0) 1.0 else Double.NaN
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -120,7 +123,7 @@ case class SelfCosine(child: Expression)
          |for (int $i = 0; $i < $a.numElements(); $i++) {
          |  double x = $a.getDouble($i); $norm += x * x;
          |}
-         |${ev.value} = ($norm == 0.0) ? Double.NaN : 1.0;
+         |${ev.value} = (java.lang.Double.isFinite($norm) && $norm > 0.0) ? 1.0 : Double.NaN;
        """.stripMargin
     })
 

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Course-export fan-out (reference parity: `mitx/mitx_etl.py:74-121` —
@@ -46,15 +45,24 @@ object CourseExport {
   def exportAll(spark: SparkSession, ids: Seq[String], outDir: String,
                 exporter: String => Array[Byte], parallelism: Int = 8): Unit = {
     import spark.implicits._
-    Files.createDirectories(Paths.get(outDir.stripPrefix("file:")))
+    // Ship the session's Hadoop configuration (s3a credentials, defaultFS…)
+    // to the executors as plain entries — a fresh Configuration() there
+    // would silently drop every spark.hadoop.* setting.
+    val confEntries: Seq[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
+      buf.toSeq
+    }
     spark.createDataset(ids)
       .repartition(parallelism)
       .foreachPartition { part: Iterator[String] =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
         part.foreach { id =>
           val dest = new org.apache.hadoop.fs.Path(s"$outDir/${safeName(id)}.tar.gz")
           val fs = dest.getFileSystem(conf)
-          val out = fs.create(dest, true)
+          val out = fs.create(dest, true) // creates parent dirs on any scheme
           try out.write(exporter(id)) finally out.close()
         }
       }

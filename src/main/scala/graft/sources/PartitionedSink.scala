@@ -50,15 +50,27 @@ object PartitionedSink {
     val bytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(path.toString)
-    val compactPath = new org.apache.hadoop.fs.Path(path.toString + "__compact")
-    val oldPath = new org.apache.hadoop.fs.Path(path.toString + "__old")
-    df.repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(compactPath.toString)
-    // crash-safe swap: the live partition is renamed aside BEFORE the
-    // compacted copy moves in, and deleted only once the swap completed —
-    // a crash at any point leaves either the old or the new data at `path`
-    // (or recoverable at `__old`), never a missing partition.
+    // Staging/backup dirs are UNDERSCORE-prefixed: Spark/Hadoop partition
+    // discovery ignores `_*` paths, so a crash mid-swap can never surface a
+    // half-compacted or duplicate partition to readers (a `=`-style suffix
+    // like `load_date=d__old` would be discovered as a real partition and
+    // silently double the day's rows).
+    val compactPath = new org.apache.hadoop.fs.Path(path.getParent, s"_graft_compact_tmp_$date")
+    val oldPath = new org.apache.hadoop.fs.Path(path.getParent, s"_graft_compact_old_$date")
+    fs.delete(compactPath, true)
     fs.delete(oldPath, true)
+    // streaming-sink roots carry a second (batch_id) partition level; keep
+    // the layout depth uniform by writing the compacted data back under a
+    // single sentinel batch partition. Compaction must only run on CLOSED
+    // partitions (no more replays), so collapsing batch ids is safe.
+    val hasBatchId = df.columns.contains("batch_id")
+    val writer =
+      if (hasBatchId)
+        df.withColumn("batch_id", org.apache.spark.sql.functions.lit(-1L))
+          .repartition(nFiles).write.partitionBy("batch_id")
+      else df.repartition(nFiles).write
+    writer.mode(SaveMode.Overwrite).parquet(compactPath.toString)
+    // crash-safe swap: live partition aside → compacted copy in → delete.
     if (!fs.rename(path, oldPath))
       throw new java.io.IOException(s"compaction: could not move $path aside")
     if (!fs.rename(compactPath, path)) {

@@ -117,16 +117,20 @@ object EventStream {
   }
 
   /** Streaming → idempotent partitioned parquet via foreachBatch. Each
-    * micro-batch writes under (load_date, batch_id): dynamic partition
-    * overwrite then replaces EXACTLY that batch's partition — a replayed
-    * batch (failure recovery) overwrites its own previous output instead of
-    * wiping the day's other batches (which plain per-day overwrite would do)
-    * or duplicating rows (which append would do). */
-  def toPartitionedParquet(df: DataFrame, root: String): org.apache.spark.sql.streaming.StreamingQuery =
+    * micro-batch writes under (load_date, batch_id), with load_date derived
+    * from the rows' EVENT TIME (`tsCol`) — not processing time, so a batch
+    * replayed after midnight re-derives the same partitions it wrote before
+    * the crash. Dynamic partition overwrite then replaces EXACTLY the
+    * (date, batch) partitions present in the replayed data: no wiping of
+    * the day's other batches, no duplicates. */
+  def toPartitionedParquet(df: DataFrame, root: String,
+                           tsCol: String = "ts"): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.sources.PartitionedSink.stamped(batch.toDF())
+        batch.toDF()
+          .withColumn(graft.sources.PartitionedSink.LoadDateCol,
+            date_format(col(tsCol), "yyyyMMdd"))
           .withColumn("batch_id", lit(batchId))
           .write
           .option("partitionOverwriteMode", "dynamic")
@@ -135,6 +139,16 @@ object EventStream {
           .parquet(root)
       }
       .start()
+
+  /** Streaming exact dedup: drop events whose event_id was already seen,
+    * with state bounded by the watermark (`dropDuplicatesWithinWatermark`) —
+    * duplicates arriving within the watermark window are suppressed, state
+    * for older keys is evicted. The streaming member of the dedup family
+    * (at-least-once sources → effectively-once downstream). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-stream interval join: attribute each purchase to the same
     * user's click within the preceding 30 minutes. Both sides are

@@ -48,7 +48,7 @@ class StreamingSpec extends AnyFunSuite {
   test("foreachBatch streams into the idempotent partitioned sink") {
     val root = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
     val stream = EventStream.fromDirectory(spark, eventsDir)
-      .select("event_id", "user_id", "event_type", "value")
+      .select("event_id", "user_id", "event_type", "value", "ts")
     val q = EventStream.toPartitionedParquet(stream, root)
     q.processAllAvailable()
     q.stop()
@@ -82,6 +82,25 @@ class StreamingSpec extends AnyFunSuite {
       .select("userId", "nEvents").as[(Long, Long)].collect()
     assert(rows.contains((1L, 2L)), s"user 1 updates missing: ${rows.toSeq}")
     assert(rows.contains((1L, -1L)), s"user 1 state never timed out: ${rows.toSeq}")
+  }
+
+  test("streaming dedup suppresses duplicate event ids within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "value")
+    val q = EventStream.dedupedEvents(events)
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    input.addData((1L, ts(0), 1.0), (2L, ts(1), 2.0), (1L, ts(2), 99.0)) // dup id 1
+    q.processAllAvailable()
+    input.addData((2L, ts(3), 98.0), (3L, ts(4), 3.0)) // dup id 2 across batches
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_stream").select("event_id", "value")
+      .as[(Long, Double)].collect().sorted.toSeq
+    assert(rows == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)), s"got $rows")
   }
 
   test("stream-stream interval join attributes purchases to prior clicks") {
