@@ -326,22 +326,40 @@ object Relational {
         .orderBy("r_name")
     }),
 
-    // Exact interpolated percentiles per group — ONE array-percentile
-    // aggregate (a single value buffer per group) rather than four separate
-    // percentile() calls that would each buffer the column independently.
+    // Exact interpolated percentiles per group — sort-based rank lookup, NOT
+    // the buffering percentile() aggregate (whose per-group value buffer is
+    // O(group size) on one reducer: an OOM + stall at 100×). Here the heavy
+    // work is a spill-safe window sort; the interpolation reads only the
+    // ≤2 boundary ranks per quantile. Formula replicates Spark/DuckDB
+    // percentile interpolation bit-for-bit: pos = q·(n-1) (0-based),
+    // p = (⌈pos⌉-pos)·v_lo + (pos-⌊pos⌋)·v_hi, p = v_lo when ⌊pos⌋=⌈pos⌉.
     "q27_percentiles" -> ((s, d) => {
-      t(s, d, "lineitem")
+      val quantiles = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
+      val base = t(s, d, "lineitem").select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      val counts = base.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("l_returnflag").orderBy("v", "l_returnflag")
+      def pos(q: Double): Column = lit(q) * (col("n") - 1).cast("double")
+      val boundary = quantiles.map { case (q, _) =>
+        col("rk") === (floor(pos(q)) + 1) || col("rk") === (ceil(pos(q)) + 1)
+      }.reduce(_ || _)
+      val ranked = base
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .join(broadcast(counts), "l_returnflag")
+        .filter(boundary)
+      val aggs = quantiles.flatMap { case (q, nm) => Seq(
+        max(when(col("rk") === (floor(pos(q)) + 1), col("v"))).as(s"lo_$nm"),
+        max(when(col("rk") === (ceil(pos(q)) + 1), col("v"))).as(s"hi_$nm"))
+      } :+ max("n").as("n")
+      val interp = quantiles.map { case (q, nm) =>
+        val p = pos(q)
+        round(when(floor(p) === ceil(p), col(s"lo_$nm"))
+          .otherwise((ceil(p) - p) * col(s"lo_$nm") + (p - floor(p)) * col(s"hi_$nm")), 4)
+          .as(nm)
+      }
+      ranked
         .groupBy("l_returnflag")
-        .agg(
-          expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))").as("ps"),
-          count(lit(1)).as("n"))
-        .select(
-          col("l_returnflag"),
-          round(element_at(col("ps"), 1), 4).as("p25"),
-          round(element_at(col("ps"), 2), 4).as("p50"),
-          round(element_at(col("ps"), 3), 4).as("p75"),
-          round(element_at(col("ps"), 4), 4).as("p95"),
-          col("n"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select((col("l_returnflag") +: interp :+ col("n")): _*)
         .orderBy("l_returnflag")
     }),
 

@@ -17,17 +17,20 @@ object TextOps {
   /** Whitespace tokens of the raw text. */
   private val toks: Column = split(col("text"), "\\s+")
 
-  /** In-SQL helper: count of tokens of `text` present in `words`. */
-  private def hitCount(words: Seq[String]): Column = {
-    val arr = words.map(w => s"'$w'").mkString(",")
-    expr(s"size(filter(split(lower(text), '\\\\s+'), t -> array_contains(array($arr), t)))")
-      .cast("bigint")
-  }
-
   private val enStops = Seq("the", "and", "of", "to", "in", "is", "a", "it", "on", "for")
   private val deStops = Seq("der", "die", "und", "das", "nicht", "ist", "ein", "zu")
   private val frStops = Seq("le", "la", "et", "les", "des", "un", "une", "dans")
   private val esStops = Seq("el", "los", "y", "que", "una", "por", "con", "para")
+
+  /** One-pass profile struct (n_tokens, n_unique, n_nonws, hits[en,de,fr,es])
+    * via the native [[graft.plans.TextProfile]] expression — ONE tokenization
+    * per row instead of a regex split per referencing expression plus an
+    * interpreted per-token lambda (r01 driver bench: q31 11.5× baseline). */
+  private def textProfile(c: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.TextProfile(
+      GraftBridge.expression(c), Seq(enStops, deStops, frStops, esStops)))
+  }
 
   /** Canonical normalized form used by fingerprint + exact dedup:
     * lowercase, strip non-[a-z0-9 ], collapse whitespace, trim. The ONE
@@ -64,15 +67,17 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token counting: whitespace tokenization + distinct counts + average
-    // token length — pure narrow map, no shuffle.
+    // token length — pure narrow map, no shuffle; all token stats from one
+    // native TextProfile pass.
     "q30_text_stats" -> ((s, d) => {
       Tables.load(s, d, "documents")
+        .withColumn("tp", textProfile(col("text")))
         .select(
           col("doc_id"),
-          size(toks).cast("bigint").as("n_tokens"),
-          size(array_distinct(toks)).cast("bigint").as("n_unique_tokens"),
+          col("tp.n_tokens").as("n_tokens"),
+          col("tp.n_unique").as("n_unique_tokens"),
           length(col("text")).cast("bigint").as("n_chars_calc"),
-          round(length(regexp_replace(col("text"), "\\s", "")) / size(toks), 4).as("avg_token_len"))
+          round(col("tp.n_nonws") / col("tp.n_tokens"), 4).as("avg_token_len"))
         .orderBy("doc_id")
     }),
 
@@ -83,10 +88,11 @@ object TextOps {
       // components first would land sums exactly on .00005 boundaries where
       // Spark and DuckDB round differently.
       Tables.load(s, d, "documents")
-        .withColumn("n_tokens", size(toks).cast("bigint"))
-        .withColumn("stop_hits", hitCount(enStops))
+        .withColumn("tp", textProfile(col("text")))
+        .withColumn("n_tokens", col("tp.n_tokens"))
+        .withColumn("stop_hits", element_at(col("tp.hits"), 1))
         .withColumn("raw_stop", col("stop_hits") / col("n_tokens"))
-        .withColumn("raw_ttr", size(array_distinct(toks)) / size(toks))
+        .withColumn("raw_ttr", col("tp.n_unique") / col("tp.n_tokens"))
         .withColumn("raw_len", least(length(col("text")) / lit(500.0), lit(1.0)))
         .withColumn("stop_ratio", round(col("raw_stop"), 4))
         .withColumn("ttr", round(col("raw_ttr"), 4))
@@ -102,10 +108,11 @@ object TextOps {
     // stopword heuristic as a single codegen'd projection.
     "q32_lang_id" -> ((s, d) => {
       Tables.load(s, d, "documents")
-        .withColumn("en_hits", hitCount(enStops))
-        .withColumn("de_hits", hitCount(deStops))
-        .withColumn("fr_hits", hitCount(frStops))
-        .withColumn("es_hits", hitCount(esStops))
+        .withColumn("tp", textProfile(col("text")))
+        .withColumn("en_hits", element_at(col("tp.hits"), 1))
+        .withColumn("de_hits", element_at(col("tp.hits"), 2))
+        .withColumn("fr_hits", element_at(col("tp.hits"), 3))
+        .withColumn("es_hits", element_at(col("tp.hits"), 4))
         .withColumn("lang_guess",
           when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits")
             && col("en_hits") >= col("es_hits"), "en")
