@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.SimHashAgg
+import graft.plans.{Md5Lower64, MinHashPermAgg, SimHashSketchAgg}
 
 /** Deduplication operators over `documents` (driver north-star scope):
   * exact, MinHash+LSH, SimHash, and n-gram Jaccard near-dup detection.
@@ -11,21 +11,29 @@ import graft.functions.SimHashAgg
   * Scale design (100 TB):
   *  - exact dedup is a hash-groupBy on a content fingerprint — shuffles only
   *    (fp, doc_id), never text;
-  *  - MinHash signatures are computed with map-side partial `min` aggregation
-  *    (32 aggregates over the exploded shingle stream), then banded: an
-  *    equi-join on (band, band_hash) finds candidates WITHOUT any pairwise
-  *    scan — the only near-dup path that survives 100 TB. Skewed bands
-  *    (boilerplate shingles) are AQE skew-join territory; the verify stage
-  *    re-checks true Jaccard so false candidates cost only compute;
-  *  - SimHash uses a typed Aggregator (one 64-int buffer per doc to the
-  *    shuffle) and 16-bit band LSH over the 64-bit signature;
+  *  - MinHash signatures are computed by the single imperative
+  *    [[MinHashPermAgg]] sketch (one array<long> buffer per doc, map-side
+  *    combined), then banded: an equi-join on (band, band-signature) finds
+  *    candidates WITHOUT any pairwise scan — the only near-dup path that
+  *    survives 100 TB. Skewed bands (boilerplate shingles) are AQE skew-join
+  *    territory; the verify stage re-checks true Jaccard so false candidates
+  *    cost only compute;
+  *  - SimHash uses the imperative [[SimHashSketchAgg]] (one 64-int buffer
+  *    per doc, fixed-width binary serde) and 16-bit band LSH over the
+  *    64-bit signature;
   *  - n-gram Jaccard is the quadratic baseline, contained by blocking on
   *    (length bucket) — kept for correctness comparison, not the scale path.
+  *
+  * Every sketch here hashes through [[Md5Lower64]] (= DuckDB
+  * `md5_number_lower`) plus modular permutations, so the ENTIRE pipeline —
+  * signatures, banding, candidate join, verification — is replayed verbatim
+  * by the DuckDB oracle: q51/q52 are hash-checked end to end, not rows-only.
   */
 object DedupOps {
 
   private val numHashes = 32
   private val numBands = 8 // r = 4 rows per band
+  private val bandRows = numHashes / numBands
 
   /** doc_id → distinct word-3-gram shingle array. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
@@ -43,29 +51,32 @@ object DedupOps {
     // the SIGNATURE table explicitly at the pipeline level instead.
     val shingled = TextOps.withShingles(docs).select("doc_id", "sh")
     val sigs = signatures(shingled)
+    // Band signature = the raw minhash slice (4 longs), NOT a re-hash: the
+    // join key is slightly wider but stays replayable by the SQL oracle.
     val bandStructs = (0 until numBands).map { b =>
-      val cols = (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+      struct(lit(b).as("band"), slice(col("sig"), b * bandRows + 1, bandRows).as("bsig"))
     }
     val banded = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
     val candidates = banded.as("x")
       .join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     verifyJaccard(shingled, candidates)
   }
 
-  /** MinHash signatures via the single imperative sketch aggregate
-    * ([[graft.plans.MinHashSketchAgg]]): one array<long> buffer per doc,
-    * map-side combined — not 32 separate min(xxhash64) expression trees. */
+  /** MinHash signatures via the single imperative permutation sketch
+    * ([[MinHashPermAgg]]): one array<long> buffer per doc, map-side
+    * combined. Base value = top 31 bits of the engine-neutral md5 hash
+    * (non-negative, so the modular permutations match the oracle). */
   private def signatures(shingled: DataFrame): DataFrame =
     shingled.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), shiftrightunsigned(Md5Lower64.of(col("shingle")), 33).as("x"))
       .groupBy("doc_id")
-      .agg(graft.plans.MinHashSketchAgg.sketch(col("shingle"), numHashes).as("sig"))
+      .agg(MinHashPermAgg.sketch(col("x"), numHashes).as("sig"))
 
   /** Exact Jaccard verification of candidate (a, b) pairs against a
     * doc_id → shingles frame. */
@@ -91,9 +102,10 @@ object DedupOps {
         .orderBy("fp")
     }),
 
-    // MinHash + LSH near-dedup: shingle → 32 minhashes → 8 bands of 4 →
-    // band-hash equi-join for candidates → exact-Jaccard verify → top pairs
-    // (see minHashNearDupPairs for the materialization trade-off).
+    // MinHash + LSH near-dedup: shingle → 32 permutation minhashes → 8 bands
+    // of 4 → band-signature equi-join for candidates → exact-Jaccard verify
+    // → top pairs (see minHashNearDupPairs for the materialization
+    // trade-off).
     "q51_minhash_lsh" -> ((s, d) => {
       minHashNearDupPairs(Tables.load(s, d, "documents").select("doc_id", "text"))
         .filter(col("jac") >= 0.5)
@@ -101,19 +113,14 @@ object DedupOps {
         .limit(50)
     }),
 
-    // SimHash near-dedup: 64-bit signature via the typed SimHashAgg
-    // aggregator, 16-bit chunk LSH for candidates, Hamming-distance verify.
+    // SimHash near-dedup: 64-bit signature via the imperative SimHashAgg
+    // sketch, 16-bit chunk LSH for candidates, Hamming-distance verify.
     "q52_simhash" -> ((s, d) => {
-      import s.implicits._
-      val tokenHashes = Tables.load(s, d, "documents")
+      val sigs = Tables.load(s, d, "documents")
         .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
-        .select(col("doc_id"), xxhash64(col("tok")).as("th"))
-        .as[(Long, Long)]
-      val sigs = tokenHashes
-        .groupByKey(_._1)
-        .mapValues(_._2)
-        .agg(SimHashAgg.toColumn.name("simhash"))
-        .toDF("doc_id", "simhash")
+        .select(col("doc_id"), Md5Lower64.of(col("tok")).as("th"))
+        .groupBy("doc_id")
+        .agg(SimHashSketchAgg.sketch(col("th")).as("simhash"))
       val chunks = sigs.select(
         col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(c =>
@@ -159,10 +166,53 @@ object DedupOps {
         .limit(20)
     }))
 
+  /** The (i, a_i, b_i) permutation constants as a DuckDB VALUES list —
+    * exactly [[MinHashPermAgg.coeffs]], so the oracle replays the sketch. */
+  private def permCoeffsSql: String = {
+    val (as, bs) = MinHashPermAgg.coeffs(numHashes)
+    (0 until numHashes).map(i => s"($i, ${as(i)}, ${bs(i)})").mkString(", ")
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q50_dedup_exact" ->
       s"""SELECT md5(${TextOps.normTextSql}) AS fp, min(doc_id) AS keeper, count(*) AS n_copies
          |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+
+    "q51_minhash_lsh" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         | sh AS (SELECT doc_id, ${TextOps.shinglesSql} AS s FROM t),
+         | ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         | base AS (SELECT doc_id, CAST(md5_number_lower(shingle) >> 33 AS BIGINT) AS x FROM ex),
+         | ab(i, pa, pb) AS (VALUES $permCoeffsSql),
+         | mh AS (SELECT doc_id, i, min((pa * x + pb) % 2147483647) AS minh
+         |        FROM base CROSS JOIN ab GROUP BY doc_id, i),
+         | bands AS (SELECT doc_id, i // $bandRows AS band, list(minh ORDER BY i) AS bsig
+         |           FROM mh GROUP BY doc_id, i // $bandRows),
+         | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |          FROM bands x JOIN bands y
+         |          ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+         | jac AS (SELECT c.a, c.b,
+         |   round(len(list_intersect(sa.s, sb.s)) / len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jac
+         |   FROM cand c JOIN sh sa ON c.a = sa.doc_id JOIN sh sb ON c.b = sb.doc_id)
+         |SELECT a, b, jac FROM jac WHERE jac >= 0.5 ORDER BY jac DESC, a, b LIMIT 50""".stripMargin,
+
+    "q52_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents),
+        | th AS (SELECT doc_id, md5_number_lower(tok) AS th FROM toks),
+        | votes AS (SELECT doc_id, b, sum(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |           FROM th CROSS JOIN range(64) t(b) GROUP BY doc_id, b),
+        | sig AS (SELECT doc_id,
+        |   CAST(sum(CASE WHEN v > 0 AND b < 32 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS lo,
+        |   CAST(sum(CASE WHEN v > 0 AND b >= 32 THEN (1::BIGINT << (b - 32)) ELSE 0 END) AS BIGINT) AS hi
+        |   FROM votes GROUP BY doc_id),
+        | chunks AS (SELECT doc_id, lo, hi, c,
+        |   CASE c WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+        |          WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS ch
+        |   FROM sig CROSS JOIN range(4) t(c)),
+        | pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |   CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming
+        |   FROM chunks x JOIN chunks y ON x.c = y.c AND x.ch = y.ch AND x.doc_id < y.doc_id)
+        |SELECT a, b, hamming FROM pairs WHERE hamming <= 16 ORDER BY hamming, a, b LIMIT 50""".stripMargin,
 
     "q53_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),

@@ -16,6 +16,11 @@ import graft.Tables
   * and a downstream relational aggregation over the extracted features. At
   * scale the payload column stays columnar parquet/binaryFile and the decode
   * runs once per partition batch with zero shuffle.
+  *
+  * The fake features hash through [[graft.plans.Md5Lower64]] (= DuckDB
+  * `md5_number_lower`), masked to 63 bits so every derived value is
+  * non-negative modular arithmetic on both engines — q70 AND q71 are fully
+  * hash-checked by the SQL oracle, decode stub included.
   */
 object MultimodalOps {
 
@@ -23,38 +28,41 @@ object MultimodalOps {
   case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
                            width: Long, height: Long, n_frames: Long, content_hash: Long)
 
-  /** Deterministic fake "decode": dimensions/frames derived from a 64-bit
-    * FNV-1a over the payload. Replace with a real codec where available. */
+  /** Deterministic fake "decode": dimensions/frames derived from the 63-bit
+    * md5 content hash of the payload. Replace with a real codec where
+    * available. */
   private[graft] def decodeStub(m: MediaIn): MediaFeatures = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < m.payload.length) { h ^= (m.payload(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
-    val w = 64 + math.floorMod(h, 960)
-    val ht = 64 + math.floorMod(h >>> 17, 960)
+    val h = graft.plans.Md5Lower64.lower64(m.payload) & Long.MaxValue
+    val w = 64 + h % 960
+    val ht = 64 + (h >>> 17) % 960
     val frames = m.kind match {
-      case "video" => 1 + math.floorMod(h >>> 31, 240)
-      case "audio" => 1 + math.floorMod(h >>> 31, 48000)
+      case "video" => 1 + (h >>> 31) % 240
+      case "audio" => 1 + (h >>> 31) % 48000
       case _       => 1L
     }
     MediaFeatures(m.doc_id, m.kind, m.payload.length.toLong, w, ht, frames, h)
   }
 
+  /** documents → (doc_id, kind, payload) media frame: text bytes stand in
+    * for media blobs, kind is a pure function of doc_id. */
+  private def mediaOf(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.load(s, d, "documents")
+      .select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Full multimodal pipeline: synthesize binary payloads from documents
-    // (text bytes stand in for media blobs), decode per partition batch,
-    // project typed features. Rows-only check (decode is engine-specific).
+    // Full multimodal pipeline: synthesize binary payloads from documents,
+    // decode per partition batch, project typed features.
     "q70_media_features" -> ((s, d) => {
-      import s.implicits._
-      val media = Tables.load(s, d, "documents")
-        .select(
-          col("doc_id"),
-          element_at(array(lit("image"), lit("audio"), lit("video")),
-            (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-          col("text").cast("binary").as("payload"))
-        .as[MediaIn]
-      media
-        .mapPartitions(_.map(decodeStub))
+      mediaOf(s, d)
+        .mapPartitions(_.map(decodeStub))(org.apache.spark.sql.Encoders.product[MediaFeatures])
         .toDF()
         .orderBy("doc_id")
     }),
@@ -62,15 +70,9 @@ object MultimodalOps {
     // Downstream relational aggregation over extracted features — shows the
     // decode output is a first-class DataFrame for the usual operator set.
     "q71_media_stats" -> ((s, d) => {
-      import s.implicits._
-      val media = Tables.load(s, d, "documents")
-        .select(
-          col("doc_id"),
-          element_at(array(lit("image"), lit("audio"), lit("video")),
-            (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-          col("text").cast("binary").as("payload"))
-        .as[MediaIn]
-      media.mapPartitions(_.map(decodeStub)).toDF()
+      mediaOf(s, d)
+        .mapPartitions(_.map(decodeStub))(org.apache.spark.sql.Encoders.product[MediaFeatures])
+        .toDF()
         .groupBy("kind")
         .agg(
           count(lit(1)).as("n"),
@@ -80,8 +82,29 @@ object MultimodalOps {
         .orderBy("kind")
     }))
 
-  /** q71 is oracle-checkable in the aggregate because n_bytes == n_chars for
-    * ASCII payloads and kind is a pure function of doc_id — the per-kind
-    * counts and byte totals are SQL-derivable even though decode is not. */
-  val oracleSql: Map[String, String] = Map.empty
+  /** The decode stub replayed in SQL: same md5-derived 63-bit hash, same
+    * modular feature derivation (all values non-negative, so % and >> agree
+    * across engines). */
+  private val featuresSql: String =
+    """SELECT doc_id,
+      | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      | CAST(strlen(text) AS BIGINT) AS n_bytes,
+      | 64 + h % 960 AS width,
+      | 64 + (h >> 17) % 960 AS height,
+      | CASE doc_id % 3 WHEN 2 THEN 1 + (h >> 31) % 240
+      |                 WHEN 1 THEN 1 + (h >> 31) % 48000 ELSE 1 END AS n_frames,
+      | h AS content_hash
+      |FROM (SELECT doc_id, text,
+      |  CAST(md5_number_lower(text) & 9223372036854775807::UBIGINT AS BIGINT) AS h
+      | FROM documents) t""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q70_media_features" ->
+      s"""SELECT doc_id, kind, n_bytes, width, height, n_frames, content_hash
+         |FROM ($featuresSql) f ORDER BY doc_id""".stripMargin,
+
+    "q71_media_stats" ->
+      s"""SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+         | round(avg(width), 4) AS avg_width, max(n_frames) AS max_frames
+         |FROM ($featuresSql) f GROUP BY kind ORDER BY kind""".stripMargin)
 }

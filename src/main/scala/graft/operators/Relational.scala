@@ -401,16 +401,48 @@ object Relational {
 
     // Sketch aggregates — the 100 TB cardinality path: HLL approx-distinct
     // and quantile sketches merge in constant space per group, where exact
-    // count(DISTINCT) must shuffle every distinct value. Rows-only check
-    // (sketch internals are engine-specific); the exact twins are q23/q27.
+    // count(DISTINCT) must shuffle every distinct value. The raw sketch
+    // values are engine-specific, so the DECLARED OUTPUT is the sketch
+    // CONTRACT: exact anchors (count, distinct counts, exact p50) plus
+    // booleans asserting each sketch landed within its error bound
+    // (HLL rsd 0.05 → 3σ = 15%; rsd 0.01 → 3%; KLL acc 1000 → 2% on value).
+    // The oracle recomputes the anchors and expects every boolean TRUE —
+    // a drifting sketch now FAILS the hash check instead of hiding behind
+    // a rows-only row.
     "q47_approx_sketches" -> ((s, d) => {
-      t(s, d, "lineitem")
+      val li = t(s, d, "lineitem")
+      val sketches = li.groupBy("l_returnflag").agg(
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("ao"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50a"),
+        count(lit(1)).as("n"),
+        countDistinct(col("l_partkey")).as("parts_exact"),
+        countDistinct(col("l_orderkey")).as("orders_exact"))
+      // exact p50 via the same scale-safe rank lookup as q27 (no per-group
+      // value buffer)
+      val cnts = li.groupBy("l_returnflag").agg(count(lit(1)).as("cn"))
+      val w = Window.partitionBy("l_returnflag").orderBy("v")
+      val pos = lit(0.5) * (col("cn") - 1).cast("double")
+      val p50exact = li.select(col("l_returnflag"), col("l_extendedprice").as("v"))
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .join(broadcast(cnts), "l_returnflag")
+        .filter(col("rk") === (floor(pos) + 1) || col("rk") === (ceil(pos) + 1))
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"),
-          count(lit(1)).as("n"))
+          max(when(col("rk") === (floor(pos) + 1), col("v"))).as("lo"),
+          max(when(col("rk") === (ceil(pos) + 1), col("v"))).as("hi"),
+          max(pos).as("pos"))
+        .withColumn("p50e", when(floor(col("pos")) === ceil(col("pos")), col("lo"))
+          .otherwise((ceil(col("pos")) - col("pos")) * col("lo") +
+            (col("pos") - floor(col("pos"))) * col("hi")))
+        .select("l_returnflag", "p50e")
+      sketches.join(broadcast(p50exact), "l_returnflag")
+        .select(
+          col("l_returnflag"), col("n"), col("parts_exact"), col("orders_exact"),
+          round(col("p50e"), 4).as("p50_exact"),
+          (abs(col("ap") - col("parts_exact")) <= col("parts_exact") * 0.15).as("parts_approx_ok"),
+          (abs(col("ao") - col("orders_exact")) <= col("orders_exact") * 0.03).as("orders_approx_ok"),
+          (abs(col("p50a") - col("p50e")) <= col("p50e") * 0.02).as("p50_approx_ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -648,6 +680,14 @@ object Relational {
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         | FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "q47_approx_sketches" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | count(DISTINCT l_partkey) AS parts_exact,
+        | count(DISTINCT l_orderkey) AS orders_exact,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        | TRUE AS parts_approx_ok, TRUE AS orders_approx_ok, TRUE AS p50_approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q48_cube" ->
       """SELECT l_returnflag, l_linestatus,

@@ -61,6 +61,48 @@ object SimilarityOps {
   private def signBits(emb: Column, planes: Seq[Seq[Double]]): Seq[Column] =
     planes.map(p => when(cosine(emb, typedlit(p)) >= 0, lit(1L)).otherwise(lit(0L)))
 
+  /** IVF search with a configurable probe width. At nprobe = #cells this
+    * degrades gracefully to exact brute force (recall 1.0 by construction —
+    * asserted in SimilaritySpec); recall is monotone in nprobe. NOTE the
+    * test embeddings are isotropic gaussians (no cluster structure — the
+    * adversarial worst case for any sublinear ANN), so measured recall at
+    * small nprobe is data-limited, not a defect; q67 reports it honestly. */
+  private[graft] def ivfTopK(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val v = vectors(s, d)
+    val centroids = v
+      .select(col("label").as("cell"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(avg("x").as("cx"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .withColumn("centroid", expr("transform(pairs, p -> p.cx)"))
+      .select("cell", "centroid")
+    // nearest-cell assignment for every vector (corpus × k, k tiny)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist").desc, col("cell"))
+    val assigned = v.join(broadcast(centroids))
+      .withColumn("cdist", cosine(col("emb"), col("centroid")))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("emb"), col("cell"))
+    // queries probe their nprobe nearest cells
+    val wProbe = Window.partitionBy("q_id").orderBy(col("cdist").desc, col("cell"))
+    val probes = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      .join(broadcast(centroids))
+      .withColumn("cdist", cosine(col("q_emb"), col("centroid")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cell"))
+    val wRank = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("emb")), 6))
+      .withColumn("rank", row_number().over(wRank).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("sim"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Brute-force cosine top-k: queries (vec_id < 10) broadcast against the
@@ -135,41 +177,7 @@ object SimilarityOps {
     // nprobe=3 cells nearest the query and re-rank exactly inside them.
     // Scale path: centroids broadcast (k×dim is KBs); cell assignment is one
     // narrow pass; the probe join touches nprobe/k of the corpus.
-    "q65_ann_ivf" -> ((s, d) => {
-      val v = vectors(s, d)
-      val centroids = v
-        .select(col("label").as("cell"), posexplode(col("emb")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos")
-        .agg(avg("x").as("cx"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
-        .withColumn("centroid", expr("transform(pairs, p -> p.cx)"))
-        .select("cell", "centroid")
-      // nearest-cell assignment for every vector (corpus × k, k tiny)
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist").desc, col("cell"))
-      val assigned = v.join(broadcast(centroids))
-        .withColumn("cdist", cosine(col("emb"), col("centroid")))
-        .withColumn("rk", row_number().over(wAssign))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("emb"), col("cell"))
-      // queries probe their nprobe=3 nearest cells
-      val wProbe = Window.partitionBy("q_id").orderBy(col("cdist").desc, col("cell"))
-      val probes = v.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-        .join(broadcast(centroids))
-        .withColumn("cdist", cosine(col("q_emb"), col("centroid")))
-        .withColumn("rk", row_number().over(wProbe))
-        .filter(col("rk") <= 3)
-        .select(col("q_id"), col("q_emb"), col("cell"))
-      val wRank = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-      assigned.join(broadcast(probes), Seq("cell"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("sim", round(cosine(col("q_emb"), col("emb")), 6))
-        .withColumn("rank", row_number().over(wRank).cast("bigint"))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("sim"))
-        .orderBy("q_id", "rank")
-    }),
+    "q65_ann_ivf" -> ((s, d) => ivfTopK(s, d, nprobe = 3)),
 
     // Similarity SELF-join via multi-table sign-LSH: 4 independent tables of
     // 4 hyperplane bits each; a pair is a candidate if it collides in ANY
@@ -205,9 +213,31 @@ object SimilarityOps {
         .limit(20)
     }),
 
+    // ANN recall against exact ground truth — the first number a user of an
+    // ANN operator asks for: per query, |ANN top-5 ∩ brute top-5| / 5 for
+    // both the sign-LSH (q61) and IVF (q65) paths. Fully oracle-checked
+    // since all three sides are SQL-replayable.
+    "q67_ann_recall" -> ((s, d) => {
+      val brute = queries("q60_knn_brute")(s, d).select("q_id", "n_id")
+      def recallOf(ann: DataFrame, method: String): DataFrame = {
+        val hits = brute.join(ann.select("q_id", "n_id"), Seq("q_id", "n_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("hits"))
+        brute.select("q_id").distinct()
+          .join(hits, Seq("q_id"), "left")
+          .select(
+            lit(method).as("method"),
+            col("q_id"),
+            coalesce(col("hits"), lit(0L)).as("hits"),
+            round(coalesce(col("hits"), lit(0L)) / 5.0, 4).as("recall"))
+      }
+      recallOf(queries("q61_ann_lsh")(s, d), "lsh")
+        .unionByName(recallOf(queries("q65_ann_ivf")(s, d), "ivf"))
+        .orderBy("method", "q_id")
+    }),
+
     // Per-label centroids (posexplode → element-wise mean → re-assemble),
-    // then the full label×label centroid cosine matrix. Rows-only: element-
-    // wise cross-row aggregation has no direct DuckDB analog.
+    // then the full label×label centroid cosine matrix. Oracle: per-position
+    // unnest + avg + ordered list() in DuckDB.
     "q64_label_centroids" -> ((s, d) => {
       val centroids = vectors(s, d)
         .select(col("label"), posexplode(col("emb")).as(Seq("pos", "x")))
@@ -225,7 +255,119 @@ object SimilarityOps {
         .orderBy("la", "lb")
     }))
 
+  /** The seeded hyperplanes as a DuckDB VALUES list `(p, [64 doubles])` —
+    * the same constants [[signBits]] uses, so the oracle replays bucket
+    * assignment exactly (Double.toString round-trips through the SQL
+    * parser bit-for-bit). */
+  private def planesValuesSql(nPlanes: Int): String =
+    hyperplanes(nPlanes, 64).zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.map(_.toString).mkString(", ")}])"
+    }.mkString(", ")
+
+  /** Shared oracle CTE bodies (embeddings cast + per-label centroids). */
+  private val vCte = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings"
+  private val centroidsCte =
+    """SELECT label AS cell, list(cx ORDER BY pos) AS centroid FROM (
+      |   SELECT label, i AS pos, avg(emb[i+1]) AS cx
+      |   FROM v CROSS JOIN range(64) t(i) GROUP BY label, i) GROUP BY cell""".stripMargin
+
+  private def annLshSql: String =
+    s"""WITH v AS ($vCte),
+       | planes(p, pl) AS (VALUES ${planesValuesSql(8)}),
+       | bits AS (SELECT vec_id, p,
+       |   CASE WHEN list_dot_product(emb, pl) >= 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       |   FROM v CROSS JOIN planes),
+       | bk AS (SELECT vec_id, CAST(sum(bit * (1::BIGINT << p)) AS BIGINT) AS bucket
+       |        FROM bits GROUP BY vec_id),
+       | vb AS (SELECT v.vec_id, v.emb, bk.bucket FROM v JOIN bk USING (vec_id)),
+       | q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket FROM vb WHERE vec_id < 10),
+       | scored AS (SELECT q.q_id, vb.vec_id AS n_id,
+       |   round(list_cosine_similarity(q.q_emb, vb.emb), 6) AS sim
+       |   FROM vb JOIN q USING (bucket) WHERE vb.vec_id <> q.q_id),
+       | ranked AS (SELECT q_id, n_id, sim,
+       |   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM scored)
+       |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  private def annIvfSql: String =
+    s"""WITH v AS ($vCte),
+       | cents AS ($centroidsCte),
+       | assigned AS (SELECT vec_id, emb, cell FROM (
+       |   SELECT v.vec_id, v.emb, c.cell,
+       |     row_number() OVER (PARTITION BY v.vec_id
+       |       ORDER BY list_cosine_similarity(v.emb, c.centroid) DESC, c.cell) AS rk
+       |   FROM v CROSS JOIN cents c) WHERE rk = 1),
+       | probes AS (SELECT q_id, q_emb, cell FROM (
+       |   SELECT v.vec_id AS q_id, v.emb AS q_emb, c.cell,
+       |     row_number() OVER (PARTITION BY v.vec_id
+       |       ORDER BY list_cosine_similarity(v.emb, c.centroid) DESC, c.cell) AS rk
+       |   FROM v CROSS JOIN cents c WHERE v.vec_id < 10) WHERE rk <= 3),
+       | scored AS (SELECT p.q_id, a.vec_id AS n_id,
+       |   round(list_cosine_similarity(p.q_emb, a.emb), 6) AS sim
+       |   FROM assigned a JOIN probes p USING (cell) WHERE a.vec_id <> p.q_id),
+       | ranked AS (SELECT q_id, n_id, sim,
+       |   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank FROM scored)
+       |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  private def bruteSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      | q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),
+      | scored AS (
+      |  SELECT q.q_id, v.vec_id AS n_id,
+      |   round(list_cosine_similarity(q.q_emb, v.emb), 6) AS sim
+      |  FROM v CROSS JOIN q WHERE v.vec_id <> q.q_id),
+      | ranked AS (
+      |  SELECT q_id, n_id, sim,
+      |   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, n_id, sim FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q61_ann_lsh" -> annLshSql,
+
+    "q65_ann_ivf" -> annIvfSql,
+
+    "q64_label_centroids" ->
+      s"""WITH v AS ($vCte),
+         | c AS ($centroidsCte)
+         |SELECT x.cell AS la, y.cell AS lb,
+         | round(list_cosine_similarity(x.centroid, y.centroid), 6) AS sim
+         |FROM c x JOIN c y ON x.cell < y.cell ORDER BY la, lb""".stripMargin,
+
+    "q66_sim_join_lsh" ->
+      s"""WITH v AS ($vCte),
+         | planes(p, pl) AS (VALUES ${planesValuesSql(16)}),
+         | bits AS (SELECT vec_id, p,
+         |   CASE WHEN list_dot_product(emb, pl) >= 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+         |   FROM v CROSS JOIN planes),
+         | codes AS (SELECT vec_id,
+         |   CAST(sum(CASE WHEN p // 4 = 0 THEN bit * (1::BIGINT << (p % 4)) ELSE 0 END) AS BIGINT) AS c0,
+         |   CAST(sum(CASE WHEN p // 4 = 1 THEN bit * (1::BIGINT << (p % 4)) ELSE 0 END) AS BIGINT) AS c1,
+         |   CAST(sum(CASE WHEN p // 4 = 2 THEN bit * (1::BIGINT << (p % 4)) ELSE 0 END) AS BIGINT) AS c2,
+         |   CAST(sum(CASE WHEN p // 4 = 3 THEN bit * (1::BIGINT << (p % 4)) ELSE 0 END) AS BIGINT) AS c3
+         |   FROM bits GROUP BY vec_id),
+         | cand AS (SELECT x.vec_id AS a, y.vec_id AS b FROM codes x JOIN codes y
+         |   ON x.vec_id < y.vec_id AND
+         |      (x.c0 = y.c0 OR x.c1 = y.c1 OR x.c2 = y.c2 OR x.c3 = y.c3))
+         |SELECT c.a, c.b, round(list_cosine_similarity(va.emb, vb.emb), 6) AS sim
+         |FROM cand c JOIN v va ON c.a = va.vec_id JOIN v vb ON c.b = vb.vec_id
+         |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin,
+
+    "q67_ann_recall" ->
+      s"""WITH brute AS ($bruteSql),
+         | lsh AS ($annLshSql),
+         | ivf AS ($annIvfSql),
+         | qs AS (SELECT DISTINCT q_id FROM brute),
+         | lh AS (SELECT b.q_id, count(*) AS hits FROM brute b
+         |   JOIN lsh a ON b.q_id = a.q_id AND b.n_id = a.n_id GROUP BY b.q_id),
+         | ih AS (SELECT b.q_id, count(*) AS hits FROM brute b
+         |   JOIN ivf a ON b.q_id = a.q_id AND b.n_id = a.n_id GROUP BY b.q_id)
+         |SELECT 'lsh' AS method, q_id, coalesce(hits, 0) AS hits,
+         |  round(coalesce(hits, 0) / 5.0, 4) AS recall FROM qs LEFT JOIN lh USING (q_id)
+         |UNION ALL
+         |SELECT 'ivf' AS method, q_id, coalesce(hits, 0) AS hits,
+         |  round(coalesce(hits, 0) / 5.0, 4) AS recall FROM qs LEFT JOIN ih USING (q_id)
+         |ORDER BY method, q_id""".stripMargin,
+
     "q60_knn_brute" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         | q AS (SELECT vec_id AS q_id, emb AS q_emb FROM v WHERE vec_id < 10),

@@ -2,38 +2,59 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.SimHashAgg
+import graft.plans.SimHashSketchAgg
 
 class DedupSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
 
-  test("SimHashAgg: identical token multisets yield identical signatures") {
-    val a = Seq(1L, 2L, 3L, -7L).foldLeft(SimHashAgg.zero)(SimHashAgg.reduce)
-    val b = Seq(3L, 1L, -7L, 2L).foldLeft(SimHashAgg.zero)(SimHashAgg.reduce)
-    assert(SimHashAgg.finish(a) == SimHashAgg.finish(b))
+  /** Direct driver for the imperative agg's pure semantics (no Spark job). */
+  private def simhashOf(tokenHashes: Seq[Long]): Long = {
+    val agg = SimHashSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.LongType, nullable = false))
+    val buf = tokenHashes.foldLeft(agg.createAggregationBuffer()) { (b, th) =>
+      agg.update(b, org.apache.spark.sql.catalyst.InternalRow(th))
+    }
+    agg.eval(buf).asInstanceOf[Long]
   }
 
-  test("SimHashAgg: merge == reduce over concatenation") {
+  test("SimHashSketchAgg: identical token multisets yield identical signatures") {
+    assert(simhashOf(Seq(1L, 2L, 3L, -7L)) == simhashOf(Seq(3L, 1L, -7L, 2L)))
+  }
+
+  test("SimHashSketchAgg: merge == update over concatenation, serde round-trips") {
+    val agg = SimHashSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.LongType, nullable = false))
     val xs = Seq(5L, 99L, 123456789L)
     val ys = Seq(-42L, 7L)
-    val merged = SimHashAgg.merge(
-      xs.foldLeft(SimHashAgg.zero)(SimHashAgg.reduce),
-      ys.foldLeft(SimHashAgg.zero)(SimHashAgg.reduce))
-    val direct = (xs ++ ys).foldLeft(SimHashAgg.zero)(SimHashAgg.reduce)
-    assert(SimHashAgg.finish(merged) == SimHashAgg.finish(direct))
+    def bufOf(ts: Seq[Long]) = ts.foldLeft(agg.createAggregationBuffer()) { (b, t) =>
+      agg.update(b, org.apache.spark.sql.catalyst.InternalRow(t))
+    }
+    val merged = agg.merge(bufOf(xs), agg.deserialize(agg.serialize(bufOf(ys))))
+    assert(agg.eval(merged) == agg.eval(bufOf(xs ++ ys)))
   }
 
-  test("SimHashAgg: near-identical docs have small hamming distance") {
+  test("SimHashSketchAgg: near-identical docs have small hamming distance") {
     def sig(tokens: Seq[String]): Long =
-      SimHashAgg.finish(tokens.map(t => scala.util.hashing.MurmurHash3.stringHash(t).toLong)
-        .foldLeft(SimHashAgg.zero)(SimHashAgg.reduce))
+      simhashOf(tokens.map(t => scala.util.hashing.MurmurHash3.stringHash(t).toLong))
     val doc = (1 to 100).map(i => s"token$i")
     val near = doc.updated(50, "CHANGED")
     val far = (1 to 100).map(i => s"other$i")
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(sig(doc), sig(near)) < hamming(sig(doc), sig(far)))
     assert(hamming(sig(doc), sig(near)) <= 8)
+  }
+
+  test("Md5Lower64 matches DuckDB md5_number_lower bit patterns") {
+    // expected values computed with python hashlib struct.unpack('<q', md5[8:16])
+    // and cross-checked against duckdb md5_number_lower
+    assert(graft.plans.Md5Lower64.lower64("abc".getBytes("UTF-8")) == 8250560606382298838L)
+    assert(graft.plans.Md5Lower64.lower64("".getBytes("UTF-8")) == 9098107892288553193L)
+    val df = Seq("abc").toDF("s")
+      .select(graft.plans.Md5Lower64.of(col("s")).as("h"))
+    assert(df.as[Long].head() == 8250560606382298838L)
   }
 
   test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {

@@ -53,4 +53,36 @@ class SimilaritySpec extends AnyFunSuite {
     // sanity only: LSH pairs must reference valid query ids
     assert(ann.forall(_._1 < 10))
   }
+
+  test("IVF recall: 1.0 at full probe width, monotone in nprobe") {
+    import graft.operators.SimilarityOps
+    val brute = SimilarityOps.queries("q60_knn_brute")(spark, TestSpark.sf)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val nCells = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select("label").distinct().count().toInt
+    def recall(nprobe: Int): Double = {
+      val ann = SimilarityOps.ivfTopK(spark, TestSpark.sf, nprobe)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      ann.intersect(brute).size.toDouble / brute.size
+    }
+    val r1 = recall(1)
+    val rMid = recall(math.max(1, nCells / 2))
+    val rFull = recall(nCells)
+    // probing every cell degrades to exact search: recall must be exactly 1
+    assert(rFull == 1.0, s"full-probe IVF recall $rFull != 1.0")
+    assert(r1 <= rMid + 1e-9 && rMid <= rFull + 1e-9,
+      s"recall not monotone in nprobe: $r1, $rMid, $rFull")
+    // NOTE: test embeddings are isotropic gaussians — the worst case for
+    // sublinear ANN — so no high-recall assertion at small nprobe; q67
+    // reports the honest measurement and is oracle-checked.
+  }
+
+  test("q67 recall measurement is consistent with its inputs") {
+    import graft.operators.SimilarityOps
+    val out = SimilarityOps.queries("q67_ann_recall")(spark, TestSpark.sf)
+      .select("method", "recall").as[(String, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
+    assert(out.map(_._1).toSet == Set("lsh", "ivf"))
+  }
 }
