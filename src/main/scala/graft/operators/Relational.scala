@@ -399,6 +399,27 @@ object Relational {
       s.sql(sharedSql)
     }),
 
+    // Shared-SQL surface #2: GROUPING SETS — the general grouping-set form
+    // that rollup (q18) and cube (q48) are shorthands for.
+    "q54_sql_grouping_sets" -> ((s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql(groupingSetsSql)
+    }),
+
+    // Shared-SQL surface #3: correlated EXISTS / NOT EXISTS with extra
+    // predicates — compiled by Spark into semi/anti joins.
+    "q55_sql_correlated_exists" -> ((s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql(correlatedExistsSql)
+    }),
+
+    // Shared-SQL surface #4: LATERAL correlated aggregate subquery — the
+    // per-row aggregation shape (Spark plans a lateral join).
+    "q56_sql_lateral" -> ((s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql(lateralSql)
+    }),
+
     // Sketch aggregates — the 100 TB cardinality path: HLL approx-distinct
     // and quantile sketches merge in constant space per group, where exact
     // count(DISTINCT) must shuffle every distinct value. The raw sketch
@@ -495,8 +516,38 @@ object Relational {
       |FROM ranked WHERE rn <= 2
       |ORDER BY c_name, rn""".stripMargin
 
+  /** Shared-SQL #2: grouping sets — identical text on both engines. */
+  private val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |       round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Shared-SQL #3: correlated EXISTS / NOT EXISTS. */
+  private val correlatedExistsSql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_custkey = c.c_custkey
+      |                    AND o2.o_orderstatus = 'F' AND o2.o_totalprice < 50000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Shared-SQL #4: LATERAL correlated aggregate subquery. */
+  private val lateralSql: String =
+    """SELECT c.c_custkey, t.n_orders, t.top_price
+      |FROM customer c, LATERAL (
+      |  SELECT count(*) AS n_orders, max(o_totalprice) AS top_price
+      |  FROM orders WHERE o_custkey = c.c_custkey) t
+      |WHERE t.n_orders > 0
+      |ORDER BY c.c_custkey""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q46_sql_surface" -> sharedSql,
+    "q54_sql_grouping_sets" -> groupingSetsSql,
+    "q55_sql_correlated_exists" -> correlatedExistsSql,
+    "q56_sql_lateral" -> lateralSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
 
 /** Engine extension point, registered via
   * `spark.sql.extensions=graft.plans.GraftExtensions`:
@@ -25,19 +25,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_shingles"),
       WordShingles.info,
       (children: Seq[Expression]) => WordShingles(
-        children.head,
-        children(1) match {
-          case Literal(v: Int, _) => v
-          case other => other.eval().asInstanceOf[Int]
-        })))
+        children.head, GraftExtensions.intLiteral("graft_shingles", children(1)))))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       MinHashSketchAgg.info,
       (children: Seq[Expression]) => MinHashSketchAgg(
         children.head,
-        children(1).eval().asInstanceOf[Int]).toAggregateExpression()))
+        GraftExtensions.intLiteral("graft_minhash", children(1))).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_md5_64"),
+      Md5Lower64.info,
+      (children: Seq[Expression]) => Md5Lower64(children.head)))
     ext.injectOptimizerRule(_ => SelfCosineToOne)
     ext.injectPlannerStrategy(_ => TopKStrategy)
+  }
+}
+
+object GraftExtensions {
+  /** Resolve a FOLDABLE integer argument at registration time with a clear
+    * analysis-style error: accepts INT and BIGINT literals (CAST(3 AS
+    * BIGINT) included), rejects non-foldable or wrong-typed arguments
+    * instead of failing later with an obscure eval/ClassCastException. */
+  private[plans] def intLiteral(fn: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) if v.isValidInt => v.toInt
+    case other if other.foldable => other.eval() match {
+      case v: Int => v
+      case v: Long if v.isValidInt => v.toInt
+      case v => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3000",
+        messageParameters = Map("message" ->
+          s"$fn: expected an integer literal argument, got $v"))
+    }
+    case other => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "_LEGACY_ERROR_TEMP_3000",
+      messageParameters = Map("message" ->
+        s"$fn: argument must be a foldable integer literal, got ${other.sql}"))
   }
 }
 

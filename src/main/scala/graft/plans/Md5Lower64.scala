@@ -49,6 +49,10 @@ case class Md5Lower64(child: Expression) extends UnaryExpression {
 }
 
 object Md5Lower64 {
+  val info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[Md5Lower64].getName, "graft_md5_64")
+
   private val digests = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

@@ -24,9 +24,14 @@ object Notifier {
   }
 
   /** Webhook-backed notifier. POST failures are swallowed (notify) /
-    * surfaced as false (healthcheck), mirroring the reference. */
-  final class Webhook(slackUrl: String, healthUrl: String) extends Notifier {
-    private val client = java.net.http.HttpClient.newHttpClient()
+    * surfaced as false (healthcheck), mirroring the reference. Connect and
+    * per-request timeouts are mandatory: healthcheck failure is supposed to
+    * FAIL the pipeline — an unresponsive endpoint must surface as a timely
+    * false, never hang the driver. */
+  final class Webhook(slackUrl: String, healthUrl: String,
+                      timeout: java.time.Duration = java.time.Duration.ofSeconds(10)) extends Notifier {
+    private val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(timeout).build()
     private def jsonStr(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -41,13 +46,15 @@ object Notifier {
         val body = s"""{"text":${jsonStr(message)}}"""
         val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(slackUrl))
           .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .timeout(timeout)
           .header("Content-Type", "application/json").build()
         client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
         ()
       } catch { case _: Throwable => () }
     def healthcheck(): Boolean =
       try {
-        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(healthUrl)).GET().build()
+        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(healthUrl))
+          .GET().timeout(timeout).build()
         client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode() / 100 == 2
       } catch { case _: Throwable => false }
   }

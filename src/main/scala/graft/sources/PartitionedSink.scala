@@ -47,6 +47,7 @@ object PartitionedSink {
                        targetBytes: Long = 128L * 1024 * 1024): Int = {
     val path = new org.apache.hadoop.fs.Path(s"$root/$LoadDateCol=$date")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverParkedPartition(spark, root, date) // heal a prior mid-swap crash
     val bytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(path.toString)
@@ -71,6 +72,12 @@ object PartitionedSink {
       else df.repartition(nFiles).write
     writer.mode(SaveMode.Overwrite).parquet(compactPath.toString)
     // crash-safe swap: live partition aside → compacted copy in → delete.
+    // SINGLE-WRITER assumption: one maintenance job per partition at a time
+    // (concurrent compactions of the same date race on these renames).
+    // A JVM kill between the two renames leaves the live dir missing and
+    // the data parked under _graft_compact_old_<date> — invisible to
+    // partition discovery but fully recoverable: the next compactPartition
+    // (or any caller of recoverParkedPartition) restores it first.
     if (!fs.rename(path, oldPath))
       throw new java.io.IOException(s"compaction: could not move $path aside")
     if (!fs.rename(compactPath, path)) {
@@ -79,6 +86,18 @@ object PartitionedSink {
     }
     fs.delete(oldPath, true)
     nFiles
+  }
+
+  /** Startup/maintenance recovery for a crash between compaction renames:
+    * if `root/load_date=<d>` is missing but the parked backup exists,
+    * restore it. Returns true when a restore happened. Idempotent; called
+    * automatically by [[compactPartition]]. */
+  def recoverParkedPartition(spark: SparkSession, root: String, date: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(s"$root/$LoadDateCol=$date")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldPath = new org.apache.hadoop.fs.Path(path.getParent, s"_graft_compact_old_$date")
+    if (!fs.exists(path) && fs.exists(oldPath)) fs.rename(oldPath, path)
+    else false
   }
 
   /** Catalog registration for a partitioned root (the engine-native analog

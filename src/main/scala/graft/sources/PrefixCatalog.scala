@@ -26,15 +26,44 @@ object PrefixCatalog {
       .sortBy(_.path)
   }
 
+  /** Catalog-safe table name from a prefix leaf (strict allowlist — listing
+    * results are external input and must never reach SQL text raw). */
+  private def tableNameFor(namePrefix: String, prefixPath: String): String =
+    s"${namePrefix}_${new Path(prefixPath).getName}".replaceAll("[^A-Za-z0-9_]", "_")
+
   /** Register one external table per discovered prefix (the engine-native
     * analog of `glue.update_crawler(Targets=...)`). Table names are derived
-    * from the leaf prefix name. */
+    * from the leaf prefix name; registration goes through the typed catalog
+    * API (`createTable(name, path)`), so the discovered path is never
+    * interpolated into SQL text (a quote in a listed prefix must not become
+    * SQL injection). */
   def registerPrefixTables(spark: SparkSession, base: String, namePrefix: String): Seq[String] =
     listFirstLevelPrefixes(spark, base).map { t =>
-      val leaf = new Path(t.path).getName
-      val table = s"${namePrefix}_$leaf".replaceAll("[^A-Za-z0-9_]", "_")
-      spark.sql(s"DROP TABLE IF EXISTS $table")
-      spark.sql(s"CREATE TABLE $table USING parquet LOCATION '${t.path}'")
+      val table = tableNameFor(namePrefix, t.path)
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      spark.catalog.createTable(table, t.path, "parquet")
       table
     }
+
+  /** Drift sync (reference parity: `manage_crawler_targets.py:3-9` re-runs
+    * idempotently as prefixes appear/disappear): diff the CURRENT first-
+    * level prefixes against the catalog's `namePrefix_*` tables — register
+    * tables for new prefixes, drop tables whose prefix is gone, leave the
+    * rest untouched. Returns (added, removed) table names. */
+  def syncPrefixTables(spark: SparkSession, base: String,
+                       namePrefix: String): (Seq[String], Seq[String]) = {
+    val wanted = listFirstLevelPrefixes(spark, base)
+      .map(t => tableNameFor(namePrefix, t.path) -> t.path).toMap
+    val existing = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith(s"${namePrefix}_")).toSet
+    val added = (wanted.keySet -- existing).toSeq.sorted.map { table =>
+      spark.catalog.createTable(table, wanted(table), "parquet")
+      table
+    }
+    val removed = (existing -- wanted.keySet).toSeq.sorted.map { table =>
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      table
+    }
+    (added, removed)
+  }
 }

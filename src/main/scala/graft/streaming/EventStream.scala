@@ -177,4 +177,36 @@ object EventStream {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** Production state-store configuration: RocksDB provider (state lives
+    * off-heap/on-disk per executor instead of the default in-JVM-heap HDFS
+    * map — the first thing to fall over on a 100 TB sessionization load)
+    * with changelog checkpointing, so each commit ships only the delta to
+    * the checkpoint location rather than a full snapshot.
+    *
+    * Session-wide conf: set BEFORE starting stateful queries; takes effect
+    * for newly started queries (existing checkpoints pin their provider). */
+  def useRocksDbStateStore(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+  }
+
+  /** Drain-everything-then-stop run: `Trigger.AvailableNow` processes all
+    * data available at start in rate-limited micro-batches and terminates —
+    * the production pattern for scheduled (cron-shaped) incremental jobs:
+    * streaming-exactly-once bookkeeping with batch-job lifecycle. Returns
+    * after the source is fully drained. */
+  def drainAvailableNow(df: DataFrame, name: String, checkpoint: String,
+                        mode: OutputMode = OutputMode.Append): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

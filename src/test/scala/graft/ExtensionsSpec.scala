@@ -107,6 +107,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(res.passed, res.toString)
   }
 
+  test("graft_md5_64 SQL function matches md5_number_lower test vectors") {
+    val out = spark.sql("SELECT graft_md5_64('abc') AS h, graft_md5_64('') AS e").head()
+    assert(out.getLong(0) == 8250560606382298838L)
+    assert(out.getLong(1) == 9098107892288553193L)
+  }
+
+  test("integer arguments accept BIGINT literals and reject non-foldable ones") {
+    // CAST(3 AS BIGINT) used to throw ClassCastException (r01 advice)
+    val sigs = spark.sql(
+      "SELECT graft_shingles('a b c d', CAST(3 AS BIGINT)) AS sh").head().getSeq[String](0)
+    assert(sigs == Seq("a b c", "b c d"))
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_shingles('a b c', id) FROM range(1)").collect()
+    }
+    assert(err.getMessage.contains("foldable") || err.getMessage.contains("integer"))
+  }
+
   test("type check rejects non-array arguments") {
     intercept[Exception] {
       Seq((1, 2)).toDF("a", "b").select(expr("graft_cosine(a, b)")).collect()

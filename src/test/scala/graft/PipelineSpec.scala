@@ -108,6 +108,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.agg(sum("v")).head().getLong(0) == (0L until 1000L).map(_ * 2).sum)
   }
 
+  test("compaction recovery restores a partition parked by a mid-swap crash") {
+    val root = Files.createTempDirectory("graft-recover").toString
+    val df = spark.range(0, 100).toDF("id")
+    PartitionedSink.writeDaily(PartitionedSink.stamped(df, Some("20260811")), root)
+    // simulate the crash window: live dir moved aside, replacement not yet in
+    val live = new java.io.File(s"$root/load_date=20260811")
+    val parked = new java.io.File(s"$root/_graft_compact_old_20260811")
+    assert(live.renameTo(parked))
+    assert(!live.exists()) // parked data invisible to partition discovery
+    assert(PartitionedSink.recoverParkedPartition(spark, root, "20260811"))
+    assert(spark.read.parquet(root).count() == 100)
+    // idempotent: nothing left to recover
+    assert(!PartitionedSink.recoverParkedPartition(spark, root, "20260811"))
+    // and compactPartition self-heals the same state
+    assert(live.renameTo(parked))
+    PartitionedSink.compactPartition(spark, root, "20260811")
+    assert(spark.read.parquet(root).count() == 100)
+  }
+
+  test("prefix drift sync registers new prefixes and retires removed ones") {
+    val base = Files.createTempDirectory("graft-drift")
+    def mkPrefix(name: String): Unit = {
+      spark.range(3).toDF("id").write.mode("overwrite")
+        .parquet(base.resolve(name).toString)
+    }
+    mkPrefix("alpha")
+    mkPrefix("beta")
+    val (added1, removed1) = PrefixCatalog.syncPrefixTables(spark, base.toString, "drift")
+    assert(added1.toSet == Set("drift_alpha", "drift_beta") && removed1.isEmpty)
+    assert(spark.table("drift_alpha").count() == 3)
+    // idempotent re-run: no changes
+    val (added2, removed2) = PrefixCatalog.syncPrefixTables(spark, base.toString, "drift")
+    assert(added2.isEmpty && removed2.isEmpty)
+    // drift: gamma appears, beta disappears
+    mkPrefix("gamma")
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+    }
+    rmTree(base.resolve("beta").toFile)
+    val (added3, removed3) = PrefixCatalog.syncPrefixTables(spark, base.toString, "drift")
+    assert(added3 == Seq("drift_gamma") && removed3 == Seq("drift_beta"))
+    assert(spark.catalog.tableExists("drift_gamma"))
+    assert(!spark.catalog.tableExists("drift_beta"))
+  }
+
   test("metrics recorder captures actions and feeds the notifier") {
     val rec = Metrics.install(spark)
     val probe = Seq((1, "a"), (2, "b")).toDF("id", "v")

@@ -45,6 +45,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("RocksDB state store + AvailableNow drain matches default-provider result") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prev = spark.conf.getOption(providerKey)
+    try {
+      EventStream.useRocksDbStateStore(spark)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-rocks-ckpt").toString
+      val stream = EventStream.fromDirectory(spark, eventsDir)
+      EventStream.drainAvailableNow(
+        EventStream.hourlyByType(stream), "hourly_rocks", ckpt,
+        org.apache.spark.sql.streaming.OutputMode.Complete)
+      val rocks = spark.table("hourly_rocks")
+        .select("hr", "event_type", "n").orderBy("hr", "event_type").collect()
+      val batch = graft.Tables.load(spark, TestSpark.sf, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("hr", "event_type").collect()
+      assert(rocks.nonEmpty)
+      assert(rocks.toSeq == batch.toSeq)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+      spark.conf.unset(changelogKey)
+    }
+  }
+
   test("foreachBatch streams into the idempotent partitioned sink") {
     val root = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
     val stream = EventStream.fromDirectory(spark, eventsDir)

@@ -38,6 +38,23 @@ class TopKSpec extends AnyFunSuite {
     assert(TopKPerGroup(orders, Seq("o_custkey"), Seq(("o_orderkey", false)), k = 100000).count() == n)
   }
 
+  test("spill path: tiny memory bound + high-cardinality groups == window result") {
+    // every row its own group except a few heavy keys; bound forces many
+    // spill chunks per partition, exercising the merge loop end to end
+    val custom = TopKPerGroup(orders, Seq("o_custkey"),
+      Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3,
+      maxRowsInMemory = 64)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+      .collect()
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val windowed = orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+      .collect()
+    assert(custom.toSeq == windowed.toSeq)
+  }
+
   test("unknown column fails fast") {
     intercept[IllegalArgumentException] {
       TopKPerGroup(orders, Seq("nope"), Seq(("o_orderkey", false)), k = 1)
