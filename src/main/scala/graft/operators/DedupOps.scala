@@ -78,6 +78,32 @@ object DedupOps {
       .groupBy("doc_id")
       .agg(MinHashPermAgg.sketch(col("x"), numHashes).as("sig"))
 
+  /** SimHash near-dup pair detection over any (doc_id, text) frame:
+    * 64-bit signatures from md5 token hashes ([[SimHashSketchAgg]]), 16-bit
+    * chunk LSH for candidates (any pair within Hamming distance 3 of each
+    * other shares at least one of the 4 chunks; wider radii trade recall),
+    * exact Hamming verify. Returns (a, b, hamming) with a < b; used by q52
+    * and [[DedupPipeline]]. */
+  def simHashNearDupPairs(docs: DataFrame): DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .select(col("doc_id"), Md5Lower64.of(col("tok")).as("th"))
+      .groupBy("doc_id")
+      .agg(SimHashSketchAgg.sketch(col("th")).as("simhash"))
+    val chunks = sigs.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"), shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ch"))): _*)).as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.c").as("c"), col("cc.ch").as("ch"))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.ch") === col("y.ch") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("bigint").as("hamming"))
+      .distinct()
+  }
+
   /** Exact Jaccard verification of candidate (a, b) pairs against a
     * doc_id → shingles frame. */
   private def verifyJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
@@ -116,23 +142,7 @@ object DedupOps {
     // SimHash near-dedup: 64-bit signature via the imperative SimHashAgg
     // sketch, 16-bit chunk LSH for candidates, Hamming-distance verify.
     "q52_simhash" -> ((s, d) => {
-      val sigs = Tables.load(s, d, "documents")
-        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
-        .select(col("doc_id"), Md5Lower64.of(col("tok")).as("th"))
-        .groupBy("doc_id")
-        .agg(SimHashSketchAgg.sketch(col("th")).as("simhash"))
-      val chunks = sigs.select(
-        col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(c =>
-          struct(lit(c).as("c"), shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ch"))): _*)).as("cc"))
-        .select(col("doc_id"), col("simhash"), col("cc.c").as("c"), col("cc.ch").as("ch"))
-      chunks.as("x")
-        .join(chunks.as("y"),
-          col("x.c") === col("y.c") && col("x.ch") === col("y.ch") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("bigint").as("hamming"))
-        .distinct()
+      simHashNearDupPairs(Tables.load(s, d, "documents").select("doc_id", "text"))
         .filter(col("hamming") <= 16)
         .orderBy(col("hamming"), col("a"), col("b"))
         .limit(50)

@@ -22,6 +22,10 @@ object DedupPipeline {
   /** MinHash+LSH candidate generation, exact-Jaccard verification at
     * `threshold`. */
   final case class MinHashLsh(threshold: Double = 0.8) extends Strategy
+  /** SimHash 64-bit signatures, 16-bit-chunk LSH candidates, exact Hamming
+    * verification at `maxHamming` (chunk LSH guarantees recall for
+    * distance <= 3; larger radii are best-effort). */
+  final case class SimHash(maxHamming: Int = 3) extends Strategy
 
   /** Rows of `docs` that survive deduplication (all columns preserved). */
   def dedup(docs: DataFrame, idCol: String, textCol: String, strategy: Strategy): DataFrame =
@@ -36,11 +40,21 @@ object DedupPipeline {
       case MinHashLsh(threshold) =>
         // cluster the near-dup graph so CHAINS dedup correctly (a~b, b~c
         // keeps only a even when a!~c), then keep each cluster's senior.
-        val labeled = clusters(nearDupPairs(docs, idCol, textCol, threshold))
-        val dropped = labeled.filter(col("node") =!= col("label"))
-          .select(col("node").as(idCol))
-        docs.join(dropped, Seq(idCol), "left_anti")
+        dropJuniors(docs, idCol, nearDupPairs(docs, idCol, textCol, threshold))
+      case SimHash(maxHamming) =>
+        val pairs = DedupOps.simHashNearDupPairs(
+          docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+          .filter(col("hamming") <= maxHamming)
+        dropJuniors(docs, idCol, pairs)
     }
+
+  /** Cluster the near-dup pair graph, drop every non-representative. */
+  private def dropJuniors(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val labeled = clusters(pairs)
+    val dropped = labeled.filter(col("node") =!= col("label"))
+      .select(col("node").as(idCol))
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
 
   /** Connected components over a near-dup pair graph via min-label
     * propagation: every node converges to the smallest id reachable from it

@@ -159,6 +159,10 @@ object SimilarityOps {
 
     // Embedding-cosine near-duplicate detection: same-label blocking, top-20
     // most similar pairs (the embedding analog of q51/q53).
+    // SCALE CAVEAT: same-label blocking is all-pairs WITHIN a block —
+    // O(n²/labels). This is the documented exact BASELINE for comparison;
+    // at 100 TB (or with few labels) use q66's OR-amplified LSH self-join,
+    // which materializes only colliding pairs.
     "q63_embedding_neardup" -> ((s, d) => {
       val v = vectors(s, d)
       v.select(col("vec_id").as("a"), col("emb").as("emb_a"), col("label")).as("x")

@@ -94,6 +94,17 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => !keptIds.contains(b) || keptIds.contains(a) })
   }
 
+  test("DedupPipeline.SimHash drops planted near-dups and is idempotent") {
+    import graft.operators.DedupPipeline
+    val docs = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")
+    val n0 = docs.count()
+    val deduped = DedupPipeline.dedup(docs, "doc_id", "text", DedupPipeline.SimHash(3))
+    val n1 = deduped.count()
+    assert(n1 < n0, "no near-dups dropped, but sf0.001 has planted pairs")
+    val n2 = DedupPipeline.dedup(deduped, "doc_id", "text", DedupPipeline.SimHash(3)).count()
+    assert(n2 == n1, s"second pass dropped ${n1 - n2} more rows")
+  }
+
   test("connected-components clustering resolves chains and separate clusters") {
     import graft.operators.DedupPipeline
     // chain 1-2, 2-3, 3-4 plus isolated pair 10-11 plus singleton-free graph
