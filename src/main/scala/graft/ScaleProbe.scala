@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probe: replicate the sf0.1 corpus k× and measure how the
+  * near-dup / ANN operators scale with input size — the committed evidence
+  * that candidate generation is join-bound (LSH buckets), not
+  * pairwise-bound. Run: `SPARK_GRAFT_SCALE=8 sbt "runMain graft.ScaleProbe"`;
+  * results are recorded in BUILDLOG.md per round.
+  */
+object ScaleProbe {
+  private def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val k = sys.env.getOrElse("SPARK_GRAFT_SCALE", "8").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def replicate(df: DataFrame, idCol: String, n: Int): DataFrame = {
+      val span = df.agg(max(col(idCol))).head().getLong(0) + 1
+      df.crossJoin(spark.range(n).toDF("__rep"))
+        .withColumn(idCol, col(idCol) + col("__rep") * span)
+        .drop("__rep")
+    }
+
+    val docs1 = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val docsK = replicate(docs1, "doc_id", k)
+    println(s"[probe] documents: ${docs1.count()} -> ${docsK.count()} (${k}x, every doc has ${k - 1} exact twins)")
+
+    val p1 = time("minhash pairs 1x")(
+      graft.operators.DedupOps.minHashNearDupPairs(docs1).filter(col("jac") >= 0.8).count())
+    val pK = time(s"minhash pairs ${k}x")(
+      graft.operators.DedupOps.minHashNearDupPairs(docsK).filter(col("jac") >= 0.8).count())
+    println(s"[probe] minhash verified pairs: $p1 -> $pK")
+
+    val s1 = time("simhash pairs 1x")(
+      graft.operators.DedupOps.simHashNearDupPairs(docs1).filter(col("hamming") <= 3).count())
+    val sK = time(s"simhash pairs ${k}x")(
+      graft.operators.DedupOps.simHashNearDupPairs(docsK).filter(col("hamming") <= 3).count())
+    println(s"[probe] simhash verified pairs: $s1 -> $sK")
+
+    spark.stop()
+  }
+}
