@@ -48,6 +48,21 @@ object DedupPipeline {
         dropJuniors(docs, idCol, pairs)
     }
 
+  /** Embedding-cosine near-dedup: LSH similar-pairs over `vecCol`
+    * (array<float|double>), exact-cosine verification at `simThreshold`,
+    * then the same cluster-and-keep-senior policy as the text strategies.
+    * The scale path for semantic dedup — candidates come from bucket
+    * collisions, never an all-pairs join. */
+  def dedupByEmbedding(docs: DataFrame, idCol: String, vecCol: String,
+                       simThreshold: Double): DataFrame = {
+    val vecs = docs.select(
+      col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("emb"))
+    val pairs = SimilarityOps.lshSimilarPairs(vecs)
+      .filter(col("sim") >= simThreshold)
+    dropJuniors(docs, idCol, pairs.select("a", "b"))
+  }
+
   /** Cluster the near-dup pair graph, drop every non-representative. */
   private def dropJuniors(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val labeled = clusters(pairs)

@@ -80,6 +80,46 @@ object MultimodalOps {
           round(avg("width"), 4).as("avg_width"),
           max("n_frames").as("max_frames"))
         .orderBy("kind")
+    }),
+
+    // Frame sampling: for video, take every ⌈n_frames/8⌉-th frame — the
+    // row-generating media op (one output row per sampled frame). The
+    // per-frame "extracted" hash is stub-derived from the content hash via
+    // overflow-free modular arithmetic, so the oracle replays it; real
+    // decoders swap in at the frame_hash projection.
+    "q72_media_frame_sample" -> ((s, d) => {
+      val features = mediaOf(s, d)
+        .mapPartitions(_.map(decodeStub))(org.apache.spark.sql.Encoders.product[MediaFeatures])
+        .toDF()
+      features
+        .filter(col("kind") === "video")
+        .withColumn("stride", greatest(lit(1L), floor(col("n_frames") / 8).cast("bigint")))
+        .select(
+          col("doc_id"), col("n_frames"), col("stride"),
+          explode(sequence(lit(0L), col("n_frames") - 1, col("stride"))).as("frame_idx"),
+          col("content_hash"))
+        .withColumn("frame_hash",
+          (col("content_hash") % 1000000007L * 31 + col("frame_idx")) % 1000000007L)
+        .select("doc_id", "n_frames", "stride", "frame_idx", "frame_hash")
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Resize-to-fit 224×224 (aspect preserved): the geometry is exact
+    // integer math (floor division by the max dimension) on both engines;
+    // the resized-payload hash is stub-derived like q72.
+    "q73_media_resize" -> ((s, d) => {
+      val features = mediaOf(s, d)
+        .mapPartitions(_.map(decodeStub))(org.apache.spark.sql.Encoders.product[MediaFeatures])
+        .toDF()
+      val m = greatest(col("width"), col("height"))
+      features
+        .filter(col("kind") === "image")
+        .withColumn("out_w", greatest(lit(1L), floor(col("width") * 224 / m).cast("bigint")))
+        .withColumn("out_h", greatest(lit(1L), floor(col("height") * 224 / m).cast("bigint")))
+        .withColumn("resized_hash",
+          (col("content_hash") % 1000000007L * 37 + col("out_w") * 224 + col("out_h")) % 1000000007L)
+        .select("doc_id", "width", "height", "out_w", "out_h", "resized_hash")
+        .orderBy("doc_id")
     }))
 
   /** The decode stub replayed in SQL: same md5-derived 63-bit hash, same
@@ -106,5 +146,25 @@ object MultimodalOps {
     "q71_media_stats" ->
       s"""SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
          | round(avg(width), 4) AS avg_width, max(n_frames) AS max_frames
-         |FROM ($featuresSql) f GROUP BY kind ORDER BY kind""".stripMargin)
+         |FROM ($featuresSql) f GROUP BY kind ORDER BY kind""".stripMargin,
+
+    "q72_media_frame_sample" ->
+      s"""WITH f AS (SELECT * FROM ($featuresSql) t WHERE kind = 'video'),
+         | st AS (SELECT doc_id, n_frames, content_hash,
+         |        greatest(1, n_frames // 8) AS stride FROM f),
+         | u AS (SELECT doc_id, n_frames, stride, content_hash,
+         |       unnest(range(0, n_frames, stride)) AS frame_idx FROM st)
+         |SELECT doc_id, n_frames, stride, frame_idx,
+         | (content_hash % 1000000007 * 31 + frame_idx) % 1000000007 AS frame_hash
+         |FROM u ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q73_media_resize" ->
+      s"""WITH f AS (SELECT * FROM ($featuresSql) t WHERE kind = 'image')
+         |SELECT doc_id, width, height,
+         | greatest(1, (width * 224) // greatest(width, height)) AS out_w,
+         | greatest(1, (height * 224) // greatest(width, height)) AS out_h,
+         | (content_hash % 1000000007 * 37 +
+         |  greatest(1, (width * 224) // greatest(width, height)) * 224 +
+         |  greatest(1, (height * 224) // greatest(width, height))) % 1000000007 AS resized_hash
+         |FROM f ORDER BY doc_id""".stripMargin)
 }

@@ -61,6 +61,36 @@ object SimilarityOps {
   private def signBits(emb: Column, planes: Seq[Seq[Double]]): Seq[Column] =
     planes.map(p => when(cosine(emb, typedlit(p)) >= 0, lit(1L)).otherwise(lit(0L)))
 
+  /** All-similar-pairs over a (vec_id, emb: array<double>) frame via
+    * multi-table sign-LSH (4 tables × 4 hyperplane bits, OR-amplified).
+    * Candidate pairs are deduped on IDs ONLY, then vectors re-attach via
+    * broadcast — the shuffle carries (a, b) longs, never embeddings.
+    * Returns (a, b, sim) with a < b; feeds q66 and
+    * [[DedupPipeline.dedupByEmbedding]]. */
+  private[graft] def lshSimilarPairs(vecs: DataFrame): DataFrame = {
+    val tables = 4; val bitsPerTable = 4
+    val bits = signBits(col("emb"), hyperplanes(tables * bitsPerTable, 64))
+    val tableStructs = (0 until tables).map { t =>
+      val code = (0 until bitsPerTable)
+        .map(b => bits(t * bitsPerTable + b) * (1L << b)).reduce(_ + _)
+      struct(lit(t).as("t"), code.as("code"))
+    }
+    val v = vecs
+      .withColumn("tbl", explode(array(tableStructs: _*)))
+      .select(col("vec_id"), col("tbl.t").as("t"), col("tbl.code").as("code"))
+    val candidates = v.as("x")
+      .join(v.as("y"),
+        col("x.t") === col("y.t") && col("x.code") === col("y.code") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .dropDuplicates("a", "b")
+    candidates
+      .join(broadcast(vecs.select(col("vec_id").as("a"), col("emb").as("ea"))), "a")
+      .join(broadcast(vecs.select(col("vec_id").as("b"), col("emb").as("eb"))), "b")
+      .withColumn("sim", round(cosine(col("ea"), col("eb")), 6))
+      .select("a", "b", "sim")
+  }
+
   /** IVF search with a configurable probe width. At nprobe = #cells this
     * degrades gracefully to exact brute force (recall 1.0 by construction —
     * asserted in SimilaritySpec); recall is monotone in nprobe. NOTE the
@@ -189,30 +219,7 @@ object SimilarityOps {
     // corpus×corpus "all similar pairs" operator — the quadratic-free path
     // at 100 TB since only same-bucket pairs materialize.
     "q66_sim_join_lsh" -> ((s, d) => {
-      val tables = 4; val bitsPerTable = 4
-      val bits = signBits(col("emb"), hyperplanes(tables * bitsPerTable, 64))
-      val tableStructs = (0 until tables).map { t =>
-        val code = (0 until bitsPerTable)
-          .map(b => bits(t * bitsPerTable + b) * (1L << b)).reduce(_ + _)
-        struct(lit(t).as("t"), code.as("code"))
-      }
-      val v = vectors(s, d)
-        .withColumn("tbl", explode(array(tableStructs: _*)))
-        .select(col("vec_id"), col("emb"), col("tbl.t").as("t"), col("tbl.code").as("code"))
-      // Dedup candidate pairs on IDs ONLY, then re-attach vectors via
-      // broadcast — shuffling (a, b) longs, never the embedding arrays.
-      val candidates = v.as("x")
-        .join(v.as("y"),
-          col("x.t") === col("y.t") && col("x.code") === col("y.code") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
-        .dropDuplicates("a", "b")
-      val emb = vectors(s, d).select(col("vec_id"), col("emb"))
-      candidates
-        .join(broadcast(emb.select(col("vec_id").as("a"), col("emb").as("ea"))), "a")
-        .join(broadcast(emb.select(col("vec_id").as("b"), col("emb").as("eb"))), "b")
-        .withColumn("sim", round(cosine(col("ea"), col("eb")), 6))
-        .select("a", "b", "sim")
+      lshSimilarPairs(vectors(s, d).select("vec_id", "emb"))
         .orderBy(col("sim").desc, col("a"), col("b"))
         .limit(20)
     }),

@@ -105,6 +105,22 @@ class DedupSpec extends AnyFunSuite {
     assert(n2 == n1, s"second pass dropped ${n1 - n2} more rows")
   }
 
+  test("dedupByEmbedding drops planted exact-copy vectors, keeps seniors") {
+    import graft.operators.DedupPipeline
+    val base = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val n = base.count()
+    // plant copies: every vector duplicated under a junior id
+    val copies = base.withColumn("vec_id", col("vec_id") + lit(1000000L))
+    val corpus = base.unionByName(copies)
+    val deduped = DedupPipeline.dedupByEmbedding(corpus, "vec_id", "embedding", 0.9999)
+    val keptIds = deduped.select("vec_id").as[Long].collect().toSet
+    // every planted copy collides with its twin in every LSH table, so all
+    // juniors must drop; all seniors must survive
+    assert(!keptIds.exists(_ >= 1000000L), "planted junior copies survived")
+    assert(keptIds.size == n.toInt, s"expected $n seniors, got ${keptIds.size}")
+  }
+
   test("connected-components clustering resolves chains and separate clusters") {
     import graft.operators.DedupPipeline
     // chain 1-2, 2-3, 3-4 plus isolated pair 10-11 plus singleton-free graph
