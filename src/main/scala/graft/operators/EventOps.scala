@@ -26,7 +26,7 @@ object EventOps {
     "q40_hourly_by_type" -> ((s, d) => {
       Tables.load(s, d, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
         .orderBy("hr", "event_type")
     }),
 
@@ -55,7 +55,7 @@ object EventOps {
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(min("event_id").as("session_first_event"),
           count(lit(1)).as("n_events"),
-          round(sum("value"), 2).as("sum_value"))
+          Num.dsum(col("value")).as("sum_value"))
         .select("user_id", "session_first_event", "n_events", "sum_value")
         .orderBy("user_id", "session_first_event")
     }),
@@ -102,7 +102,7 @@ object EventOps {
   val oracleSql: Map[String, String] = Map(
     "q40_hourly_by_type" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_type,
-        | count(*) AS n, round(sum(value),2) AS sum_value
+        | count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY hr, event_type ORDER BY hr, event_type""".stripMargin,
 
     "q41_sessionize" ->
@@ -131,7 +131,7 @@ object EventOps {
         |   OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
         | FROM x)
         |SELECT user_id, min(event_id) AS session_first_event, count(*) AS n_events,
-        | round(sum(value),2) AS sum_value
+        | CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
         |FROM y GROUP BY user_id, sid ORDER BY user_id, session_first_event""".stripMargin,
 
     "q43_daily_pivot" ->

@@ -31,6 +31,12 @@ object Relational {
 
   private val discPrice: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+  /** Exact-decimal revenue addends: inputs snapped to their 2-decimal grid,
+    * products computed in decimal — see [[Num]]. */
+  private val discPriceDec: Column =
+    Num.money(col("l_extendedprice")) * (Num.one - Num.money(col("l_discount")))
+  private val chargeDec: Column = discPriceDec * (Num.one + Num.money(col("l_tax")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-H Q1-shaped pricing summary: full-scan hash aggregation with
@@ -40,13 +46,13 @@ object Relational {
       t(s, d, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(discPrice), 2).as("sum_disc_price"),
-          round(sum(discPrice * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          round(avg("l_discount"), 4).as("avg_disc"),
+          Num.dsum(col("l_quantity")).as("sum_qty"),
+          Num.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Num.dsumDec(discPriceDec).as("sum_disc_price"),
+          Num.dsumDec(chargeDec).as("sum_charge"),
+          Num.davg(col("l_quantity")).as("avg_qty"),
+          Num.davg(col("l_extendedprice")).as("avg_price"),
+          Num.davg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -68,7 +74,7 @@ object Relational {
         .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(
-          round(sum(discPrice), 2).as("revenue"),
+          Num.dsumDec(discPriceDec).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("c_custkey")
     }),
@@ -83,7 +89,7 @@ object Relational {
         .groupBy("r_name", "n_name")
         .agg(
           count(lit(1)).as("n_customers"),
-          round(avg("c_acctbal"), 4).as("avg_bal"))
+          Num.davg(col("c_acctbal")).as("avg_bal"))
         .orderBy("r_name", "n_name")
     }),
 
@@ -111,7 +117,7 @@ object Relational {
         .groupBy("c_custkey")
         .agg(
           count(col("o_orderkey")).as("n_orders"),
-          round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spent"))
+          coalesce(Num.dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
         .orderBy("c_custkey")
     }),
 
@@ -173,7 +179,7 @@ object Relational {
         .agg(
           round(min("l_quantity"), 2).as("min_qty"),
           round(max("l_quantity"), 2).as("max_qty"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
+          Num.davg(col("l_quantity")).as("avg_qty"),
           round(stddev_samp("l_quantity"), 4).as("sd_qty"),
           round(var_samp("l_quantity"), 4).as("var_qty"),
           count(lit(1)).as("n"))
@@ -190,7 +196,7 @@ object Relational {
         .groupBy("bucket")
         .agg(
           count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 2).as("total"),
+          Num.dsum(col("o_totalprice")).as("total"),
           count(when(col("o_orderstatus") === "F", 1)).as("n_finished"))
         .orderBy("bucket")
     }),
@@ -217,7 +223,7 @@ object Relational {
         .groupBy("yr", "mo")
         .agg(
           count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 2).as("total"))
+          Num.dsum(col("o_totalprice")).as("total"))
         .orderBy("yr", "mo")
     }),
 
@@ -229,7 +235,7 @@ object Relational {
         .groupBy("k_bucket")
         .agg(
           count(lit(1)).as("n"),
-          round(sum("value"), 2).as("sum_value"))
+          Num.dsum(col("value")).as("sum_value"))
         .orderBy("k_bucket")
     }),
 
@@ -239,7 +245,7 @@ object Relational {
         .rollup("l_returnflag", "l_linestatus")
         .agg(
           count(lit(1)).as("n"),
-          round(sum("l_quantity"), 2).as("sum_qty"))
+          Num.dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
@@ -257,7 +263,7 @@ object Relational {
     "q20_having" -> ((s, d) => {
       t(s, d, "orders")
         .groupBy("o_custkey")
-        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+        .agg(count(lit(1)).as("n_orders"), Num.dsum(col("o_totalprice")).as("total"))
         .filter(col("n_orders") >= 5)
         .orderBy("o_custkey")
     }),
@@ -307,7 +313,7 @@ object Relational {
       t(s, d, "orders")
         .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
         .groupBy("band")
-        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+        .agg(count(lit(1)).as("n_orders"), Num.dsum(col("o_totalprice")).as("total"))
         .orderBy("band")
     }),
 
@@ -321,7 +327,7 @@ object Relational {
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(
-          round(sum(discPrice), 2).as("revenue"),
+          Num.dsumDec(discPriceDec).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("r_name")
     }),
@@ -372,9 +378,9 @@ object Relational {
       t(s, d, "lineitem")
         .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
         .groupBy("l_returnflag", "salt")
-        .agg(sum(discPrice).as("partial_rev"), count(lit(1)).as("partial_n"))
+        .agg(sum(discPriceDec).as("partial_rev"), count(lit(1)).as("partial_n"))
         .groupBy("l_returnflag")
-        .agg(round(sum("partial_rev"), 2).as("revenue"), sum("partial_n").as("n_items"))
+        .agg(round(sum("partial_rev"), 2).cast("double").as("revenue"), sum("partial_n").as("n_items"))
         .orderBy("l_returnflag")
     }),
 
@@ -485,7 +491,7 @@ object Relational {
           grouping(col("l_returnflag")).cast("bigint").as("g_rf"),
           grouping(col("l_linestatus")).cast("bigint").as("g_ls"),
           count(lit(1)).as("n"),
-          round(sum("l_extendedprice"), 2).as("total"))
+          Num.dsum(col("l_extendedprice")).as("total"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first,
           col("g_rf"), col("g_ls"))
     }),
@@ -495,7 +501,7 @@ object Relational {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "orders")
-        .withColumn("running_spend", round(sum("o_totalprice").over(w), 2))
+        .withColumn("running_spend", Num.dsumOver(col("o_totalprice"), w))
         .withColumn("order_seq", row_number().over(
           Window.partitionBy("o_custkey").orderBy("o_orderkey")).cast("bigint"))
         .select("o_custkey", "order_seq", "o_orderkey", "o_totalprice", "running_spend")
@@ -506,7 +512,7 @@ object Relational {
     "q26_supplier_activity" -> ((s, d) => {
       t(s, d, "lineitem")
         .groupBy(col("l_suppkey"))
-        .agg(round(sum(discPrice), 2).as("revenue"), count(lit(1)).as("n_items"))
+        .agg(Num.dsumDec(discPriceDec).as("revenue"), count(lit(1)).as("n_items"))
         .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name", "revenue", "n_items")
@@ -560,13 +566,13 @@ object Relational {
     "q56_sql_lateral" -> lateralSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
-        | round(sum(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)),2) AS sum_charge,
-        | round(avg(l_quantity),4) AS avg_qty,
-        | round(avg(l_extendedprice),4) AS avg_price,
-        | round(avg(l_discount),4) AS avg_disc,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(12,2))) * (1.00 + CAST(l_tax AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_charge,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price,
+        | round(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(l_discount), 4) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -578,14 +584,14 @@ object Relational {
 
     "q03_revenue_by_customer" ->
       """SELECT c_custkey, c_name,
-        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
         | count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
 
     "q04_customer_geo" ->
-      """SELECT r_name, n_name, count(*) AS n_customers, round(avg(c_acctbal),4) AS avg_bal
+      """SELECT r_name, n_name, count(*) AS n_customers, round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(c_acctbal), 4) AS avg_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
@@ -602,7 +608,7 @@ object Relational {
 
     "q07_outer_join" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        | round(coalesce(sum(o_totalprice), 0.0),2) AS total_spent
+        | coalesce(CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE), 0.0) AS total_spent
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
@@ -643,7 +649,7 @@ object Relational {
     "q13_agg_stats" ->
       """SELECT l_returnflag,
         | round(min(l_quantity),2) AS min_qty, round(max(l_quantity),2) AS max_qty,
-        | round(avg(l_quantity),4) AS avg_qty,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
         | round(stddev_samp(l_quantity),4) AS sd_qty,
         | round(var_samp(l_quantity),4) AS var_qty,
         | count(*) AS n
@@ -653,7 +659,7 @@ object Relational {
       """SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
         |            WHEN o_totalprice < 250000 THEN 'mid'
         |            ELSE 'high' END AS bucket,
-        | count(*) AS n_orders, round(sum(o_totalprice),2) AS total,
+        | count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total,
         | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished
         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
 
@@ -666,16 +672,16 @@ object Relational {
 
     "q16_date_funcs" ->
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
-        | count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        | count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
 
     "q17_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
-        | count(*) AS n, round(sum(value),2) AS sum_value
+        | count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
 
     "q18_rollup" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
@@ -685,7 +691,7 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q20_having" ->
-      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+      """SELECT o_custkey, count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY o_custkey HAVING count(*) >= 5 ORDER BY o_custkey""".stripMargin,
 
     "q21_argmax_join" ->
@@ -705,14 +711,14 @@ object Relational {
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
     "q24_range_join_bands" ->
-      """SELECT band, count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+      """SELECT band, count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         |FROM orders JOIN (VALUES ('low', 0.0, 100000.0), ('mid', 100000.0, 250000.0),
         |                        ('high', 250000.0, 1000000000.0)) b(band, lo, hi)
         | ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
 
     "q25_star_join" ->
-      """SELECT r_name, round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+      """SELECT r_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
         | count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
@@ -731,7 +737,7 @@ object Relational {
 
     "q28_salted_agg" ->
       """SELECT l_returnflag,
-        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
         | count(*) AS n_items
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
@@ -754,7 +760,7 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         | CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
         | CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
-        | count(*) AS n, round(sum(l_extendedprice),2) AS total
+        | count(*) AS n, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, g_rf, g_ls""".stripMargin,
 
@@ -762,13 +768,13 @@ object Relational {
       """SELECT o_custkey,
         | row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS order_seq,
         | o_orderkey, o_totalprice,
-        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend
         |FROM orders ORDER BY o_custkey, order_seq""".stripMargin,
 
     "q26_supplier_activity" ->
       """SELECT s_suppkey, s_name, n_name,
-        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue, count(*) AS n_items
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1.00 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue, count(*) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         | JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY s_suppkey, s_name, n_name ORDER BY s_suppkey""".stripMargin)

@@ -84,9 +84,14 @@ object TextOps {
     // Quality scoring: stopword ratio, type-token ratio, length saturation —
     // a composable double in [0,1] per document.
     "q31_text_quality" -> ((s, d) => {
-      // quality_score is rounded ONCE from the raw ratios — rounding the
-      // components first would land sums exactly on .00005 boundaries where
-      // Spark and DuckDB round differently.
+      // quality_score: the raw ratios are engine-identical doubles (single
+      // divisions of identical integers), but the WEIGHTED SUM of three
+      // doubles can land a hair either side of a .00005 rounding boundary
+      // depending on FP combine order (observed at sf0.1). Cast each ratio
+      // to decimal and weight with decimal literals — exact arithmetic,
+      // identical rounding on both engines.
+      def dec(c: Column): Column = c.cast("decimal(20,10)")
+      def w(x: String): Column = lit(new java.math.BigDecimal(x))
       Tables.load(s, d, "documents")
         .withColumn("tp", textProfile(col("text")))
         .withColumn("n_tokens", col("tp.n_tokens"))
@@ -98,7 +103,8 @@ object TextOps {
         .withColumn("ttr", round(col("raw_ttr"), 4))
         .withColumn("len_sat", round(col("raw_len"), 4))
         .withColumn("quality_score",
-          round(col("raw_stop") * 0.3 + col("raw_ttr") * 0.4 + col("raw_len") * 0.3, 4))
+          round(dec(col("raw_stop")) * w("0.3") + dec(col("raw_ttr")) * w("0.4")
+            + dec(col("raw_len")) * w("0.3"), 4).cast("double"))
         .select("doc_id", "n_tokens", "stop_hits", "stop_ratio", "ttr", "len_sat", "quality_score")
         .orderBy("doc_id")
     }),
@@ -201,8 +207,10 @@ object TextOps {
          | round(stop_hits / n_tokens, 4) AS stop_ratio,
          | round(n_unique / n_tokens, 4) AS ttr,
          | round(least(length(text) / 500.0, 1.0), 4) AS len_sat,
-         | round((stop_hits / n_tokens) * 0.3 + (n_unique / n_tokens) * 0.4
-         |       + least(length(text) / 500.0, 1.0) * 0.3, 4) AS quality_score
+         | CAST(round(CAST(stop_hits / n_tokens AS DECIMAL(20,10)) * 0.3
+         |       + CAST(n_unique / n_tokens AS DECIMAL(20,10)) * 0.4
+         |       + CAST(least(length(text) / 500.0, 1.0) AS DECIMAL(20,10)) * 0.3, 4)
+         |   AS DOUBLE) AS quality_score
          |FROM (SELECT doc_id, text,
          |  len(string_split_regex(text, '\\s+')) AS n_tokens,
          |  len(list_distinct(string_split_regex(text, '\\s+'))) AS n_unique,

@@ -37,7 +37,7 @@ object EventStream {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), graft.operators.Num.dsum(col("value")).as("sum_value"))
       .select(col("w.start").as("hr"), col("event_type"), col("n"), col("sum_value"))
 
   /** Session windows with a 30-minute gap (streaming q42). */
