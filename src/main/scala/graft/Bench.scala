@@ -72,7 +72,9 @@ object Bench {
       .getHeapMemoryUsage.getUsed / (1024 * 1024)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    // Any failure poisons the headline total (-1): summing only successes
+    // would let a crashing slow query IMPROVE the gated number.
+    val total = if (failed.nonEmpty) -1.0 else results.values.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials,"failed":$failedJson,"gc_sec":$gcSec,"heap_mb":$heapMb}""")
     spark.stop()

@@ -55,6 +55,13 @@ object DedupPipeline {
     * collisions, never an all-pairs join. */
   def dedupByEmbedding(docs: DataFrame, idCol: String, vecCol: String,
                        simThreshold: Double): DataFrame = {
+    // fail fast on non-integral ids: a silent cast("long") would turn
+    // string/UUID ids into NULLs, find zero pairs, and "pass" without
+    // deduplicating anything
+    val idType = docs.schema(idCol).dataType
+    require(Seq("byte", "short", "int", "long", "integer", "bigint")
+      .contains(idType.simpleString),
+      s"dedupByEmbedding requires an integral id column; '$idCol' is ${idType.simpleString}")
     val vecs = docs.select(
       col(idCol).cast("long").as("vec_id"),
       col(vecCol).cast("array<double>").as("emb"))

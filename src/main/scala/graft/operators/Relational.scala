@@ -31,6 +31,43 @@ object Relational {
 
   private val discPrice: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+  /** Exact interpolated quantiles per group — sort-based rank lookup, NOT a
+    * buffering percentile() aggregate (whose per-group value buffer is
+    * O(group size) on one reducer: an OOM + stall at 100×). The heavy work
+    * is a spill-safe window sort over (group, v); the interpolation reads
+    * only the ≤2 boundary ranks per quantile. Formula replicates
+    * Spark/DuckDB percentile interpolation bit-for-bit: pos = q·(n-1)
+    * (0-based), p = (⌈pos⌉-pos)·v_lo + (pos-⌊pos⌋)·v_hi, p = v_lo when
+    * ⌊pos⌋=⌈pos⌉. Input must have columns (groupCol, v); output is
+    * (groupCol, <name per quantile>, n). Shared by q27 and q47. */
+  private def rankQuantiles(base: DataFrame, groupCol: String,
+                            quantiles: Seq[(Double, String)], scale: Int = 4): DataFrame = {
+    val counts = base.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(groupCol).orderBy("v")
+    def pos(q: Double): Column = lit(q) * (col("n") - 1).cast("double")
+    val boundary = quantiles.map { case (q, _) =>
+      col("rk") === (floor(pos(q)) + 1) || col("rk") === (ceil(pos(q)) + 1)
+    }.reduce(_ || _)
+    val ranked = base
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .join(broadcast(counts), groupCol)
+      .filter(boundary)
+    val aggs = quantiles.flatMap { case (q, nm) => Seq(
+      max(when(col("rk") === (floor(pos(q)) + 1), col("v"))).as(s"lo_$nm"),
+      max(when(col("rk") === (ceil(pos(q)) + 1), col("v"))).as(s"hi_$nm"))
+    } :+ max("n").as("n")
+    val interp = quantiles.map { case (q, nm) =>
+      val p = pos(q)
+      round(when(floor(p) === ceil(p), col(s"lo_$nm"))
+        .otherwise((ceil(p) - p) * col(s"lo_$nm") + (p - floor(p)) * col(s"hi_$nm")), scale)
+        .as(nm)
+    }
+    ranked
+      .groupBy(groupCol)
+      .agg(aggs.head, aggs.tail: _*)
+      .select((col(groupCol) +: interp :+ col("n")): _*)
+  }
+
   /** Exact-decimal revenue addends: inputs snapped to their 2-decimal grid,
     * products computed in decimal — see [[Num]]. */
   private val discPriceDec: Column =
@@ -340,32 +377,10 @@ object Relational {
     // percentile interpolation bit-for-bit: pos = q·(n-1) (0-based),
     // p = (⌈pos⌉-pos)·v_lo + (pos-⌊pos⌋)·v_hi, p = v_lo when ⌊pos⌋=⌈pos⌉.
     "q27_percentiles" -> ((s, d) => {
-      val quantiles = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
-      val base = t(s, d, "lineitem").select(col("l_returnflag"), col("l_extendedprice").as("v"))
-      val counts = base.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("l_returnflag").orderBy("v", "l_returnflag")
-      def pos(q: Double): Column = lit(q) * (col("n") - 1).cast("double")
-      val boundary = quantiles.map { case (q, _) =>
-        col("rk") === (floor(pos(q)) + 1) || col("rk") === (ceil(pos(q)) + 1)
-      }.reduce(_ || _)
-      val ranked = base
-        .withColumn("rk", row_number().over(w).cast("bigint"))
-        .join(broadcast(counts), "l_returnflag")
-        .filter(boundary)
-      val aggs = quantiles.flatMap { case (q, nm) => Seq(
-        max(when(col("rk") === (floor(pos(q)) + 1), col("v"))).as(s"lo_$nm"),
-        max(when(col("rk") === (ceil(pos(q)) + 1), col("v"))).as(s"hi_$nm"))
-      } :+ max("n").as("n")
-      val interp = quantiles.map { case (q, nm) =>
-        val p = pos(q)
-        round(when(floor(p) === ceil(p), col(s"lo_$nm"))
-          .otherwise((ceil(p) - p) * col(s"lo_$nm") + (p - floor(p)) * col(s"hi_$nm")), 4)
-          .as(nm)
-      }
-      ranked
-        .groupBy("l_returnflag")
-        .agg(aggs.head, aggs.tail: _*)
-        .select((col("l_returnflag") +: interp :+ col("n")): _*)
+      rankQuantiles(
+        t(s, d, "lineitem").select(col("l_returnflag"), col("l_extendedprice").as("v")),
+        "l_returnflag",
+        Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95"))
         .orderBy("l_returnflag")
     }),
 
@@ -432,7 +447,7 @@ object Relational {
     // values are engine-specific, so the DECLARED OUTPUT is the sketch
     // CONTRACT: exact anchors (count, distinct counts, exact p50) plus
     // booleans asserting each sketch landed within its error bound
-    // (HLL rsd 0.05 → 3σ = 15%; rsd 0.01 → 3%; KLL acc 1000 → 2% on value).
+    // (HLL rsd 0.05 → 3σ = 15%; rsd 0.01 → 3%; KLL → rank band p45..p55).
     // The oracle recomputes the anchors and expects every boolean TRUE —
     // a drifting sketch now FAILS the hash check instead of hiding behind
     // a rows-only row.
@@ -452,34 +467,25 @@ object Relational {
         .agg(countDistinct(col("l_partkey")).as("parts_exact"))
       val ordersEx = li.groupBy("l_returnflag")
         .agg(countDistinct(col("l_orderkey")).as("orders_exact"))
-      // exact p50 via the same scale-safe rank lookup as q27 (no per-group
-      // value buffer)
-      val cnts = li.groupBy("l_returnflag").agg(count(lit(1)).as("cn"))
-      val w = Window.partitionBy("l_returnflag").orderBy("v")
-      val pos = lit(0.5) * (col("cn") - 1).cast("double")
-      val p50exact = li.select(col("l_returnflag"), col("l_extendedprice").as("v"))
-        .withColumn("rk", row_number().over(w).cast("bigint"))
-        .join(broadcast(cnts), "l_returnflag")
-        .filter(col("rk") === (floor(pos) + 1) || col("rk") === (ceil(pos) + 1))
-        .groupBy("l_returnflag")
-        .agg(
-          max(when(col("rk") === (floor(pos) + 1), col("v"))).as("lo"),
-          max(when(col("rk") === (ceil(pos) + 1), col("v"))).as("hi"),
-          max(pos).as("pos"))
-        .withColumn("p50e", when(floor(col("pos")) === ceil(col("pos")), col("lo"))
-          .otherwise((ceil(col("pos")) - col("pos")) * col("lo") +
-            (col("pos") - floor(col("pos"))) * col("hi")))
-        .select("l_returnflag", "p50e")
+      // exact p45/p50/p55 via the shared scale-safe rank lookup. The KLL
+      // check is a RANK-tolerance band (approx p50 must land between the
+      // exact p45 and p55 values): percentile_approx bounds rank error, not
+      // value error — a 2%-of-value tolerance would flag a healthy sketch
+      // on any distribution with a gap at the median.
+      val quantiles = rankQuantiles(
+        li.select(col("l_returnflag"), col("l_extendedprice").as("v")),
+        "l_returnflag", Seq(0.45 -> "p45", 0.5 -> "p50", 0.55 -> "p55"))
+        .select("l_returnflag", "p45", "p50", "p55")
       sketches
         .join(broadcast(partsEx), "l_returnflag")
         .join(broadcast(ordersEx), "l_returnflag")
-        .join(broadcast(p50exact), "l_returnflag")
+        .join(broadcast(quantiles), "l_returnflag")
         .select(
           col("l_returnflag"), col("n"), col("parts_exact"), col("orders_exact"),
-          round(col("p50e"), 4).as("p50_exact"),
+          col("p50").as("p50_exact"),
           (abs(col("ap") - col("parts_exact")) <= col("parts_exact") * 0.15).as("parts_approx_ok"),
           (abs(col("ao") - col("orders_exact")) <= col("orders_exact") * 0.03).as("orders_approx_ok"),
-          (abs(col("p50a") - col("p50e")) <= col("p50e") * 0.02).as("p50_approx_ok"))
+          (col("p50a") >= col("p45") && col("p50a") <= col("p55")).as("p50_approx_ok"))
         .orderBy("l_returnflag")
     }),
 

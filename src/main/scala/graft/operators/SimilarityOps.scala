@@ -84,9 +84,14 @@ object SimilarityOps {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .dropDuplicates("a", "b")
+    // Re-attach embeddings WITHOUT a forced broadcast: at test scale Spark
+    // auto-broadcasts the sub-threshold corpus (the measured r01 win); at
+    // 100 TB the corpus exceeds any broadcast budget and these become
+    // shuffle joins on bare ids — forcing broadcast() here would OOM the
+    // driver on exactly the workloads dedupByEmbedding exists for.
     candidates
-      .join(broadcast(vecs.select(col("vec_id").as("a"), col("emb").as("ea"))), "a")
-      .join(broadcast(vecs.select(col("vec_id").as("b"), col("emb").as("eb"))), "b")
+      .join(vecs.select(col("vec_id").as("a"), col("emb").as("ea")), "a")
+      .join(vecs.select(col("vec_id").as("b"), col("emb").as("eb")), "b")
       .withColumn("sim", round(cosine(col("ea"), col("eb")), 6))
       .select("a", "b", "sim")
   }
@@ -275,7 +280,16 @@ object SimilarityOps {
       s"($i, [${p.map(_.toString).mkString(", ")}])"
     }.mkString(", ")
 
-  /** Shared oracle CTE bodies (embeddings cast + per-label centroids). */
+  /** Shared oracle CTE bodies (embeddings cast + per-label centroids).
+    *
+    * Centroid determinism note: `avg` over doubles is summation-order
+    * dependent in general, but at oracle scales the embeddings table is ONE
+    * parquet split on both engines, so both sum sequentially in file order
+    * and the centroids are bit-identical. The residual risk class (a
+    * round-6 cosine boundary or a near-tied argmax flipped by a last-ulp
+    * difference) needs two values within ~1e-15 of each other AND of a
+    * boundary — for continuous gaussian data that is ~1e-8 per round,
+    * unlike the money sums Num.scala hardens (which sat ON boundaries). */
   private val vCte = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings"
   private val centroidsCte =
     """SELECT label AS cell, list(cx ORDER BY pos) AS centroid FROM (

@@ -68,9 +68,20 @@ case class TopKPerGroupExec(
       val heapOrd = ordering.reverse
       val numFields = schema.length
 
+      // Spill files are tracked per task and removed by a task-completion
+      // listener: deleteOnExit would grow the JVM's delete-on-exit set
+      // unboundedly on long-lived executors, and a task killed mid-merge
+      // (speculation, cancellation) would otherwise leak its chunks until
+      // JVM exit. Successful merges also delete eagerly at EOF.
+      val spillFiles = new scala.collection.mutable.ArrayBuffer[java.io.File]()
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        spillFiles.foreach(f => if (f.exists()) f.delete())
+      }
+
       def spill(rows: Iterator[InternalRow]): java.io.File = {
         val f = java.io.File.createTempFile("graft-topk-spill", ".bin")
-        f.deleteOnExit()
+        spillFiles += f
         val out = new java.io.DataOutputStream(
           new java.io.BufferedOutputStream(new java.io.FileOutputStream(f), 1 << 16))
         try rows.foreach { r =>

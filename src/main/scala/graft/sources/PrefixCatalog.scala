@@ -27,9 +27,13 @@ object PrefixCatalog {
   }
 
   /** Catalog-safe table name from a prefix leaf (strict allowlist — listing
-    * results are external input and must never reach SQL text raw). */
+    * results are external input and must never reach SQL text raw).
+    * Lowercased: the catalog stores identifiers lowercased, and the drift
+    * diff compares against catalog listings — mixed case would re-add an
+    * existing table on every sync. */
   private def tableNameFor(namePrefix: String, prefixPath: String): String =
-    s"${namePrefix}_${new Path(prefixPath).getName}".replaceAll("[^A-Za-z0-9_]", "_")
+    s"${namePrefix}_${new Path(prefixPath).getName}"
+      .replaceAll("[^A-Za-z0-9_]", "_").toLowerCase(java.util.Locale.ROOT)
 
   /** Register one external table per discovered prefix (the engine-native
     * analog of `glue.update_crawler(Targets=...)`). Table names are derived
@@ -54,8 +58,10 @@ object PrefixCatalog {
                        namePrefix: String): (Seq[String], Seq[String]) = {
     val wanted = listFirstLevelPrefixes(spark, base)
       .map(t => tableNameFor(namePrefix, t.path) -> t.path).toMap
+    val catalogPrefix = s"${namePrefix}_".toLowerCase(java.util.Locale.ROOT)
     val existing = spark.catalog.listTables().collect()
-      .map(_.name).filter(_.startsWith(s"${namePrefix}_")).toSet
+      .map(_.name.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.startsWith(catalogPrefix)).toSet
     val added = (wanted.keySet -- existing).toSeq.sorted.map { table =>
       spark.catalog.createTable(table, wanted(table), "parquet")
       table

@@ -123,20 +123,24 @@ object EventStream {
     * the crash. Dynamic partition overwrite then replaces EXACTLY the
     * (date, batch) partitions present in the replayed data: no wiping of
     * the day's other batches, no duplicates. */
+  private def writePartitionedBatch(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                                    batchId: Long, root: String, tsCol: String): Unit =
+    batch.toDF()
+      .withColumn(graft.sources.PartitionedSink.LoadDateCol,
+        date_format(col(tsCol), "yyyyMMdd"))
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(graft.sources.PartitionedSink.LoadDateCol, "batch_id")
+      .mode("overwrite")
+      .parquet(root)
+
   def toPartitionedParquet(df: DataFrame, root: String,
                            tsCol: String = "ts"): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.toDF()
-          .withColumn(graft.sources.PartitionedSink.LoadDateCol,
-            date_format(col(tsCol), "yyyyMMdd"))
-          .withColumn("batch_id", lit(batchId))
-          .write
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(graft.sources.PartitionedSink.LoadDateCol, "batch_id")
-          .mode("overwrite")
-          .parquet(root)
+        writePartitionedBatch(batch, batchId, root, tsCol)
       }
       .start()
 
@@ -193,11 +197,30 @@ object EventStream {
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
   }
 
-  /** Drain-everything-then-stop run: `Trigger.AvailableNow` processes all
-    * data available at start in rate-limited micro-batches and terminates —
-    * the production pattern for scheduled (cron-shaped) incremental jobs:
-    * streaming-exactly-once bookkeeping with batch-job lifecycle. Returns
-    * after the source is fully drained. */
+  /** PRODUCTION drain: `Trigger.AvailableNow` processes everything available
+    * at start in rate-limited micro-batches, then terminates — streaming
+    * offset bookkeeping with batch-job lifecycle. Safe to re-invoke on a
+    * schedule with the SAME checkpoint: each run picks up only files that
+    * appeared since the last one, and the foreachBatch sink (durable,
+    * checkpoint-recoverable, idempotent on (event-date, batch_id)) gives
+    * effectively-once delivery across crashes and replays. */
+  def drainToParquet(df: DataFrame, root: String, checkpoint: String,
+                     tsCol: String = "ts"): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        writePartitionedBatch(batch, batchId, root, tsCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** TEST/inspection drain into an in-memory table. The memory sink is not
+    * fault-tolerant: pass a FRESH checkpoint per invocation (recovery into a
+    * memory sink is rejected by Spark) — for durable scheduled drains use
+    * [[drainToParquet]]. */
   def drainAvailableNow(df: DataFrame, name: String, checkpoint: String,
                         mode: OutputMode = OutputMode.Append): Unit = {
     val q = df.writeStream

@@ -151,6 +151,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(added3 == Seq("drift_gamma") && removed3 == Seq("drift_beta"))
     assert(spark.catalog.tableExists("drift_gamma"))
     assert(!spark.catalog.tableExists("drift_beta"))
+    // mixed case: the catalog lowercases identifiers; a mixed-case prefix or
+    // namePrefix must not be re-added (and crash) on every subsequent sync
+    mkPrefix("MixedCase")
+    val (a4, r4) = PrefixCatalog.syncPrefixTables(spark, base.toString, "Drift")
+    assert(a4.contains("drift_mixedcase") && r4.isEmpty)
+    val (a5, r5) = PrefixCatalog.syncPrefixTables(spark, base.toString, "Drift")
+    assert(a5.isEmpty && r5.isEmpty, s"mixed-case drift sync not idempotent: $a5 / $r5")
   }
 
   test("metrics recorder captures actions and feeds the notifier") {

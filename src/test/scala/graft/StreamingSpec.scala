@@ -73,6 +73,27 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("drainToParquet is incremental across scheduled runs on one checkpoint") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-drain-src")
+    val sinkRoot = java.nio.file.Files.createTempDirectory("graft-drain-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-drain-ckpt").toString
+    def addFile(name: String): Unit = java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"), srcDir.resolve(name))
+    addFile("part-0.parquet")
+    val n = graft.Tables.load(spark, TestSpark.sf, "events").count()
+    def drain(): Unit = EventStream.drainToParquet(
+      EventStream.fromDirectory(spark, srcDir.toString), sinkRoot, ckpt)
+    drain()
+    assert(spark.read.parquet(sinkRoot).count() == n)
+    // re-run with NO new data: checkpoint recovery, nothing re-processed
+    drain()
+    assert(spark.read.parquet(sinkRoot).count() == n)
+    // a new file appears; the next scheduled drain picks up ONLY it
+    addFile("part-1.parquet")
+    drain()
+    assert(spark.read.parquet(sinkRoot).count() == 2 * n)
+  }
+
   test("foreachBatch streams into the idempotent partitioned sink") {
     val root = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
     val stream = EventStream.fromDirectory(spark, eventsDir)
