@@ -29,8 +29,6 @@ object Relational {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
-  private val discPrice: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-
   /** Exact interpolated quantiles per group — sort-based rank lookup, NOT a
     * buffering percentile() aggregate (whose per-group value buffer is
     * O(group size) on one reducer: an OOM + stall at 100×). The heavy work

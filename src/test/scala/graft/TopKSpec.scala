@@ -55,6 +55,28 @@ class TopKSpec extends AnyFunSuite {
     assert(custom.toSeq == windowed.toSeq)
   }
 
+  test("spill path: two giant groups where groups*k exceeds the memory bound") {
+    // G*k = 10 > maxRows = 8: every merge pass re-spills and retention
+    // bottoms out at the output size, forcing the no-shrink floor branch
+    // (one final unbounded pass) — the result must still be the exact
+    // per-group top-k
+    val two = orders.withColumn("g", pmod(col("o_orderkey"), lit(2)))
+    val custom = TopKPerGroup(two, Seq("g"),
+      Seq(("o_totalprice", true), ("o_orderkey", false)), k = 5,
+      maxRowsInMemory = 8)
+      .select("g", "o_orderkey", "o_totalprice")
+      .orderBy(col("g"), col("o_totalprice").desc, col("o_orderkey"))
+      .collect()
+    val w = Window.partitionBy("g").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val expected = two
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("g", "o_orderkey", "o_totalprice")
+      .orderBy(col("g"), col("o_totalprice").desc, col("o_orderkey"))
+      .collect()
+    assert(custom.toSeq == expected.toSeq)
+  }
+
   test("unknown column fails fast") {
     intercept[IllegalArgumentException] {
       TopKPerGroup(orders, Seq("nope"), Seq(("o_orderkey", false)), k = 1)
