@@ -53,6 +53,26 @@ object ScaleProbe {
       graft.operators.DedupOps.simHashNearDupPairs(docsK).filter(col("hamming") <= 3).count())
     println(s"[probe] simhash verified pairs: $s1 -> $sK")
 
+    // ANN: brute-force corpus pass vs LSH bucketed candidates, same queries,
+    // replicated corpus — the gap should WIDEN with corpus size since LSH
+    // probes touch only same-bucket vectors.
+    val emb1 = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding", "label")
+    val embK = replicate(emb1, "vec_id", k)
+    // stage replicated corpora under the table layout Tables.load expects
+    def writeTmp(df: DataFrame, name: String): String = {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-probe-$name").toString
+      df.write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+      root
+    }
+    val dir1 = writeTmp(emb1, "emb1")
+    val dirK = writeTmp(embK, "embK")
+    for ((lbl, dir) <- Seq("1x" -> dir1, s"${k}x" -> dirK)) {
+      val n1 = time(s"knn brute $lbl")(
+        graft.operators.SimilarityOps.queries("q60_knn_brute")(spark, dir).count())
+      val n2 = time(s"ann lsh $lbl")(
+        graft.operators.SimilarityOps.queries("q61_ann_lsh")(spark, dir).count())
+      println(s"[probe] ann $lbl: brute rows $n1, lsh rows $n2")
+    }
     spark.stop()
   }
 }

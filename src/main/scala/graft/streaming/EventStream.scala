@@ -144,6 +144,26 @@ object EventStream {
       }
       .start()
 
+  /** Streaming text-quality filter: the TextProfile-based quality score as
+    * a STATELESS narrow map over a document stream — the pre-training
+    * hygiene gate applied at ingest time (no watermark or state needed;
+    * throughput is the batch path's, since it is the same codegen'd
+    * expression). Keeps documents whose score clears `minScore`. */
+  def qualityFiltered(docs: DataFrame, minScore: Double): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val tp = GraftBridge.column(graft.plans.TextProfile(
+      GraftBridge.expression(col("text")),
+      Seq(Seq("the", "and", "of", "to", "in", "is", "a", "it", "on", "for"))))
+    docs
+      .withColumn("tp", tp)
+      .withColumn("quality_score",
+        element_at(col("tp.hits"), 1) / col("tp.n_tokens") * 0.3 +
+          col("tp.n_unique") / col("tp.n_tokens") * 0.4 +
+          least(length(col("text")) / lit(500.0), lit(1.0)) * 0.3)
+      .filter(col("quality_score") >= minScore)
+      .drop("tp")
+  }
+
   /** Streaming exact dedup: drop events whose event_id was already seen,
     * with state bounded by the watermark (`dropDuplicatesWithinWatermark`) —
     * duplicates arriving within the watermark window are suppressed, state

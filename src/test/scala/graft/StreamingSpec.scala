@@ -45,6 +45,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming quality filter matches the batch filter on the same docs") {
+    val docsDir = java.nio.file.Files.createTempDirectory("graft-docs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/documents.parquet"),
+      docsDir.resolve("part-0.parquet"))
+    val schema = spark.read.parquet(docsDir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(docsDir.toString)
+    EventStream.runToMemory(
+      EventStream.qualityFiltered(stream, 0.4).select("doc_id"),
+      "quality_stream", org.apache.spark.sql.streaming.OutputMode.Append)
+    val streamed = spark.table("quality_stream").orderBy("doc_id").collect()
+    val batch = EventStream.qualityFiltered(
+      graft.Tables.load(spark, TestSpark.sf, "documents"), 0.4)
+      .select("doc_id").orderBy("doc_id").collect()
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("RocksDB state store + AvailableNow drain matches default-provider result") {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val changelogKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
