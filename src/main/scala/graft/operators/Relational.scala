@@ -38,8 +38,8 @@ object Relational {
     * (0-based), p = (⌈pos⌉-pos)·v_lo + (pos-⌊pos⌋)·v_hi, p = v_lo when
     * ⌊pos⌋=⌈pos⌉. Input must have columns (groupCol, v); output is
     * (groupCol, <name per quantile>, n). Shared by q27 and q47. */
-  private def rankQuantiles(base: DataFrame, groupCol: String,
-                            quantiles: Seq[(Double, String)], scale: Int = 4): DataFrame = {
+  private[operators] def rankQuantiles(base: DataFrame, groupCol: String,
+                                       quantiles: Seq[(Double, String)], scale: Int = 4): DataFrame = {
     val counts = base.groupBy(groupCol).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(groupCol).orderBy("v")
     def pos(q: Double): Column = lit(q) * (col("n") - 1).cast("double")

@@ -176,6 +176,48 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination: per corpus document, the fraction of its
+    // word-3-gram shingles that appear in the "eval set" (docs with
+    // doc_id < 10 stand in for a benchmark) — the standard pre-training
+    // contamination check. Eval shingles are DISTINCT and tiny → broadcast;
+    // the corpus side is one explode + equi-join + count, never pairwise.
+    "q37_decontamination" -> ((s, d) => {
+      val sh = withShingles(Tables.load(s, d, "documents")).select("doc_id", "sh")
+      val evalShingles = sh.filter(col("doc_id") < 10)
+        .select(explode(col("sh")).as("g")).distinct()
+      val corpus = sh.filter(col("doc_id") >= 10)
+        .withColumn("n_shingles", size(col("sh")).cast("bigint"))
+      val overlap = corpus
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .join(broadcast(evalShingles), "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_overlap"))
+      corpus.select("doc_id", "n_shingles")
+        .join(overlap, Seq("doc_id"), "left")
+        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+        .withColumn("contamination", round(col("n_overlap") / col("n_shingles"), 4))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus token budget: the numbers a training run asks first — document
+    // count, total whitespace tokens, and exact token-count quantiles per
+    // document (via the shared spill-safe rank lookup; at 100 TB swap the
+    // quantile columns for the q47-style sketches — the totals stay exact).
+    "q38_token_budget" -> ((s, d) => {
+      val tokens = Tables.load(s, d, "documents")
+        .withColumn("tp", textProfile(col("text")))
+        .select(col("tp.n_tokens").as("n_tokens"))
+      val totals = tokens.agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"))
+      val qs = Relational.rankQuantiles(
+        tokens.select(lit("corpus").as("grp"), col("n_tokens").cast("double").as("v")),
+        "grp", Seq(0.5 -> "p50_tokens", 0.9 -> "p90_tokens", 0.99 -> "p99_tokens"))
+        .select("p50_tokens", "p90_tokens", "p99_tokens")
+      totals.crossJoin(broadcast(qs))
+        .select("n_docs", "total_tokens", "p50_tokens", "p90_tokens", "p99_tokens")
+    }),
+
     // Corpus token frequency: explode + count — the one text op that
     // genuinely shuffles (by token); partial aggregation keeps the shuffle
     // at |vocab| not |tokens|.
@@ -256,6 +298,26 @@ object TextOps {
         | round(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
         |       / len(string_split_regex(text, '\s+')), 4) AS bpe_per_ws
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q37_decontamination" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         | sh AS (SELECT doc_id, $shinglesSql AS s FROM t),
+         | ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 10),
+         | corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= 10),
+         | ex AS (SELECT doc_id, unnest(s) AS g FROM corpus),
+         | ov AS (SELECT doc_id, count(*) AS n_overlap FROM ex JOIN ev USING (g) GROUP BY doc_id)
+         |SELECT c.doc_id, len(c.s) AS n_shingles,
+         | coalesce(o.n_overlap, 0) AS n_overlap,
+         | round(coalesce(o.n_overlap, 0) / len(c.s), 4) AS contamination
+         |FROM corpus c LEFT JOIN ov o USING (doc_id) ORDER BY c.doc_id""".stripMargin,
+
+    "q38_token_budget" ->
+      """SELECT count(*) AS n_docs,
+        | CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens,
+        | round(quantile_cont(len(string_split_regex(text, '\s+')), 0.5), 4) AS p50_tokens,
+        | round(quantile_cont(len(string_split_regex(text, '\s+')), 0.9), 4) AS p90_tokens,
+        | round(quantile_cont(len(string_split_regex(text, '\s+')), 0.99), 4) AS p99_tokens
+        |FROM documents""".stripMargin,
 
     "q34_token_freq" ->
       """SELECT token, count(*) AS n FROM (
