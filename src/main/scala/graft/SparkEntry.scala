@@ -5,10 +5,12 @@ import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * `queries` is the engine's declared operator inventory; every entry with a
-  * companion `oracleSql` row is hash-checked against DuckDB on the same
-  * parquet inputs (t2 gate). Entries without oracle SQL (LSH/ANN/multimodal —
-  * not SQL-expressible) get the driver's rows-only check.
+  * `queries` is the engine's declared operator inventory; EVERY entry has a
+  * companion `oracleSql` row and is hash-checked against DuckDB on the same
+  * parquet inputs (t2 gate). The formerly rows-only families (LSH/ANN/
+  * multimodal) are SQL-replayable since round 2: sketches hash through
+  * `graft_md5_64` (= DuckDB `md5_number_lower`) and the permutation/
+  * hyperplane constants are embedded as literals in the oracle SQL.
   */
 object SparkEntry {
 
