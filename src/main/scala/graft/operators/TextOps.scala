@@ -218,6 +218,59 @@ object TextOps {
         .select("n_docs", "total_tokens", "p50_tokens", "p90_tokens", "p99_tokens")
     }),
 
+    // Repetition metrics (the Gopher/RefinedWeb "repetitive content" quality
+    // rules): per document, the share of the most-repeated word bigram and
+    // the fraction of duplicated bigrams. Bigrams come from posexplode +
+    // lead() — declarative and codegen'd, no per-element lambda — and the
+    // three stats collapse into one aggregation over (doc, gram) counts.
+    "q39_repetition" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.load(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val grams = toks
+        .withColumn("nx", lead("w", 1).over(byDoc))
+        .filter(col("nx").isNotNull)
+        .select(col("doc_id"), concat(col("w"), lit(" "), col("nx")).as("g"))
+      grams
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          sum("c").as("n_grams"),
+          max("c").as("max_gram"),
+          count(lit(1)).as("n_distinct"))
+        .select(
+          col("doc_id"),
+          col("n_grams"),
+          col("max_gram"),
+          round(col("max_gram") / col("n_grams"), 4).as("top_gram_share"),
+          round(lit(1.0) - col("n_distinct") / col("n_grams").cast("double"), 4).as("rep_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // TF-IDF keyword extraction: corpus document frequencies (one |vocab|-
+    // sized aggregate) joined back to per-doc term frequencies, top-3 terms
+    // per document by tf·ln(N/df). Ranking is over the ROUNDED score (+ term
+    // tie-break) so last-ulp libm differences between engines cannot reorder
+    // ties that are equal in exact arithmetic.
+    "q57_tfidf_keywords" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nd = Tables.load(s, d, "documents").agg(count(lit(1)).as("nd"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+      tf.join(dfreq, "tok")
+        .crossJoin(broadcast(nd))
+        .withColumn("score", round(col("tf") * log(col("nd") / col("df")), 4))
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "tok", "score")
+        .orderBy("doc_id", "rank")
+    }),
+
     // Corpus token frequency: explode + count — the one text op that
     // genuinely shuffles (by token); partial aggregation keeps the shuffle
     // at |vocab| not |tokens|.
@@ -318,6 +371,31 @@ object TextOps {
         | round(quantile_cont(len(string_split_regex(text, '\s+')), 0.9), 4) AS p90_tokens,
         | round(quantile_cont(len(string_split_regex(text, '\s+')), 0.99), 4) AS p99_tokens
         |FROM documents""".stripMargin,
+
+    "q39_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | g AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g FROM t),
+        | pg AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+        | agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |         max(c) AS max_gram, count(*) AS n_distinct
+        |         FROM pg GROUP BY doc_id)
+        |SELECT doc_id, n_grams, max_gram,
+        | round(max_gram / n_grams, 4) AS top_gram_share,
+        | round(1.0 - n_distinct / CAST(n_grams AS DOUBLE), 4) AS rep_frac
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q57_tfidf_keywords" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents),
+        | tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+        | df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        | nd AS (SELECT count(*) AS nd FROM documents),
+        | scored AS (SELECT t.doc_id, t.tok, round(t.tf * ln(nd.nd / d.df), 4) AS score
+        |            FROM tf t JOIN df d USING (tok) CROSS JOIN nd),
+        | ranked AS (SELECT doc_id, tok, score,
+        |            row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
+        |            FROM scored)
+        |SELECT doc_id, rank, tok, score FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     "q34_token_freq" ->
       """SELECT token, count(*) AS n FROM (
