@@ -214,7 +214,8 @@ object TextOps {
         tokens.select(lit("corpus").as("grp"), col("n_tokens").cast("double").as("v")),
         "grp", Seq(0.5 -> "p50_tokens", 0.9 -> "p90_tokens", 0.99 -> "p99_tokens"))
         .select("p50_tokens", "p90_tokens", "p99_tokens")
-      totals.crossJoin(broadcast(qs))
+      // single-row broadcast join (scalar-subquery shape, as in q19)
+      totals.join(broadcast(qs))
         .select("n_docs", "total_tokens", "p50_tokens", "p90_tokens", "p99_tokens")
     }),
 
@@ -263,7 +264,7 @@ object TextOps {
       val nd = Tables.load(s, d, "documents").agg(count(lit(1)).as("nd"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
       tf.join(dfreq, "tok")
-        .crossJoin(broadcast(nd))
+        .join(broadcast(nd)) // single-row broadcast (scalar-subquery shape)
         .withColumn("score", round(col("tf") * log(col("nd") / col("df")), 4))
         .withColumn("rank", row_number().over(w).cast("bigint"))
         .filter(col("rank") <= 3)
