@@ -21,11 +21,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ EventOps.queries ++
-      DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries
+      DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
+      SamplingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextOps.oracleSql ++ EventOps.oracleSql ++
-      DedupOps.oracleSql ++ SimilarityOps.oracleSql ++ MultimodalOps.oracleSql
+      DedupOps.oracleSql ++ SimilarityOps.oracleSql ++ MultimodalOps.oracleSql ++
+      SamplingOps.oracleSql
 }

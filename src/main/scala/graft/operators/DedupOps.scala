@@ -104,6 +104,28 @@ object DedupOps {
       .distinct()
   }
 
+  /** Verified n-gram Jaccard pairs within (length-bucket) blocks via the
+    * inverted-index join (see q53's scale note). Returns (a, b, jac) with
+    * a < b, jac rounded to 4dp; shared by q53 (top-k) and q58 (cluster
+    * assignment). */
+  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingles(s, d)
+      .join(Tables.load(s, d, "documents").select("doc_id", "n_chars"), "doc_id")
+      .withColumn("blk", (col("n_chars") / 50).cast("bigint"))
+      .withColumn("n_sh", size(col("sh")))
+    val postings = sh.select(col("doc_id"), col("blk"), col("n_sh"), explode(col("sh")).as("t"))
+    postings.as("x")
+      .join(postings.as("y"),
+        col("x.blk") === col("y.blk") && col("x.t") === col("y.t") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(
+        col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac", round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
+      .select("a", "b", "jac")
+  }
+
   /** Exact Jaccard verification of candidate (a, b) pairs against a
     * doc_id → shingles frame. */
   private def verifyJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
@@ -157,23 +179,23 @@ object DedupOps {
     // zero overlap (jac = 0) never appear, which cannot affect a top-k by
     // descending Jaccard as long as ≥ k overlapping pairs exist.
     "q53_ngram_jaccard" -> ((s, d) => {
-      val sh = docShingles(s, d)
-        .join(Tables.load(s, d, "documents").select("doc_id", "n_chars"), "doc_id")
-        .withColumn("blk", (col("n_chars") / 50).cast("bigint"))
-        .withColumn("n_sh", size(col("sh")))
-      val postings = sh.select(col("doc_id"), col("blk"), col("n_sh"), explode(col("sh")).as("t"))
-      postings.as("x")
-        .join(postings.as("y"),
-          col("x.blk") === col("y.blk") && col("x.t") === col("y.t") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .groupBy(
-          col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("jac", round(col("inter") / (col("na") + col("nb") - col("inter")), 4))
-        .select("a", "b", "jac")
+      ngramJaccardPairs(s, d)
         .orderBy(col("jac").desc, col("a"), col("b"))
         .limit(20)
+    }),
+
+    // Cluster ASSIGNMENT for the near-dup graph: n-gram-Jaccard edges at
+    // threshold 0.5 → connected components via DedupPipeline.clusters
+    // (min-label propagation: one join + agg per iteration — the shape that
+    // scales to billion-edge graphs). Every node converges to the smallest
+    // doc_id reachable from it; the oracle replays the closure with a
+    // recursive CTE, so the DISTRIBUTED iterative algorithm is hash-checked
+    // against a declarative transitive-closure ground truth.
+    "q58_dedup_clusters" -> ((s, d) => {
+      val edges = ngramJaccardPairs(s, d).filter(col("jac") >= 0.5).select("a", "b")
+      DedupPipeline.clusters(edges)
+        .select(col("node"), col("label"))
+        .orderBy("node")
     }))
 
   /** The (i, a_i, b_i) permutation constants as a DuckDB VALUES list —
@@ -231,5 +253,23 @@ object DedupOps {
          |SELECT a.doc_id AS a, b.doc_id AS b,
          | round(len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))), 4) AS jac
          |FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
-         |ORDER BY jac DESC, a, b LIMIT 20""".stripMargin)
+         |ORDER BY jac DESC, a, b LIMIT 20""".stripMargin,
+
+    // Transitive closure over the same edge set; min reachable id per node
+    // is exactly what min-label propagation converges to.
+    "q58_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         | t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+         | sh AS (SELECT doc_id, CAST(floor(n_chars / 50) AS BIGINT) AS blk,
+         |        ${TextOps.shinglesSql} AS s FROM t),
+         | pr AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |        FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |        WHERE round(len(list_intersect(a.s, b.s))
+         |          / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.5),
+         | und AS (SELECT a AS src, b AS dst FROM pr UNION ALL SELECT b AS src, a AS dst FROM pr),
+         | reach(node, r) AS (
+         |   SELECT src, src FROM und
+         |   UNION
+         |   SELECT re.node, u.dst FROM reach re JOIN und u ON u.src = re.r)
+         |SELECT node, min(r) AS label FROM reach GROUP BY node ORDER BY node""".stripMargin)
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.plans.Md5Lower64
+
+/** Corpus sampling and data-mixing operators over `documents` — the
+  * selection stage of a training-data pipeline (after cleaning/dedup, decide
+  * WHICH documents feed the tokenizer and HOW MUCH of each slice).
+  *
+  * Everything is hash-deterministic: sampling keys are the engine-neutral
+  * [[Md5Lower64]] (= DuckDB `md5_number_lower`), so runs are reproducible
+  * across retries/engines and every query here is hash-checked by the SQL
+  * oracle end to end — no `rand()` anywhere.
+  *
+  * Scale design (100 TB):
+  *  - the sampling key is a narrow map-side projection; stratified top-N is
+  *    one shuffle on the stratum key (window rank), identical in shape to
+  *    any groupBy — no driver-side sampling state;
+  *  - mixture allocation aggregates per-stratum token totals (tiny), derives
+  *    budgets with exact integer arithmetic (no cross-engine FP summation
+  *    hazards), broadcasts them back, and takes documents in hash order
+  *    until each stratum's budget is filled — one window pass over the
+  *    corpus, one broadcast join.
+  */
+object SamplingOps {
+
+  /** Order-preserving non-negative sampling key: md5 lower-64 of
+    * (tag ‖ doc_id), logical-shift-right 1 so SIGNED long ordering in Spark
+    * equals DuckDB's UNSIGNED ordering of `md5_number_lower(...) >> 1`.
+    * The tag decorrelates keys across operators (a doc sampled by one query
+    * is not automatically favored by another). */
+  private def sampleKey(tag: String): Column =
+    shiftrightunsigned(Md5Lower64.of(concat(lit(tag), col("doc_id").cast("string"))), 1)
+
+  private def sampleKeySql(tag: String): String =
+    s"CAST(md5_number_lower('$tag' || CAST(doc_id AS VARCHAR)) >> 1 AS BIGINT)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Deterministic stratified sampling: top-50 documents per language in
+    // hash order — a reproducible uniform sample per stratum (hash order is
+    // uncorrelated with any document property). Rank is one window over the
+    // stratum key; ties impossible (doc_id is unique and last in the order).
+    "q59_stratified_sample" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      Tables.load(s, d, "documents")
+        .select(col("lang"), col("doc_id"), sampleKey("sample:").as("h"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 50)
+        .select("lang", "doc_id", "h")
+        .orderBy("lang", "doc_id")
+    }),
+
+    // Corpus mixture ("data mixing"): allocate a global token budget across
+    // language strata by sqrt-smoothed weight (alpha = 0.5 temperature — the
+    // standard multilingual rebalancing curve: down-weights head languages,
+    // up-weights tail ones), then keep documents per stratum in hash order
+    // until the stratum budget fills. All budget arithmetic is INTEGER
+    // (floor(sqrt()) weights, integer DIV allocation): bit-identical across
+    // engines, no FP summation-order dependence.
+    "q69_corpus_mixture" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          TextOps.tokenCountOf(col("text")).as("n_tok"),
+          sampleKey("mix:").as("h"))
+      val weights = docs.groupBy("lang")
+        .agg(sum("n_tok").as("lang_tokens"))
+        .withColumn("w", floor(sqrt(col("lang_tokens").cast("double"))).cast("bigint"))
+      // single-row broadcast join (scalar-subquery shape, as in q38)
+      val sumW = weights.agg(sum("w").as("sum_w"))
+      val budgets = weights.join(broadcast(sumW))
+        .select(col("lang"), expr("50000 * w DIV sum_w").as("budget"))
+      val ranked = docs.withColumn("cum",
+        sum("n_tok").over(Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ranked.join(broadcast(budgets), "lang")
+        .filter(col("cum") <= col("budget"))
+        .groupBy("lang")
+        .agg(max("budget").as("budget"),
+          count(lit(1)).as("n_docs_kept"),
+          sum("n_tok").as("tokens_kept"))
+        .orderBy("lang")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q59_stratified_sample" ->
+      s"""WITH h AS (SELECT lang, doc_id, ${sampleKeySql("sample:")} AS h FROM documents),
+         | r AS (SELECT lang, doc_id, h,
+         |       row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk FROM h)
+         |SELECT lang, doc_id, h FROM r WHERE rk <= 50 ORDER BY lang, doc_id""".stripMargin,
+
+    "q69_corpus_mixture" ->
+      s"""WITH docs AS (SELECT lang, doc_id,
+         |   CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok,
+         |   ${sampleKeySql("mix:")} AS h FROM documents),
+         | wt AS (SELECT lang, CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE))) AS BIGINT) AS w
+         |        FROM docs GROUP BY lang),
+         | sw AS (SELECT sum(w) AS sum_w FROM wt),
+         | b AS (SELECT lang, 50000 * w // sum_w AS budget FROM wt, sw),
+         | ranked AS (SELECT lang, doc_id, n_tok,
+         |        sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |        FROM docs)
+         |SELECT r.lang AS lang, CAST(b.budget AS BIGINT) AS budget,
+         | count(*) AS n_docs_kept, CAST(sum(r.n_tok) AS BIGINT) AS tokens_kept
+         |FROM ranked r JOIN b ON r.lang = b.lang
+         |WHERE r.cum <= b.budget
+         |GROUP BY r.lang, b.budget ORDER BY r.lang""".stripMargin)
+}

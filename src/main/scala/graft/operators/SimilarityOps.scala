@@ -269,6 +269,29 @@ object SimilarityOps {
         .withColumn("sim", round(cosine(col("ca"), col("cb")), 6))
         .select("la", "lb", "sim")
         .orderBy("la", "lb")
+    }),
+
+    // Int8 vector quantization (the storage/serving compression step of an
+    // embedding pipeline): per-vector symmetric scale = 127 / max|x|,
+    // q_i = floor(x_i * scale + 0.5) — floor(+0.5) instead of round() so
+    // the quantizer is bit-identical across engines (round() half-up vs
+    // half-even semantics differ per engine/type; floor on IEEE doubles
+    // does not). Pure narrow map: one pass, no shuffle, reports per-vector
+    // reconstruction error.
+    "q68_vector_quantize" -> ((s, d) => {
+      vectors(s, d)
+        .withColumn("scale", lit(127.0) / array_max(transform(col("emb"), x => abs(x))))
+        .withColumn("q", transform(col("emb"),
+          x => floor(x * col("scale") + lit(0.5)).cast("long")))
+        .select(
+          col("vec_id"),
+          round(col("scale"), 6).as("scale"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("sum_q"),
+          array_max(col("q")).as("max_q"),
+          round(
+            aggregate(zip_with(col("emb"), col("q"), (x, q) => abs(x - q / col("scale"))),
+              lit(0.0), (a, e) => a + e) / size(col("emb")), 6).as("mean_abs_err"))
+        .orderBy("vec_id")
     }))
 
   /** The seeded hyperplanes as a DuckDB VALUES list `(p, [64 doubles])` —
@@ -419,5 +442,17 @@ object SimilarityOps {
         |SELECT x.label, x.vec_id AS a, y.vec_id AS b,
         | round(list_cosine_similarity(x.emb, y.emb), 6) AS sim
         |FROM v x JOIN v y ON x.label = y.label AND x.vec_id < y.vec_id
-        |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin)
+        |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin,
+
+    "q68_vector_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        | m AS (SELECT vec_id, emb, 127.0 / list_max(list_transform(emb, x -> abs(x))) AS scale FROM v),
+        | qv AS (SELECT vec_id, emb, scale,
+        |        [CAST(floor(emb[i] * scale + 0.5) AS BIGINT) for i in range(1, len(emb) + 1)] AS q
+        |        FROM m)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        | CAST(list_sum(q) AS BIGINT) AS sum_q,
+        | CAST(list_max(q) AS BIGINT) AS max_q,
+        | round(list_sum([abs(emb[i] - q[i] / scale) for i in range(1, len(emb) + 1)]) / len(emb), 6) AS mean_abs_err
+        |FROM qv ORDER BY vec_id""".stripMargin)
 }

@@ -32,6 +32,12 @@ object TextOps {
       GraftBridge.expression(c), Seq(enStops, deStops, frStops, esStops)))
   }
 
+  /** Whitespace token count via the one-pass native TextProfile —
+    * cross-engine equal to DuckDB `len(string_split_regex(text, '\s+'))`
+    * (the q38-established parity). */
+  private[operators] def tokenCountOf(c: Column): Column =
+    textProfile(c).getField("n_tokens")
+
   /** Canonical normalized form used by fingerprint + exact dedup:
     * lowercase, strip non-[a-z0-9 ], collapse whitespace, trim. The ONE
     * definition shared by q33/q50 and DedupPipeline — keep in sync with

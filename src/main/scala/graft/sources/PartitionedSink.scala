@@ -105,7 +105,11 @@ object PartitionedSink {
     * `mailgun_crawler/manage_crawler_targets.py:8-9`): register an external
     * table and recover its partitions. */
   def registerTable(spark: SparkSession, table: String, root: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // table is caller-supplied text headed for SQL — allowlist it and
+    // backtick-quote, matching PrefixCatalog's sanitization
+    require(table.matches("[A-Za-z0-9_.]+"),
+      s"registerTable: invalid table identifier '$table'")
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
     spark.catalog.createTable(table, root, "parquet")
     spark.catalog.recoverPartitions(table)
   }
