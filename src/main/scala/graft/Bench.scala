@@ -4,10 +4,18 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every declared query at SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line for the driver.
   *
-  * Methodology (round-2 hardening after the r01 2.08× noise ambiguity):
+  * Methodology (round-2 hardening after the r01 2.08× noise ambiguity;
+  * round-3: interleaved sweeps):
   *  - per-query MEDIAN of `SPARK_GRAFT_TRIALS` (default 3) timed runs, so a
   *    one-off GC/contention window in the shared sandbox cannot masquerade
   *    as a plan regression;
+  *  - trials are INTERLEAVED (sweep all queries once, then repeat), not
+  *    consecutive per query: a multi-second contention window then poisons
+  *    ONE trial of several queries — rejected by each median — instead of
+  *    all trials of one query (r02 driver run: q24 5.5× / q55 3.8× their
+  *    local times while every neighbor matched; consecutive trials sat
+  *    inside the same window). A System.gc() between sweeps keeps one
+  *    sweep's garbage from billing the next;
   *  - a failed query records the sentinel -1 (never a fast phantom pass) and
   *    flips `"failed"` in the JSON — a crashing query must not *improve* the
   *    gated total;
@@ -33,6 +41,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // interleaved sweeps touch every query's generated classes once per
+      // sweep; the default 100-entry codegen cache evicts them all between
+      // a query's trials (measured +35% total from recompiles)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -51,17 +63,26 @@ object Bench {
     // regex, cosine arithmetic would vanish from the timed plan).
     val gc0 = gcMillis()
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to trials).map { _ =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to trials) {
+      System.gc()
+      ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
-        }
+        val dt =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+          }
+        samples(name) = samples(name) :+ dt
       }
+    }
+    val results = ordered.map { case (name, _) =>
+      val times = samples(name)
       val t =
         if (times.contains(-1.0)) { failed ::= name; -1.0 }
         else times.sorted.apply(times.size / 2)
