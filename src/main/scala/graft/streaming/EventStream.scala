@@ -237,6 +237,22 @@ object EventStream {
     q.awaitTermination()
   }
 
+  /** Streaming → managed CATALOG table (`DataStreamWriter.toTable`) with
+    * `Trigger.AvailableNow` lifecycle — the sink for downstream consumers
+    * that address data by table name rather than path (the engine-native
+    * analog of the reference's Glue-registered datasets: writes land in the
+    * catalog already queryable, no separate crawler/registration step).
+    * Exactly-once via the checkpoint; re-invoking on a schedule with the
+    * SAME checkpoint appends only new source data. */
+  def drainToTable(df: DataFrame, table: String, checkpoint: String): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(table)
+    q.awaitTermination()
+  }
+
   /** TEST/inspection drain into an in-memory table. The memory sink is not
     * fault-tolerant: pass a FRESH checkpoint per invocation (recovery into a
     * memory sink is rejected by Spark) — for durable scheduled drains use

@@ -111,6 +111,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(sinkRoot).count() == 2 * n)
   }
 
+  test("drainToTable lands in the catalog, incremental on one checkpoint") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-tbl-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tbl-ckpt").toString
+    def addFile(name: String): Unit = java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"), srcDir.resolve(name))
+    addFile("part-0.parquet")
+    val n = graft.Tables.load(spark, TestSpark.sf, "events").count()
+    spark.sql("DROP TABLE IF EXISTS events_drained")
+    def drain(): Unit = EventStream.drainToTable(
+      EventStream.fromDirectory(spark, srcDir.toString)
+        .select("event_id", "user_id", "event_type", "ts"),
+      "events_drained", ckpt)
+    drain()
+    // queryable by NAME immediately — no separate registration step
+    assert(spark.table("events_drained").count() == n)
+    // second scheduled run on the same checkpoint appends only the new file
+    addFile("part-1.parquet")
+    drain()
+    assert(spark.table("events_drained").count() == 2 * n)
+    spark.sql("DROP TABLE IF EXISTS events_drained")
+  }
+
   test("foreachBatch streams into the idempotent partitioned sink") {
     val root = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
     val stream = EventStream.fromDirectory(spark, eventsDir)
