@@ -50,15 +50,7 @@ object DedupOps {
     // would pin block-manager memory for the session. At 100 TB, persist
     // the SIGNATURE table explicitly at the pipeline level instead.
     val shingled = TextOps.withShingles(docs).select("doc_id", "sh")
-    val sigs = signatures(shingled)
-    // Band signature = the raw minhash slice (4 longs), NOT a re-hash: the
-    // join key is slightly wider but stays replayable by the SQL oracle.
-    val bandStructs = (0 until numBands).map { b =>
-      struct(lit(b).as("band"), slice(col("sig"), b * bandRows + 1, bandRows).as("bsig"))
-    }
-    val banded = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    val banded = bandedSignatures(shingled)
     val candidates = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
@@ -66,6 +58,19 @@ object DedupOps {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     verifyJaccard(shingled, candidates)
+  }
+
+  /** LSH band table for a (doc_id, sh) frame: one row per (doc, band) with
+    * the band signature. Band signature = the raw minhash slice (4 longs),
+    * NOT a re-hash: the join key is slightly wider but stays replayable by
+    * the SQL oracle. */
+  private def bandedSignatures(shingled: DataFrame): DataFrame = {
+    val bandStructs = (0 until numBands).map { b =>
+      struct(lit(b).as("band"), slice(col("sig"), b * bandRows + 1, bandRows).as("bsig"))
+    }
+    signatures(shingled)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
   }
 
   /** MinHash signatures via the single imperative permutation sketch
@@ -77,6 +82,30 @@ object DedupOps {
       .select(col("doc_id"), shiftrightunsigned(Md5Lower64.of(col("shingle")), 33).as("x"))
       .groupBy("doc_id")
       .agg(MinHashPermAgg.sketch(col("x"), numHashes).as("sig"))
+
+  /** INCREMENTAL dedup pair detection: match a NEW batch of (doc_id, text)
+    * documents against an EXISTING corpus — the nightly-ingest shape, where
+    * the corpus side's band table is precomputed once and each incoming
+    * batch joins against it (never corpus × corpus). Candidates are an
+    * equi-join of the (small) batch band table against the corpus band
+    * table; at 100 TB the corpus bands live as a bucketed table on the band
+    * key so the join is co-located. Returns (new_id, corpus_id, jac). */
+  def minHashCrossDupPairs(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+    val shNew = TextOps.withShingles(newDocs).select("doc_id", "sh")
+    val shOld = TextOps.withShingles(corpus).select("doc_id", "sh")
+    val candidates = bandedSignatures(shNew).as("x")
+      .join(bandedSignatures(shOld).as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+    candidates
+      .join(shNew.select(col("doc_id").as("new_id"), col("sh").as("sh_a")), "new_id")
+      .join(shOld.select(col("doc_id").as("corpus_id"), col("sh").as("sh_b")), "corpus_id")
+      .withColumn("jac",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .select("new_id", "corpus_id", "jac")
+  }
 
   /** SimHash near-dup pair detection over any (doc_id, text) frame:
     * 64-bit signatures from md5 token hashes ([[SimHashSketchAgg]]), 16-bit
@@ -196,6 +225,23 @@ object DedupOps {
       DedupPipeline.clusters(edges)
         .select(col("node"), col("label"))
         .orderBy("node")
+    }),
+
+    // Incremental dedup: every 10th doc plays the incoming batch, the rest
+    // the existing corpus; report each batch doc's best verified corpus
+    // match at Jaccard >= 0.5 (deterministic tie-break on corpus_id).
+    "q74_incremental_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val pairs = minHashCrossDupPairs(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0))
+        .filter(col("jac") >= 0.5)
+      val w = Window.partitionBy("new_id").orderBy(col("jac").desc, col("corpus_id"))
+      pairs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("new_id"), col("corpus_id").as("dup_of"), col("jac"))
+        .orderBy("new_id")
     }))
 
   /** The (i, a_i, b_i) permutation constants as a DuckDB VALUES list —
@@ -271,5 +317,28 @@ object DedupOps {
          |   SELECT src, src FROM und
          |   UNION
          |   SELECT re.node, u.dst FROM reach re JOIN und u ON u.src = re.r)
-         |SELECT node, min(r) AS label FROM reach GROUP BY node ORDER BY node""".stripMargin)
+         |SELECT node, min(r) AS label FROM reach GROUP BY node ORDER BY node""".stripMargin,
+
+    // Same sketch/band replay as q51, with the band join restricted to
+    // batch × corpus and a per-batch-doc argmax.
+    "q74_incremental_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         | sh AS (SELECT doc_id, ${TextOps.shinglesSql} AS s FROM t),
+         | ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         | base AS (SELECT doc_id, CAST(md5_number_lower(shingle) >> 33 AS BIGINT) AS x FROM ex),
+         | ab(i, pa, pb) AS (VALUES $permCoeffsSql),
+         | mh AS (SELECT doc_id, i, min((pa * x + pb) % 2147483647) AS minh
+         |        FROM base CROSS JOIN ab GROUP BY doc_id, i),
+         | bands AS (SELECT doc_id, i // $bandRows AS band, list(minh ORDER BY i) AS bsig
+         |           FROM mh GROUP BY doc_id, i // $bandRows),
+         | cand AS (SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+         |          FROM bands x JOIN bands y ON x.band = y.band AND x.bsig = y.bsig
+         |          WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0),
+         | jac AS (SELECT c.new_id, c.corpus_id,
+         |   round(len(list_intersect(sa.s, sb.s)) / len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jac
+         |   FROM cand c JOIN sh sa ON c.new_id = sa.doc_id JOIN sh sb ON c.corpus_id = sb.doc_id),
+         | best AS (SELECT new_id, corpus_id, jac,
+         |          row_number() OVER (PARTITION BY new_id ORDER BY jac DESC, corpus_id) AS rk
+         |          FROM jac WHERE jac >= 0.5)
+         |SELECT new_id, corpus_id AS dup_of, jac FROM best WHERE rk = 1 ORDER BY new_id""".stripMargin)
 }

@@ -130,6 +130,24 @@ class DedupSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("incremental dedup matches a planted batch doc against the corpus only") {
+    import graft.operators.DedupOps
+    val corpus = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")
+    // batch: one exact copy of corpus doc 7 (junior id) + one novel doc
+    val copied = corpus.filter(col("doc_id") === 7L)
+      .withColumn("doc_id", lit(5000001L))
+    val novel = Seq((5000002L,
+      "entirely novel text with no counterpart whatsoever in this corpus " +
+        "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll zz"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.minHashCrossDupPairs(copied.unionByName(novel), corpus)
+      .filter(col("jac") >= 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 5000001L && p._2 == 7L && p._3 == 1.0),
+      "planted exact copy not matched to its corpus twin")
+    assert(!pairs.exists(_._1 == 5000002L), "novel doc spuriously matched")
+  }
+
   test("MinHash-LSH finds the planted near-duplicates at sf0.001") {
     val out = graft.operators.DedupOps.queries("q51_minhash_lsh")(spark, TestSpark.sf)
     val top = out.select("jac").as[Double].collect()
