@@ -278,6 +278,29 @@ object TextOps {
         .orderBy("doc_id", "rank")
     }),
 
+    // Unigram language-model quality scoring (the CCNet/KenLM-style filter
+    // shape): per-doc mean log-probability under the corpus's own unigram
+    // distribution — low scorers are boilerplate/garbled, high scorers
+    // natural text. Log-probs are scaled to INTEGER millionths per token
+    // TYPE before the per-doc sum, so the aggregate is order-independent
+    // and engine-exact (summing raw doubles would depend on shuffle order).
+    // Scale: vocab counts are a map-side-combined agg; the token→logp join
+    // partitions both sides by token; one groupBy(doc_id) closes it.
+    "q75_unigram_lm" -> ((s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val n = counts.agg(sum("c").as("n_total"))
+      val logp = counts.join(broadcast(n)) // single-row broadcast
+        .select(col("tok"), round(log(col("c") / col("n_total")) * 1e6).cast("long").as("lp"))
+      toks.join(logp, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("lp").as("slp"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("slp") / (col("n_tok") * 1e6), 4).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus token frequency: explode + count — the one text op that
     // genuinely shuffles (by token); partial aggregation keeps the shuffle
     // at |vocab| not |tokens|.
@@ -407,5 +430,15 @@ object TextOps {
     "q34_token_freq" ->
       """SELECT token, count(*) AS n FROM (
         | SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents) t
-        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "q75_unigram_lm" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents),
+        | counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        | n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM counts),
+        | logp AS (SELECT tok, CAST(round(ln(c / n_total) * 1000000) AS BIGINT) AS lp FROM counts, n)
+        |SELECT t.doc_id, count(*) AS n_tok,
+        | round(CAST(sum(lp) AS DOUBLE) / (count(*) * 1000000.0), 4) AS avg_logp
+        |FROM toks t JOIN logp USING (tok)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
 }

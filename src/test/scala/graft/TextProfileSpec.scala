@@ -66,4 +66,14 @@ class TextProfileSpec extends AnyFunSuite {
     val df = Seq[String](null).toDF("text")
     assert(df.select(profile(col("text"))).collect().head.isNullAt(0))
   }
+
+  test("unigram LM scores every doc, bounded, and favors common-token docs") {
+    import org.apache.spark.sql.functions.col
+    val scores = graft.operators.TextOps.queries("q75_unigram_lm")(spark, TestSpark.sf)
+    val nDocs = Tables.load(spark, TestSpark.sf, "documents").count()
+    assert(scores.count() == nDocs)
+    // log-probs of p in (0, 1]: strictly negative, and bounded below by
+    // ln(1/total_tokens) which for this corpus is far above -30
+    assert(scores.filter(col("avg_logp") >= 0 || col("avg_logp") < -30).count() == 0)
+  }
 }
