@@ -62,12 +62,17 @@ object Bench {
     // would let Catalyst prune the projections being measured (sha2,
     // regex, cosine arithmetic would vanish from the timed plan).
     val gc0 = gcMillis()
+    var forcedGcMs = 0L
     var failed = List.empty[String]
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to trials) {
+      // the deliberate inter-sweep GC must not bill gc_sec — that metric
+      // exists to expose ENVIRONMENT pressure, not self-inflicted pauses
+      val g0 = gcMillis()
       System.gc()
+      forcedGcMs += gcMillis() - g0
       ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val dt =
@@ -88,7 +93,7 @@ object Bench {
         else times.sorted.apply(times.size / 2)
       name -> t
     }.toMap
-    val gcSec = (gcMillis() - gc0) / 1e3
+    val gcSec = (gcMillis() - gc0 - forcedGcMs) / 1e3
     val heapMb = java.lang.management.ManagementFactory.getMemoryMXBean
       .getHeapMemoryUsage.getUsed / (1024 * 1024)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

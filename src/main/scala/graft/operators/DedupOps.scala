@@ -222,7 +222,11 @@ object DedupOps {
     // against a declarative transitive-closure ground truth.
     "q58_dedup_clusters" -> ((s, d) => {
       val edges = ngramJaccardPairs(s, d).filter(col("jac") >= 0.5).select("a", "b")
-      DedupPipeline.clusters(edges)
+      // maxIter bounds iterations at the graph DIAMETER, and the loop exits
+      // on convergence — 100 costs nothing on near-clique dup graphs but
+      // keeps a deep duplicate chain from silently diverging from the
+      // oracle's exact closure (non-convergence is only a WARN)
+      DedupPipeline.clusters(edges, maxIter = 100)
         .select(col("node"), col("label"))
         .orderBy("node")
     }),

@@ -106,10 +106,13 @@ object PartitionedSink {
     * table and recover its partitions. */
   def registerTable(spark: SparkSession, table: String, root: String): Unit = {
     // table is caller-supplied text headed for SQL — allowlist it and
-    // backtick-quote, matching PrefixCatalog's sanitization
-    require(table.matches("[A-Za-z0-9_.]+"),
+    // backtick-quote, matching PrefixCatalog's sanitization. Quote each
+    // dot-separated part so qualified names (db.tbl) keep their qualifier
+    // (a single backtick pair would name one literal dotted identifier).
+    require(table.matches("[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)*"),
       s"registerTable: invalid table identifier '$table'")
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val quoted = table.split('.').map(p => s"`$p`").mkString(".")
+    spark.sql(s"DROP TABLE IF EXISTS $quoted")
     spark.catalog.createTable(table, root, "parquet")
     spark.catalog.recoverPartitions(table)
   }

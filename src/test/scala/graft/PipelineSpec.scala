@@ -42,6 +42,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(after.filter(col("load_date") === "20260801").count() == 2)
   }
 
+  test("registerTable re-registers bare and qualified names, rejects injection") {
+    val tmp = Files.createTempDirectory("graft-reg").toString
+    PartitionedSink.writeDaily(
+      PartitionedSink.stamped(Seq((1, "a")).toDF("id", "v"), Some("20260801")), tmp)
+    // idempotent re-registration (the DROP must resolve the same table
+    // createTable will create — including a database qualifier)
+    for (name <- Seq("graft_reg_t", "default.graft_reg_t")) {
+      PartitionedSink.registerTable(spark, name, tmp)
+      PartitionedSink.registerTable(spark, name, tmp)
+      assert(spark.table(name).count() == 1)
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_reg_t")
+    intercept[IllegalArgumentException](
+      PartitionedSink.registerTable(spark, "x`; DROP TABLE y; --", tmp))
+    intercept[IllegalArgumentException](
+      PartitionedSink.registerTable(spark, "a..b", tmp))
+  }
+
   test("single-file contract writes exactly one part file") {
     val tmp = Files.createTempDirectory("graft-sf").toString + "/out"
     PartitionedSink.writeSingleFile(Seq((1, "x")).toDF("id", "v"), tmp)
