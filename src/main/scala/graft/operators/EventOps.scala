@@ -85,6 +85,36 @@ object EventOps {
         .orderBy("user_id", "event_id")
     }),
 
+    // Conversion funnel (view → click → purchase, strictly ordered in event
+    // time per user): each stage is a conditional-min aggregation joined to
+    // the previous stage's first-time — three shuffles on user_id, no
+    // self-cross-products; stage frames shrink monotonically so the later
+    // joins get cheaper, and the single-row stage counts broadcast. Integer
+    // microsecond comparisons for engine parity; output carries counts and
+    // conversion rates only (no raw timestamps).
+    "q77_funnel" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("v_us"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("us") > col("v_us"))
+        .groupBy("user_id").agg(min("us").as("c_us"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("us") > col("c_us"))
+        .groupBy("user_id").agg(min("us").as("p_us"))
+      ev.agg(count_distinct(col("user_id")).as("n_users"))
+        .join(broadcast(v.agg(count(lit(1)).as("n_view"))))
+        .join(broadcast(c.agg(count(lit(1)).as("n_click_after_view"))))
+        .join(broadcast(p.agg(count(lit(1)).as("n_purchase_after_click"))))
+        .select(
+          col("n_users"), col("n_view"), col("n_click_after_view"),
+          col("n_purchase_after_click"),
+          round(col("n_view") / col("n_users"), 4).as("view_rate"),
+          round(col("n_click_after_view") / col("n_view"), 4).as("click_conv"),
+          round(col("n_purchase_after_click") / col("n_click_after_view"), 4).as("purchase_conv"))
+    }),
+
     // Deterministic first/last per user via min_by/max_by on the unique
     // event_id (shuffle-safe argmin/argmax, no window needed).
     "q44_first_last" -> ((s, d) => {
@@ -149,6 +179,23 @@ object EventOps {
         |  OVER (PARTITION BY user_id ORDER BY event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_value
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q77_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        | v AS (SELECT user_id, min(us) AS v_us FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        | c AS (SELECT ev.user_id, min(us) AS c_us FROM ev JOIN v USING (user_id)
+        |       WHERE event_type = 'click' AND us > v_us GROUP BY ev.user_id),
+        | p AS (SELECT ev.user_id, min(us) AS p_us FROM ev JOIN c USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > c_us GROUP BY ev.user_id),
+        | t AS (SELECT count(DISTINCT user_id) AS n_users FROM ev),
+        | nv AS (SELECT count(*) AS n_view FROM v),
+        | nc AS (SELECT count(*) AS n_click_after_view FROM c),
+        | np AS (SELECT count(*) AS n_purchase_after_click FROM p)
+        |SELECT n_users, n_view, n_click_after_view, n_purchase_after_click,
+        | round(n_view / n_users, 4) AS view_rate,
+        | round(n_click_after_view / n_view, 4) AS click_conv,
+        | round(n_purchase_after_click / n_click_after_view, 4) AS purchase_conv
+        |FROM t, nv, nc, np""".stripMargin,
 
     "q44_first_last" ->
       """SELECT user_id,

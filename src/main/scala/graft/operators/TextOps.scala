@@ -301,6 +301,30 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Per-language KL divergence from the corpus-wide unigram distribution
+    // — the distribution-drift diagnostic for corpus slices (which strata
+    // differ most from the blend; rising KL on a slice flags a collection
+    // change). Per-token terms reuse q75's integer-millionths log scaling:
+    // KL(P_l ‖ P) ≈ Σ_tok c_lt · round(ln((c_lt/N_l)/(c_t/N))·1e6)/(N_l·1e6)
+    // — so the per-language sum is order-independent and engine-exact.
+    // Shuffles stay at |lang × vocab|, never |tokens|.
+    "q76_lang_kl" -> ((s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(col("lang"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      val lc = toks.groupBy("lang", "tok").agg(count(lit(1)).as("clt"))
+      val lt = lc.groupBy("lang").agg(sum("clt").as("nl"))
+      val cc = lc.groupBy("tok").agg(sum("clt").as("ct"))
+      val n = lt.agg(sum("nl").as("n_total"))
+      lc.join(lt, "lang").join(cc, "tok").join(broadcast(n))
+        .withColumn("term", col("clt") *
+          round(log((col("clt") / col("nl")) / (col("ct") / col("n_total"))) * 1e6).cast("long"))
+        .groupBy("lang")
+        .agg(max("nl").as("n_tokens"), sum("term").as("sterm"))
+        .select(col("lang"), col("n_tokens"),
+          round(col("sterm") / (col("n_tokens") * 1e6), 6).as("kl"))
+        .orderBy("lang")
+    }),
+
     // Corpus token frequency: explode + count — the one text op that
     // genuinely shuffles (by token); partial aggregation keeps the shuffle
     // at |vocab| not |tokens|.
@@ -440,5 +464,19 @@ object TextOps {
         |SELECT t.doc_id, count(*) AS n_tok,
         | round(CAST(sum(lp) AS DOUBLE) / (count(*) * 1000000.0), 4) AS avg_logp
         |FROM toks t JOIN logp USING (tok)
-        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "q76_lang_kl" ->
+      """WITH toks AS (SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents),
+        | lc AS (SELECT lang, tok, count(*) AS clt FROM toks GROUP BY lang, tok),
+        | lt AS (SELECT lang, CAST(sum(clt) AS BIGINT) AS nl FROM lc GROUP BY lang),
+        | cc AS (SELECT tok, CAST(sum(clt) AS BIGINT) AS ct FROM lc GROUP BY tok),
+        | n AS (SELECT CAST(sum(nl) AS BIGINT) AS n_total FROM lt),
+        | terms AS (SELECT lc.lang,
+        |   lc.clt * CAST(round(ln((lc.clt / l.nl) / (cc.ct / n.n_total)) * 1000000) AS BIGINT) AS term,
+        |   l.nl AS nl
+        |   FROM lc JOIN lt l ON lc.lang = l.lang JOIN cc ON lc.tok = cc.tok CROSS JOIN n)
+        |SELECT lang, CAST(max(nl) AS BIGINT) AS n_tokens,
+        | round(CAST(sum(term) AS DOUBLE) / (max(nl) * 1000000.0), 6) AS kl
+        |FROM terms GROUP BY lang ORDER BY lang""".stripMargin)
 }

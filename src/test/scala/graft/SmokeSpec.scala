@@ -16,6 +16,20 @@ class SmokeSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("q77 funnel stage counts are monotone non-increasing") {
+    val r = SparkEntry.queries("q77_funnel")(spark, TestSpark.sf).collect().head
+    val (nu, nv, nc, np) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_view"),
+      r.getAs[Long]("n_click_after_view"), r.getAs[Long]("n_purchase_after_click"))
+    assert(nu >= nv && nv >= nc && nc >= np && np >= 0)
+  }
+
+  test("q76 per-language KL divergence is non-negative") {
+    import org.apache.spark.sql.functions.col
+    val bad = SparkEntry.queries("q76_lang_kl")(spark, TestSpark.sf)
+      .filter(col("kl") < -1e-6).count() // integer-scaled logs can round KL a hair below 0
+    assert(bad == 0)
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs on sf0.001") {
       val df = fn(spark, TestSpark.sf)
