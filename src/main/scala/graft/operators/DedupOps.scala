@@ -102,8 +102,7 @@ object DedupOps {
       .join(shNew.select(col("doc_id").as("new_id"), col("sh").as("sh_a")), "new_id")
       .join(shOld.select(col("doc_id").as("corpus_id"), col("sh").as("sh_b")), "corpus_id")
       .withColumn("jac",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))) /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+        round(graft.plans.JaccardSimilarity.of(col("sh_a"), col("sh_b")), 4))
       .select("new_id", "corpus_id", "jac")
   }
 
@@ -162,8 +161,7 @@ object DedupOps {
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
       .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
       .withColumn("jac",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))) /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+        round(graft.plans.JaccardSimilarity.of(col("sh_a"), col("sh_b")), 4))
       .select("a", "b", "jac")
   }
 

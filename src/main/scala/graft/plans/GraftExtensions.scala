@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_md5_64"),
       Md5Lower64.info,
       (children: Seq[Expression]) => Md5Lower64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaccard"),
+      JaccardSimilarity.info,
+      (children: Seq[Expression]) => JaccardSimilarity(children.head, children(1))))
     ext.injectOptimizerRule(_ => SelfCosineToOne)
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }

@@ -164,6 +164,14 @@ object EventStream {
       .drop("tp")
   }
 
+  /** Stream-static enrichment join: attach static dimension attributes to a
+    * stream by key. Stateless — no watermark or state store involved; the
+    * static side is re-planned per micro-batch (so a refreshed dim table is
+    * picked up on the next batch), and Spark broadcasts it when small. The
+    * canonical event-enrichment shape (events ⋈ user/customer dims). */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(dim, Seq(key), "left")
+
   /** Streaming exact dedup: drop events whose event_id was already seen,
     * with state bounded by the watermark (`dropDuplicatesWithinWatermark`) —
     * duplicates arriving within the watermark window are suppressed, state

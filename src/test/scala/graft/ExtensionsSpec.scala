@@ -31,6 +31,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(sim - 1.0) < 1e-12)
   }
 
+  test("graft_jaccard matches the composed intersect/union form on shingles") {
+    val sh = graft.operators.TextOps.withShingles(
+      Tables.load(spark, TestSpark.sf, "documents").limit(60)).select("doc_id", "sh")
+    val pairs = sh.select(col("doc_id").as("a"), col("sh").as("sa")).as("x")
+      .crossJoin(sh.select(col("doc_id").as("b"), col("sh").as("sb")).as("y"))
+      .filter(col("a") < col("b"))
+      .withColumn("native", expr("graft_jaccard(sa, sb)"))
+      .withColumn("composed",
+        size(array_intersect(col("sa"), col("sb"))) / size(array_union(col("sa"), col("sb"))))
+    assert(pairs.filter(col("native") =!= col("composed")).count() == 0)
+    // edge semantics: identical → 1.0, disjoint → 0.0, both empty → NaN
+    val edges = Seq(
+      (Seq("a b", "b c"), Seq("a b", "b c")),
+      (Seq("a b"), Seq("c d")),
+      (Seq.empty[String], Seq.empty[String]))
+      .toDF("sa", "sb")
+      .select(expr("graft_jaccard(sa, sb)").as("j")).as[Double].collect()
+    assert(edges(0) == 1.0 && edges(1) == 0.0 && edges(2).isNaN)
+  }
+
   test("SelfCosineToOne rewrites to single-pass SelfCosine, preserving semantics") {
     val df = Tables.load(spark, TestSpark.sf, "embeddings")
       .select(col("embedding").cast("array<double>").as("e"))

@@ -133,6 +133,57 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS events_drained")
   }
 
+  test("stream-static enrichment joins dim attributes onto a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val stream = input.toDF().toDF("user_id", "value")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = graft.streaming.EventStream.enrichWithStatic(stream, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    input.addData((1L, 5.0), (3L, 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enriched").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getString(2)))
+    assert(rows.toSeq == Seq((1L, "gold"), (3L, null))) // unmatched keys survive (left join)
+  }
+
+  test("streaming incremental dedup flags corpus twins per micro-batch") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-docstream")
+    val sinkRoot = java.nio.file.Files.createTempDirectory("graft-docstream-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-docstream-ckpt").toString
+    val docs = graft.Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")
+    val nDocs = docs.count()
+    // corpus = every document under shifted ids → every streamed doc has an
+    // exact corpus twin
+    val corpus = docs.withColumn("doc_id", col("doc_id") + lit(1000000L))
+    docs.write.mode("overwrite").parquet(srcDir.resolve("batch0").toString)
+    val schema = docs.schema
+    def drain(): Unit = graft.streaming.DocStream.incrementalDedupDrain(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString + "/*"),
+      corpus, 0.8, sinkRoot, ckpt)
+    drain()
+    val out = spark.read.parquet(sinkRoot)
+    assert(out.count() == nDocs)
+    assert(out.filter(col("dup_jac") === 1.0).count() == nDocs,
+      "every streamed doc has an exact corpus twin and must be flagged")
+    // a later file with a genuinely novel doc is NOT flagged
+    Seq((7777777L, "utterly novel stream document zz yy xx ww vv uu tt ss rr qq " +
+      "pp oo nn mm ll kk jj ii hh gg ff ee dd cc bb aa"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(srcDir.resolve("batch1").toString)
+    drain()
+    val out2 = spark.read.parquet(sinkRoot)
+    assert(out2.count() == nDocs + 1)
+    assert(out2.filter(col("doc_id") === 7777777L).collect().head.isNullAt(
+      out2.columns.indexOf("dup_of")), "novel doc spuriously flagged")
+  }
+
   test("foreachBatch streams into the idempotent partitioned sink") {
     val root = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
     val stream = EventStream.fromDirectory(spark, eventsDir)
