@@ -439,6 +439,12 @@ object Relational {
       s.sql(lateralSql)
     }),
 
+    // Shared-SQL surface #5: FILTER clauses + named WINDOW definition.
+    "q78_sql_window_filter" -> ((s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql(windowFilterSql)
+    }),
+
     // Sketch aggregates — the 100 TB cardinality path: HLL approx-distinct
     // and quantile sketches merge in constant space per group, where exact
     // count(DISTINCT) must shuffle every distinct value. The raw sketch
@@ -563,11 +569,26 @@ object Relational {
       |WHERE t.n_orders > 0
       |ORDER BY c.c_custkey""".stripMargin
 
+  // Shared-SQL surface #5: aggregate FILTER clauses + a named WINDOW
+  // definition — one statement, verbatim on both engines.
+  // rank() is INT in Spark, BIGINT in DuckDB — the shared statement carries
+  // the cast (BUILDLOG parity lesson 6).
+  private val windowFilterSql: String =
+    """SELECT user_id, event_type, n, n_big, CAST(rnk AS BIGINT) AS rnk FROM (
+      |  SELECT user_id, event_type, n, n_big, rank() OVER w AS rnk
+      |  FROM (SELECT user_id, event_type, count(*) AS n,
+      |          count(*) FILTER (WHERE value > 50) AS n_big
+      |        FROM events GROUP BY user_id, event_type)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY n DESC, event_type))
+      |WHERE rnk <= 2
+      |ORDER BY user_id, rnk, event_type""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q46_sql_surface" -> sharedSql,
     "q54_sql_grouping_sets" -> groupingSetsSql,
     "q55_sql_correlated_exists" -> correlatedExistsSql,
     "q56_sql_lateral" -> lateralSql,
+    "q78_sql_window_filter" -> windowFilterSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
