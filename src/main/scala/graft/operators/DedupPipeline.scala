@@ -70,6 +70,25 @@ object DedupPipeline {
     dropJuniors(docs, idCol, pairs.select("a", "b"))
   }
 
+  /** Incremental dedup: rows of `newDocs` that are NOT near-duplicates (at
+    * exact-Jaccard `threshold`) of any document already in `corpus` — the
+    * batch ingest gate. Candidates come from the batch-bands × corpus-bands
+    * equi-join ([[DedupOps.minHashCrossDupPairs]]), so the corpus is never
+    * self-joined; the streaming twin is
+    * [[graft.streaming.DocStream.incrementalDedupDrain]]. Within-batch
+    * duplicates are NOT collapsed here — run [[dedup]] on the survivors if
+    * the batch itself may contain dups. */
+  def dedupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
+                         idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val dupIds = DedupOps.minHashCrossDupPairs(
+      newDocs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      corpus.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .filter(col("jac") >= threshold)
+      .select(col("new_id").as(idCol))
+      .distinct()
+    newDocs.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Cluster the near-dup pair graph, drop every non-representative. */
   private def dropJuniors(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val labeled = clusters(pairs)

@@ -148,6 +148,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(_._1 == 5000002L), "novel doc spuriously matched")
   }
 
+  test("dedupAgainstCorpus admits novel docs and drops corpus twins") {
+    import graft.operators.DedupPipeline
+    val corpus = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")
+    val copied = corpus.filter(col("doc_id") === 7L)
+      .withColumn("doc_id", lit(6000001L))
+    val novel = Seq((6000002L,
+      "wholly new content never before seen anywhere q1 w2 e3 r4 t5 y6 u7 " +
+        "i8 o9 p0 a1 s2 d3 f4 g5 h6 j7 k8 l9 z0"))
+      .toDF("doc_id", "text")
+    val kept = DedupPipeline.dedupAgainstCorpus(
+      copied.unionByName(novel), corpus, "doc_id", "text", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(6000002L), s"expected only the novel doc, got $kept")
+  }
+
   test("MinHash-LSH finds the planted near-duplicates at sf0.001") {
     val out = graft.operators.DedupOps.queries("q51_minhash_lsh")(spark, TestSpark.sf)
     val top = out.select("jac").as[Double].collect()
