@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF (inverted-file) ANN index: build ONCE — centroids plus a
+  * cell assignment for every corpus vector — then answer many top-k queries,
+  * each touching only ~nprobe/k of the corpus. This is the serving shape:
+  * q65 demonstrates the algorithm inline; a real pipeline builds the index
+  * nightly, `save`s it next to the corpus, and query jobs `load` it.
+  *
+  * Cells are seeded from the `label` column (the test corpus's natural
+  * clustering). A production build would refine them with Lloyd iterations —
+  * each being one broadcast-join + groupBy pass, same shapes as [[build]] —
+  * but cell REFINEMENT changes recall, not the index/search mechanics
+  * demonstrated and spec'd here.
+  *
+  * Scale: centroids are k×dim (tiny, always broadcast); `assigned` is one
+  * row per corpus vector, partitionable by cell; search is
+  * broadcast(queries×nprobe) ⋈ assigned on cell — never a corpus scan per
+  * query, never corpus × corpus.
+  */
+final case class IvfIndex(centroids: DataFrame, assigned: DataFrame) {
+
+  /** Top-k neighbors for each (q_id, q_emb) query row; probes the nprobe
+    * nearest cells, exact-cosine re-ranks inside them. Excludes a corpus
+    * vector whose vec_id equals the query id (self-match). */
+  def search(queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val wProbe = Window.partitionBy("q_id").orderBy(col("cdist").desc, col("cell"))
+    val probes = queries
+      .join(broadcast(centroids))
+      .withColumn("cdist", SimilarityOps.cosine(col("q_emb"), col("centroid")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cell"))
+    val wRank = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(SimilarityOps.cosine(col("q_emb"), col("emb")), 6))
+      .withColumn("rank", row_number().over(wRank).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Persist both index tables (overwrite). */
+  def save(root: String): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$root/centroids")
+    assigned.write.mode("overwrite").parquet(s"$root/assigned")
+  }
+}
+
+object IvfIndex {
+
+  /** Build from a (vec_id, emb, label) corpus: label-seeded centroids
+    * (per-position mean) and nearest-centroid cell assignment. */
+  def build(vecs: DataFrame): IvfIndex = {
+    val centroids = vecs
+      .select(col("label").as("cell"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(avg("x").as("cx"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .withColumn("centroid", expr("transform(pairs, p -> p.cx)"))
+      .select("cell", "centroid")
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist").desc, col("cell"))
+    val assigned = vecs.join(broadcast(centroids))
+      .withColumn("cdist", SimilarityOps.cosine(col("emb"), col("centroid")))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("emb"), col("cell"))
+    IvfIndex(centroids, assigned)
+  }
+
+  def load(spark: SparkSession, root: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$root/centroids"),
+      spark.read.parquet(s"$root/assigned"))
+}

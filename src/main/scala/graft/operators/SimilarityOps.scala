@@ -102,40 +102,15 @@ object SimilarityOps {
     * test embeddings are isotropic gaussians (no cluster structure — the
     * adversarial worst case for any sublinear ANN), so measured recall at
     * small nprobe is data-limited, not a defect; q67 reports it honestly. */
+  /** q65's algorithm through the reusable [[IvfIndex]] build/search API —
+    * same plan, same oracle: build is centroid agg + one broadcast-join
+    * assignment pass; search probes nprobe cells per query. */
   private[graft] def ivfTopK(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val v = vectors(s, d)
-    val centroids = v
-      .select(col("label").as("cell"), posexplode(col("emb")).as(Seq("pos", "x")))
-      .groupBy("cell", "pos")
-      .agg(avg("x").as("cx"))
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
-      .withColumn("centroid", expr("transform(pairs, p -> p.cx)"))
-      .select("cell", "centroid")
-    // nearest-cell assignment for every vector (corpus × k, k tiny)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist").desc, col("cell"))
-    val assigned = v.join(broadcast(centroids))
-      .withColumn("cdist", cosine(col("emb"), col("centroid")))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("emb"), col("cell"))
-    // queries probe their nprobe nearest cells
-    val wProbe = Window.partitionBy("q_id").orderBy(col("cdist").desc, col("cell"))
-    val probes = v.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-      .join(broadcast(centroids))
-      .withColumn("cdist", cosine(col("q_emb"), col("centroid")))
-      .withColumn("rk", row_number().over(wProbe))
-      .filter(col("rk") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("cell"))
-    val wRank = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", round(cosine(col("q_emb"), col("emb")), 6))
-      .withColumn("rank", row_number().over(wRank).cast("bigint"))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("sim"))
-      .orderBy("q_id", "rank")
+    IvfIndex.build(v).search(
+      v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb")),
+      k = 5, nprobe = nprobe)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -77,6 +77,23 @@ class SimilaritySpec extends AnyFunSuite {
     // reports the honest measurement and is oracle-checked.
   }
 
+  test("IvfIndex save/load round-trips and reproduces the inline search") {
+    import graft.operators.IvfIndex
+    val v = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
+    val queries = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val idx = IvfIndex.build(v)
+    val direct = idx.search(queries, k = 5, nprobe = 3)
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    idx.save(root)
+    val reloaded = IvfIndex.load(spark, root).search(queries, k = 5, nprobe = 3)
+    assert(direct.exceptAll(reloaded).isEmpty && reloaded.exceptAll(direct).isEmpty)
+    // the declared q65 runs through the same API
+    val q65 = SimilarityOps.queries("q65_ann_ivf")(spark, TestSpark.sf)
+    assert(q65.exceptAll(direct).isEmpty && direct.exceptAll(q65).isEmpty)
+  }
+
   test("q67 recall measurement is consistent with its inputs") {
     import graft.operators.SimilarityOps
     val out = SimilarityOps.queries("q67_ann_recall")(spark, TestSpark.sf)
