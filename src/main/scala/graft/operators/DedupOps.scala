@@ -83,28 +83,50 @@ object DedupOps {
       .groupBy("doc_id")
       .agg(MinHashPermAgg.sketch(col("x"), numHashes).as("sig"))
 
+  /** Prebuilt corpus side of the incremental-dedup join: the shingle table
+    * and the LSH band table, computed ONCE and reused across every incoming
+    * batch (per micro-batch recompute of the corpus side — the side that
+    * dwarfs each batch — is the first thing to hurt at scale). `persist()`
+    * before a multi-batch drain; at 100 TB both frames live as bucketed
+    * tables (bands bucketed on the band key → co-located candidate join). */
+  final case class MinHashCorpusIndex(shingles: DataFrame, bands: DataFrame) {
+    def persist(): this.type = {
+      shingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      this
+    }
+    def unpersist(): Unit = { shingles.unpersist(); bands.unpersist() }
+  }
+
+  /** Index a (doc_id, text) corpus for incremental dedup. */
+  def indexCorpus(corpus: DataFrame): MinHashCorpusIndex = {
+    val sh = TextOps.withShingles(corpus).select("doc_id", "sh")
+    MinHashCorpusIndex(sh, bandedSignatures(sh))
+  }
+
   /** INCREMENTAL dedup pair detection: match a NEW batch of (doc_id, text)
-    * documents against an EXISTING corpus — the nightly-ingest shape, where
-    * the corpus side's band table is precomputed once and each incoming
-    * batch joins against it (never corpus × corpus). Candidates are an
-    * equi-join of the (small) batch band table against the corpus band
-    * table; at 100 TB the corpus bands live as a bucketed table on the band
-    * key so the join is co-located. Returns (new_id, corpus_id, jac). */
-  def minHashCrossDupPairs(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+    * documents against an EXISTING indexed corpus — the nightly-ingest
+    * shape (never corpus × corpus). Candidates are an equi-join of the
+    * (small) batch band table against the corpus band table.
+    * Returns (new_id, corpus_id, jac). */
+  def minHashCrossDupPairs(newDocs: DataFrame, corpus: MinHashCorpusIndex): DataFrame = {
     val shNew = TextOps.withShingles(newDocs).select("doc_id", "sh")
-    val shOld = TextOps.withShingles(corpus).select("doc_id", "sh")
     val candidates = bandedSignatures(shNew).as("x")
-      .join(bandedSignatures(shOld).as("y"),
+      .join(corpus.bands.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
     candidates
       .join(shNew.select(col("doc_id").as("new_id"), col("sh").as("sh_a")), "new_id")
-      .join(shOld.select(col("doc_id").as("corpus_id"), col("sh").as("sh_b")), "corpus_id")
+      .join(corpus.shingles.select(col("doc_id").as("corpus_id"), col("sh").as("sh_b")), "corpus_id")
       .withColumn("jac",
         round(graft.plans.JaccardSimilarity.of(col("sh_a"), col("sh_b")), 4))
       .select("new_id", "corpus_id", "jac")
   }
+
+  /** One-shot convenience: index the corpus inline. */
+  def minHashCrossDupPairs(newDocs: DataFrame, corpus: DataFrame): DataFrame =
+    minHashCrossDupPairs(newDocs, indexCorpus(corpus))
 
   /** SimHash near-dup pair detection over any (doc_id, text) frame:
     * 64-bit signatures from md5 token hashes ([[SimHashSketchAgg]]), 16-bit

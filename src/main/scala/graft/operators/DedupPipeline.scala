@@ -77,9 +77,19 @@ object DedupPipeline {
     * self-joined; the streaming twin is
     * [[graft.streaming.DocStream.incrementalDedupDrain]]. Within-batch
     * duplicates are NOT collapsed here — run [[dedup]] on the survivors if
-    * the batch itself may contain dups. */
+    * the batch itself may contain dups.
+    *
+    * RECALL floor: candidate generation is the 8-band × 4-row LSH, whose
+    * collision probability at Jaccard j is 1-(1-j⁴)⁸ — ≈0.99 at j=0.8 but
+    * only ≈0.06 at j=0.3, so a low threshold would silently admit most of
+    * its true duplicates; thresholds below 0.7 are rejected rather than
+    * pretending completeness the bands can't deliver. */
   def dedupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
                          idCol: String, textCol: String, threshold: Double): DataFrame = {
+    require(threshold >= 0.7,
+      f"dedupAgainstCorpus: LSH candidate recall at jaccard $threshold%.2f is " +
+        f"${1 - math.pow(1 - math.pow(threshold, 4), 8)}%.2f — thresholds below 0.7 " +
+        "would silently miss most true duplicates; use a wider-band index instead")
     val dupIds = DedupOps.minHashCrossDupPairs(
       newDocs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
       corpus.select(col(idCol).as("doc_id"), col(textCol).as("text")))

@@ -53,17 +53,24 @@ final case class IvfIndex(centroids: DataFrame, assigned: DataFrame) {
 
 object IvfIndex {
 
+  /** Per-key element-wise mean centroids of (keyCol, emb) rows — ONE
+    * definition shared by [[build]] and q64_label_centroids (posexplode →
+    * per-position avg → ordered re-assembly; any change here must keep
+    * oracle parity for both). */
+  private[operators] def centroidsOf(vecs: DataFrame, keyCol: String, outKey: String): DataFrame =
+    vecs
+      .select(col(keyCol).as(outKey), posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy(outKey, "pos")
+      .agg(avg("x").as("cx"))
+      .groupBy(outKey)
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .withColumn("centroid", expr("transform(pairs, p -> p.cx)"))
+      .select(outKey, "centroid")
+
   /** Build from a (vec_id, emb, label) corpus: label-seeded centroids
     * (per-position mean) and nearest-centroid cell assignment. */
   def build(vecs: DataFrame): IvfIndex = {
-    val centroids = vecs
-      .select(col("label").as("cell"), posexplode(col("emb")).as(Seq("pos", "x")))
-      .groupBy("cell", "pos")
-      .agg(avg("x").as("cx"))
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
-      .withColumn("centroid", expr("transform(pairs, p -> p.cx)"))
-      .select("cell", "centroid")
+    val centroids = centroidsOf(vecs, "label", "cell")
     val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist").desc, col("cell"))
     val assigned = vecs.join(broadcast(centroids))
       .withColumn("cdist", SimilarityOps.cosine(col("emb"), col("centroid")))

@@ -96,15 +96,15 @@ object SimilarityOps {
       .select("a", "b", "sim")
   }
 
-  /** IVF search with a configurable probe width. At nprobe = #cells this
-    * degrades gracefully to exact brute force (recall 1.0 by construction —
-    * asserted in SimilaritySpec); recall is monotone in nprobe. NOTE the
-    * test embeddings are isotropic gaussians (no cluster structure — the
+  /** IVF search with a configurable probe width, through the reusable
+    * [[IvfIndex]] build/search API (same plan, same oracle: build is
+    * centroid agg + one broadcast-join assignment pass; search probes
+    * nprobe cells per query). At nprobe = #cells this degrades gracefully
+    * to exact brute force (recall 1.0 by construction — asserted in
+    * SimilaritySpec); recall is monotone in nprobe. NOTE the test
+    * embeddings are isotropic gaussians (no cluster structure — the
     * adversarial worst case for any sublinear ANN), so measured recall at
     * small nprobe is data-limited, not a defect; q67 reports it honestly. */
-  /** q65's algorithm through the reusable [[IvfIndex]] build/search API —
-    * same plan, same oracle: build is centroid agg + one broadcast-join
-    * assignment pass; search probes nprobe cells per query. */
   private[graft] def ivfTopK(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     val v = vectors(s, d)
     IvfIndex.build(v).search(
@@ -230,14 +230,7 @@ object SimilarityOps {
     // then the full label×label centroid cosine matrix. Oracle: per-position
     // unnest + avg + ordered list() in DuckDB.
     "q64_label_centroids" -> ((s, d) => {
-      val centroids = vectors(s, d)
-        .select(col("label"), posexplode(col("emb")).as(Seq("pos", "x")))
-        .groupBy("label", "pos")
-        .agg(avg("x").as("cx"))
-        .groupBy("label")
-        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
-        .withColumn("centroid", expr("transform(pairs, p -> p.cx)"))
-        .select("label", "centroid")
+      val centroids = IvfIndex.centroidsOf(vectors(s, d), "label", "label")
       centroids.select(col("label").as("la"), col("centroid").as("ca")).as("x")
         .join(centroids.select(col("label").as("lb"), col("centroid").as("cb")).as("y"),
           col("la") < col("lb"))

@@ -24,30 +24,45 @@ object DocStream {
 
   /** Drain a (doc_id, text) document stream, flagging each doc's best
     * verified corpus near-duplicate (`dup_of`, `dup_jac` — null when none
-    * at `threshold`), and append results to parquet under `root`.
-    * Exactly-once per checkpoint; re-invoking on a schedule drains only
-    * new arrivals. */
+    * at `threshold`), writing results under `root` partitioned by batch_id.
+    *
+    * Effectively-once: foreachBatch is at-least-once, so a batch REPLAYED
+    * after a crash re-derives the same batch_id and dynamic partition
+    * overwrite replaces exactly that partition — a plain append would
+    * duplicate the batch's rows (same idempotency scheme as
+    * [[EventStream.toPartitionedParquet]]). The corpus is indexed ONCE and
+    * persisted across micro-batches — per-batch recompute of the corpus
+    * shingle/sketch/band pipeline (the side that dwarfs each batch) is the
+    * expensive mistake here. Re-invoking on a schedule with the same
+    * checkpoint drains only new arrivals. */
   def incrementalDedupDrain(docsStream: DataFrame, corpus: DataFrame,
                             threshold: Double, root: String, checkpoint: String): Unit = {
-    val q = docsStream.writeStream
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val pairs = graft.operators.DedupOps
-          .minHashCrossDupPairs(batch.toDF(), corpus)
-          .filter(col("jac") >= threshold)
-        val best = pairs
-          .groupBy("new_id")
-          .agg(max_by(col("corpus_id"), struct(col("jac"), -col("corpus_id"))).as("dup_of"),
-            max("jac").as("dup_jac"))
-        batch.toDF()
-          .join(best, batch("doc_id") === best("new_id"), "left")
-          .drop("new_id")
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(root)
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val index = graft.operators.DedupOps.indexCorpus(corpus).persist()
+    try {
+      val q = docsStream.writeStream
+        .outputMode(OutputMode.Append)
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          val pairs = graft.operators.DedupOps
+            .minHashCrossDupPairs(batch.toDF(), index)
+            .filter(col("jac") >= threshold)
+          val best = pairs
+            .groupBy("new_id")
+            .agg(max_by(col("corpus_id"), struct(col("jac"), -col("corpus_id"))).as("dup_of"),
+              max("jac").as("dup_jac"))
+          batch.toDF()
+            .join(best, batch("doc_id") === best("new_id"), "left")
+            .drop("new_id")
+            .withColumn("batch_id", lit(batchId))
+            .write
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .mode("overwrite")
+            .parquet(root)
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally index.unpersist()
   }
 }

@@ -41,14 +41,22 @@ class ExtensionsSpec extends AnyFunSuite {
       .withColumn("composed",
         size(array_intersect(col("sa"), col("sb"))) / size(array_union(col("sa"), col("sb"))))
     assert(pairs.filter(col("native") =!= col("composed")).count() == 0)
-    // edge semantics: identical → 1.0, disjoint → 0.0, both empty → NaN
+    // edge semantics: identical → 1.0, disjoint → 0.0, both empty → NULL
+    // (0/0: Spark Divide yields NULL on a zero divisor, and NULL — unlike
+    // NaN — never passes a >= threshold filter)
     val edges = Seq(
       (Seq("a b", "b c"), Seq("a b", "b c")),
       (Seq("a b"), Seq("c d")),
       (Seq.empty[String], Seq.empty[String]))
       .toDF("sa", "sb")
-      .select(expr("graft_jaccard(sa, sb)").as("j")).as[Double].collect()
-    assert(edges(0) == 1.0 && edges(1) == 0.0 && edges(2).isNaN)
+      .select(expr("graft_jaccard(sa, sb)").as("j"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(edges(0).contains(1.0) && edges(1).contains(0.0) && edges(2).isEmpty)
+    // null ELEMENTS are distinct set members, never conflated with ""
+    val withNull = Seq((Seq("a", null), Seq("a")))
+      .toDF("sa", "sb")
+      .select(expr("graft_jaccard(sa, sb)").as("j")).as[Double].head()
+    assert(withNull == 0.5, s"null element mishandled: $withNull")
   }
 
   test("SelfCosineToOne rewrites to single-pass SelfCosine, preserving semantics") {
