@@ -56,6 +56,23 @@ object ScaleProbe {
     // ANN: brute-force corpus pass vs LSH bucketed candidates, same queries,
     // replicated corpus — the gap should WIDEN with corpus size since LSH
     // probes touch only same-bucket vectors.
+    // SKEW probe: boilerplate text (10% of docs byte-identical) makes ONE
+    // band bucket hot — candidate generation inside that bucket is
+    // quadratic, which no banding scheme avoids for identical text. The
+    // pipeline answer is ORDER: exact dedup FIRST (hash-groupBy, cheap)
+    // collapses the boilerplate to one representative, and near-dedup gets
+    // its join-bound shape back. Measured here so the lesson has numbers.
+    val boiler = "this page is intentionally left blank see the index for details " * 8
+    val skewed = docs1.withColumn("text",
+      when(col("doc_id") % 10 === 0, lit(boiler)).otherwise(col("text")))
+    val sk = time("minhash skewed (10% boilerplate)")(
+      graft.operators.DedupOps.minHashNearDupPairs(skewed).filter(col("jac") >= 0.8).count())
+    val exactFirst = graft.operators.DedupPipeline.dedup(skewed, "doc_id", "text",
+      graft.operators.DedupPipeline.Exact)
+    val skE = time("minhash skewed, exact-dedup first")(
+      graft.operators.DedupOps.minHashNearDupPairs(exactFirst).filter(col("jac") >= 0.8).count())
+    println(s"[probe] skew: pairs $sk raw vs $skE after exact dedup")
+
     val emb1 = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding", "label")
     val embK = replicate(emb1, "vec_id", k)
     // stage replicated corpora under the table layout Tables.load expects
