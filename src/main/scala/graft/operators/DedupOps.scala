@@ -63,7 +63,10 @@ object DedupOps {
   /** LSH band table for a (doc_id, sh) frame: one row per (doc, band) with
     * the band signature. Band signature = the raw minhash slice (4 longs),
     * NOT a re-hash: the join key is slightly wider but stays replayable by
-    * the SQL oracle. */
+    * the SQL oracle. `bucket_key` = xxhash64(band, bsig) rides along as the
+    * atomic column bucketed persistence and co-located joins key on (it is
+    * determined by (band, bsig), so including it in a join changes no
+    * semantics). */
   private def bandedSignatures(shingled: DataFrame): DataFrame = {
     val bandStructs = (0 until numBands).map { b =>
       struct(lit(b).as("band"), slice(col("sig"), b * bandRows + 1, bandRows).as("bsig"))
@@ -71,6 +74,7 @@ object DedupOps {
     signatures(shingled)
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+      .withColumn("bucket_key", xxhash64(col("band"), col("bsig")))
   }
 
   /** MinHash signatures via the single imperative permutation sketch
@@ -96,7 +100,29 @@ object DedupOps {
       this
     }
     def unpersist(): Unit = { shingles.unpersist(); bands.unpersist() }
+
+    /** Persist the index AT REST as catalog tables, with the band table
+      * BUCKETED on `bucket_key` (= xxhash64(band, bsig) — bucketing
+      * requires an atomic column; the composite key is carried alongside
+      * for the exact join). A batch whose band frame is repartitioned on
+      * the same key then joins the loaded corpus bands without shuffling
+      * the corpus side — the 100 TB nightly-ingest layout, where the
+      * corpus index is written once per compaction and every batch join
+      * is corpus-stationary. */
+    def saveAsTables(namePrefix: String, nBuckets: Int = 32): Unit = {
+      shingles.write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${namePrefix}_shingles")
+      bands.write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, "bucket_key")
+        .saveAsTable(s"${namePrefix}_bands")
+    }
   }
+
+  /** Load an index written by [[MinHashCorpusIndex.saveAsTables]]. */
+  def loadCorpusIndex(s: SparkSession, namePrefix: String): MinHashCorpusIndex =
+    MinHashCorpusIndex(
+      s.table(s"${namePrefix}_shingles"),
+      s.table(s"${namePrefix}_bands"))
 
   /** Index a (doc_id, text) corpus for incremental dedup. */
   def indexCorpus(corpus: DataFrame): MinHashCorpusIndex = {
@@ -111,9 +137,14 @@ object DedupOps {
     * Returns (new_id, corpus_id, jac). */
   def minHashCrossDupPairs(newDocs: DataFrame, corpus: MinHashCorpusIndex): DataFrame = {
     val shNew = TextOps.withShingles(newDocs).select("doc_id", "sh")
+    // bucket_key leads the join keys: against a saveAsTables-bucketed
+    // corpus the scan's HashPartitioning(bucket_key) satisfies the join's
+    // clustering requirement, so the corpus side joins WITHOUT a shuffle
+    // (only the small batch side repartitions)
     val candidates = bandedSignatures(shNew).as("x")
       .join(corpus.bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
+        col("x.bucket_key") === col("y.bucket_key") &&
+          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
     candidates

@@ -67,16 +67,39 @@ object IvfIndex {
       .withColumn("centroid", expr("transform(pairs, p -> p.cx)"))
       .select(outKey, "centroid")
 
-  /** Build from a (vec_id, emb, label) corpus: label-seeded centroids
-    * (per-position mean) and nearest-centroid cell assignment. */
-  def build(vecs: DataFrame): IvfIndex = {
-    val centroids = centroidsOf(vecs, "label", "cell")
+  /** Nearest-centroid cell for every (vec_id, emb) row (ties broken on the
+    * smaller cell id). One broadcast join — centroids are always tiny. */
+  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist").desc, col("cell"))
-    val assigned = vecs.join(broadcast(centroids))
+    vecs.join(broadcast(centroids))
       .withColumn("cdist", SimilarityOps.cosine(col("emb"), col("centroid")))
       .withColumn("rk", row_number().over(wAssign))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("emb"), col("cell"))
+  }
+
+  /** Build from a (vec_id, emb, label) corpus: label-seeded centroids
+    * (per-position mean) and nearest-centroid cell assignment. */
+  def build(vecs: DataFrame): IvfIndex = {
+    val centroids = centroidsOf(vecs, "label", "cell")
+    IvfIndex(centroids, assign(vecs.select("vec_id", "emb"), centroids))
+  }
+
+  /** Lloyd refinement: recompute each cell's centroid as the mean of its
+    * current members, then reassign — `iters` times. Each iteration is one
+    * aggregation plus one broadcast-join pass (the k-means step, with the
+    * cell count fixed by the seeds; a cell that loses all members simply
+    * stops attracting). The assignment objective (mean cosine of a vector
+    * to its cell centroid) is non-decreasing. Pointless when seeds already
+    * match the data's clustering (the label-seeded test corpus) — it
+    * matters for poor seeds or drifted corpora. */
+  def refine(index: IvfIndex, iters: Int): IvfIndex = {
+    var centroids = index.centroids
+    var assigned = index.assigned
+    for (_ <- 1 to iters) {
+      centroids = centroidsOf(assigned.select(col("cell").as("k"), col("emb")), "k", "cell")
+      assigned = assign(assigned.select("vec_id", "emb"), centroids)
+    }
     IvfIndex(centroids, assigned)
   }
 

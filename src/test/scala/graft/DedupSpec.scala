@@ -148,6 +148,26 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(_._1 == 5000002L), "novel doc spuriously matched")
   }
 
+  test("bucketed corpus index round-trips and joins without shuffling the corpus side") {
+    import graft.operators.DedupOps
+    val docs = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val inline = DedupOps.minHashCrossDupPairs(batch, corpus)
+    DedupOps.indexCorpus(corpus).saveAsTables("graft_mh_idx", nBuckets = 4)
+    val loaded = DedupOps.loadCorpusIndex(spark, "graft_mh_idx")
+    val viaTables = DedupOps.minHashCrossDupPairs(batch, loaded)
+    assert(inline.exceptAll(viaTables).isEmpty && viaTables.exceptAll(inline).isEmpty)
+    // the bucketed band scan must reach the join without an Exchange above
+    // it: the scan's HashPartitioning(bucket_key) satisfies the join's
+    // clustering requirement, so only the batch side repartitions
+    viaTables.collect()
+    val plan = viaTables.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), s"corpus band scan not bucketed:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS graft_mh_idx_shingles")
+    spark.sql("DROP TABLE IF EXISTS graft_mh_idx_bands")
+  }
+
   test("dedupAgainstCorpus admits novel docs and drops corpus twins") {
     import graft.operators.DedupPipeline
     val corpus = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")

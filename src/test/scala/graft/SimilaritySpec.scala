@@ -94,6 +94,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(q65.exceptAll(direct).isEmpty && direct.exceptAll(q65).isEmpty)
   }
 
+  test("IvfIndex.refine recovers true clusters from scrambled seeds") {
+    import graft.operators.IvfIndex
+    // three tight clusters around orthogonal axes in 8-dim; 30% of the
+    // seed labels are CORRUPTED (the realistic poor-seed case — fully
+    // random seeds collapse to one near-mean centroid each, a k-means
+    // local optimum no refinement escapes)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 90).map { i =>
+      val trueCluster = i / 30
+      val base = Array.fill(8)(0.0)
+      base(trueCluster) = 1.0
+      val emb = base.map(_ + rnd.nextGaussian() * 0.05).toSeq
+      val label = if (rnd.nextDouble() < 0.3) rnd.nextInt(3) else trueCluster
+      (i.toLong, emb, label)
+    }
+    val vecs = rows.toDF("vec_id", "emb", "label")
+    def objective(idx: IvfIndex): Double =
+      idx.assigned.join(idx.centroids, "cell")
+        .select(avg(SimilarityOps.cosine(col("emb"), col("centroid"))))
+        .as[Double].head()
+    val seeded = IvfIndex.build(vecs)
+    val refined = IvfIndex.refine(seeded, 5)
+    assert(objective(refined) >= objective(seeded) - 1e-9,
+      "Lloyd refinement decreased the assignment objective")
+    // with well-separated clusters, refinement must reach purity 1: every
+    // cell contains vectors of exactly one true cluster
+    val purity = refined.assigned
+      .withColumn("true_cluster", (col("vec_id") / 30).cast("int"))
+      .groupBy("cell").agg(count_distinct(col("true_cluster")).as("k"))
+      .agg(max("k")).as[Long].head()
+    assert(purity == 1L, s"a refined cell still mixes $purity true clusters")
+  }
+
   test("q67 recall measurement is consistent with its inputs") {
     import graft.operators.SimilarityOps
     val out = SimilarityOps.queries("q67_ann_recall")(spark, TestSpark.sf)
