@@ -53,9 +53,6 @@ object ScaleProbe {
       graft.operators.DedupOps.simHashNearDupPairs(docsK).filter(col("hamming") <= 3).count())
     println(s"[probe] simhash verified pairs: $s1 -> $sK")
 
-    // ANN: brute-force corpus pass vs LSH bucketed candidates, same queries,
-    // replicated corpus — the gap should WIDEN with corpus size since LSH
-    // probes touch only same-bucket vectors.
     // SKEW probe: boilerplate text (10% of docs byte-identical) makes ONE
     // band bucket hot — candidate generation inside that bucket is
     // quadratic, which no banding scheme avoids for identical text. The
@@ -73,6 +70,9 @@ object ScaleProbe {
       graft.operators.DedupOps.minHashNearDupPairs(exactFirst).filter(col("jac") >= 0.8).count())
     println(s"[probe] skew: pairs $sk raw vs $skE after exact dedup")
 
+    // ANN: brute-force corpus pass vs LSH bucketed candidates, same queries,
+    // replicated corpus — the gap should WIDEN with corpus size since LSH
+    // probes touch only same-bucket vectors.
     val emb1 = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding", "label")
     val embK = replicate(emb1, "vec_id", k)
     // stage replicated corpora under the table layout Tables.load expects

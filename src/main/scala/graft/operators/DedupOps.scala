@@ -102,19 +102,25 @@ object DedupOps {
     def unpersist(): Unit = { shingles.unpersist(); bands.unpersist() }
 
     /** Persist the index AT REST as catalog tables, with the band table
-      * BUCKETED on `bucket_key` (= xxhash64(band, bsig) — bucketing
-      * requires an atomic column; the composite key is carried alongside
-      * for the exact join). A batch whose band frame is repartitioned on
-      * the same key then joins the loaded corpus bands without shuffling
-      * the corpus side — the 100 TB nightly-ingest layout, where the
-      * corpus index is written once per compaction and every batch join
-      * is corpus-stationary. */
+      * BUCKETED on exactly the candidate join's keys (bucket_key, band,
+      * bsig) — the scan's HashPartitioning then fully covers the join's
+      * clustering requirement, so the loaded corpus joins each batch with
+      * ZERO corpus-side shuffle (spec-asserted on the sort-merge path; a
+      * subset of the keys is NOT enough — Spark requires all clustering
+      * keys covered for co-partitioning by default). The 100 TB
+      * nightly-ingest layout: index written once per compaction, every
+      * batch join corpus-stationary. */
     def saveAsTables(namePrefix: String, nBuckets: Int = 32): Unit = {
-      shingles.write.mode("overwrite").format("parquet")
-        .saveAsTable(s"${namePrefix}_shingles")
-      bands.write.mode("overwrite").format("parquet")
-        .bucketBy(nBuckets, "bucket_key")
-        .saveAsTable(s"${namePrefix}_bands")
+      // both writes read the shingle pipeline; cache it for the duration
+      // so the expensive sketch aggregation runs once, not twice
+      shingles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        shingles.write.mode("overwrite").format("parquet")
+          .saveAsTable(s"${namePrefix}_shingles")
+        bands.write.mode("overwrite").format("parquet")
+          .bucketBy(nBuckets, "bucket_key", "band", "bsig")
+          .saveAsTable(s"${namePrefix}_bands")
+      } finally shingles.unpersist()
     }
   }
 

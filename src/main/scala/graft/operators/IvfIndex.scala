@@ -11,10 +11,10 @@ import org.apache.spark.sql.functions._
   * nightly, `save`s it next to the corpus, and query jobs `load` it.
   *
   * Cells are seeded from the `label` column (the test corpus's natural
-  * clustering). A production build would refine them with Lloyd iterations —
-  * each being one broadcast-join + groupBy pass, same shapes as [[build]] —
-  * but cell REFINEMENT changes recall, not the index/search mechanics
-  * demonstrated and spec'd here.
+  * clustering) and can be improved with [[IvfIndex.refine]] — spherical
+  * k-means Lloyd iterations, each one aggregation + one broadcast-join
+  * pass. Refinement changes recall, not the index/search mechanics, so the
+  * oracle-checked q65 path runs unrefined.
   *
   * Scale: centroids are k×dim (tiny, always broadcast); `assigned` is one
   * row per corpus vector, partitionable by cell; search is
@@ -85,20 +85,30 @@ object IvfIndex {
     IvfIndex(centroids, assign(vecs.select("vec_id", "emb"), centroids))
   }
 
-  /** Lloyd refinement: recompute each cell's centroid as the mean of its
-    * current members, then reassign — `iters` times. Each iteration is one
-    * aggregation plus one broadcast-join pass (the k-means step, with the
-    * cell count fixed by the seeds; a cell that loses all members simply
-    * stops attracting). The assignment objective (mean cosine of a vector
-    * to its cell centroid) is non-decreasing. Pointless when seeds already
-    * match the data's clustering (the label-seeded test corpus) — it
-    * matters for poor seeds or drifted corpora. */
+  /** SPHERICAL k-means Lloyd refinement: recompute each cell's centroid as
+    * the mean DIRECTION of its members (vectors are L2-normalized before
+    * averaging — the raw mean only maximizes cosine for unit-norm corpora;
+    * a high-norm outlier would drag the direction and could DECREASE the
+    * objective), then reassign — `iters` times. Each iteration is one
+    * aggregation plus one broadcast-join pass; a cell that loses all
+    * members simply stops attracting. The assignment objective (mean
+    * cosine to the cell centroid) is non-decreasing. Iterations are
+    * MATERIALIZED (localCheckpoint, as in DedupPipeline.clusters):
+    * `assigned` feeds both the centroid recompute and the reassign, so a
+    * lazy chain would double the plan per iteration. Matters for poor
+    * seeds or drifted corpora; pointless when seeds already match the
+    * clustering. */
   def refine(index: IvfIndex, iters: Int): IvfIndex = {
     var centroids = index.centroids
-    var assigned = index.assigned
+    var assigned = index.assigned.localCheckpoint(true)
     for (_ <- 1 to iters) {
-      centroids = centroidsOf(assigned.select(col("cell").as("k"), col("emb")), "k", "cell")
-      assigned = assign(assigned.select("vec_id", "emb"), centroids)
+      val unit = assigned
+        .withColumn("n2", aggregate(transform(col("emb"), x => x * x), lit(0.0), (a, x) => a + x))
+        .withColumn("emb",
+          when(col("n2") > 0, transform(col("emb"), x => x / sqrt(col("n2"))))
+            .otherwise(col("emb")))
+      centroids = centroidsOf(unit.select(col("cell").as("k"), col("emb")), "k", "cell")
+      assigned = assign(assigned.select("vec_id", "emb"), centroids).localCheckpoint(true)
     }
     IvfIndex(centroids, assigned)
   }

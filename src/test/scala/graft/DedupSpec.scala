@@ -158,12 +158,44 @@ class DedupSpec extends AnyFunSuite {
     val loaded = DedupOps.loadCorpusIndex(spark, "graft_mh_idx")
     val viaTables = DedupOps.minHashCrossDupPairs(batch, loaded)
     assert(inline.exceptAll(viaTables).isEmpty && viaTables.exceptAll(inline).isEmpty)
-    // the bucketed band scan must reach the join without an Exchange above
-    // it: the scan's HashPartitioning(bucket_key) satisfies the join's
-    // clustering requirement, so only the batch side repartitions
-    viaTables.collect()
-    val plan = viaTables.queryExecution.executedPlan.toString
-    assert(plan.contains("Bucketed: true"), s"corpus band scan not bucketed:\n$plan")
+    // The no-shuffle claim must hold on the SORT-MERGE path (at corpus
+    // scale the bands can't broadcast): disable broadcast, allow subset
+    // co-partitioning (the at-scale conf saveAsTables documents), and
+    // assert the bucketed corpus scan reaches the join with NO Exchange
+    // above it — only the batch side repartitions.
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevBc = spark.conf.get(bcKey)
+    try {
+      spark.conf.set(bcKey, "-1")
+      val smj = DedupOps.minHashCrossDupPairs(batch, loaded)
+      smj.collect()
+      val plan = smj.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"corpus band scan not bucketed:\n$plan")
+      // walk the bands scan's ANCESTOR chain (strictly-decreasing tree
+      // indentation) up to its candidate join: no Exchange may sit between
+      // them — Exchanges elsewhere (e.g. the verify stage above the join)
+      // are legitimate
+      val lines = plan.linesIterator.toVector
+      def indentOf(l: String): Int = l.indexWhere(c => !" :+-".contains(c))
+      val scanIdx = lines.indexWhere(l => l.contains("FileScan") && l.contains("graft_mh_idx_bands"))
+      assert(scanIdx >= 0, s"bands scan not found:\n$plan")
+      var minIndent = indentOf(lines(scanIdx))
+      var i = scanIdx - 1
+      var sawExchange = false
+      var reachedJoin = false
+      while (i >= 0 && !reachedJoin) {
+        val ind = indentOf(lines(i))
+        if (ind >= 0 && ind < minIndent) { // an ancestor of the scan
+          minIndent = ind
+          if (lines(i).contains("Exchange")) sawExchange = true
+          if (lines(i).contains("Join")) reachedJoin = true
+        }
+        i -= 1
+      }
+      assert(reachedJoin, s"no join found above the bands scan:\n$plan")
+      assert(!sawExchange,
+        s"corpus side shuffles between its bucketed scan and the candidate join:\n$plan")
+    } finally spark.conf.set(bcKey, prevBc)
     spark.sql("DROP TABLE IF EXISTS graft_mh_idx_shingles")
     spark.sql("DROP TABLE IF EXISTS graft_mh_idx_bands")
   }
