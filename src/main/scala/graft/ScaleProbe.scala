@@ -26,6 +26,8 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-probe-wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -69,6 +71,19 @@ object ScaleProbe {
     val skE = time("minhash skewed, exact-dedup first")(
       graft.operators.DedupOps.minHashNearDupPairs(exactFirst).filter(col("jac") >= 0.8).count())
     println(s"[probe] skew: pairs $sk raw vs $skE after exact dedup")
+
+    // INCREMENTAL dedup at scale: a 1x batch against the kx corpus through
+    // the bucketed at-rest index — index build is the one-time cost, the
+    // per-batch join stays corpus-stationary (no corpus-side shuffle).
+    val idxBuild = time(s"corpus index build+save ${k}x")(
+      graft.operators.DedupOps.indexCorpus(docsK).saveAsTables("probe_mh_idx"))
+    val loadedIdx = graft.operators.DedupOps.loadCorpusIndex(spark, "probe_mh_idx")
+    val incr = time(s"incremental batch 1x vs corpus ${k}x")(
+      graft.operators.DedupOps.minHashCrossDupPairs(
+        docs1.withColumn("doc_id", col("doc_id") + 100000000L), loadedIdx)
+        .filter(col("jac") >= 0.8).count())
+    println(s"[probe] incremental pairs (every batch doc has $k corpus twins): $incr")
+    val _ = idxBuild
 
     // ANN: brute-force corpus pass vs LSH bucketed candidates, same queries,
     // replicated corpus — the gap should WIDEN with corpus size since LSH
