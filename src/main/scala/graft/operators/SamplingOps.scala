@@ -61,6 +61,35 @@ object SamplingOps {
     // until the stratum budget fills. All budget arithmetic is INTEGER
     // (floor(sqrt()) weights, integer DIV allocation): bit-identical across
     // engines, no FP summation-order dependence.
+    // Sequence-packing statistics (the tokenizer-side "concat then chunk
+    // into fixed-length training sequences" step): documents are laid out
+    // in deterministic hash order WITHIN each language shard (a global
+    // order would need a single-partition window — per-shard packing is
+    // the scale shape), then chunked into 2048-token sequences. Reports
+    // per shard: full sequences produced, tail waste, and how many docs
+    // straddle a sequence boundary (what attention-masking or document-
+    // boundary loss handling has to deal with). All integer arithmetic.
+    "q79_sequence_packing" -> ((s, d) => {
+      val seqLen = 2048L
+      val docs = Tables.load(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          TextOps.tokenCountOf(col("text")).cast("long").as("n_tok"),
+          sampleKey("pack:").as("h"))
+      val cum = docs.withColumn("cum",
+        sum("n_tok").over(Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("crosses",
+          expr(s"(cum - n_tok) DIV $seqLen") =!= expr(s"(cum - 1) DIV $seqLen"))
+      cum.groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("total_tokens"),
+          expr(s"sum(n_tok) DIV $seqLen").as("n_full_seqs"),
+          expr(s"sum(n_tok) % $seqLen").as("tail_waste"),
+          sum(when(col("crosses"), 1L).otherwise(0L)).as("n_docs_crossing"))
+        .orderBy("lang")
+    }),
+
     "q69_corpus_mixture" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents")
         .select(col("lang"), col("doc_id"),
@@ -91,6 +120,22 @@ object SamplingOps {
          | r AS (SELECT lang, doc_id, h,
          |       row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk FROM h)
          |SELECT lang, doc_id, h FROM r WHERE rk <= 50 ORDER BY lang, doc_id""".stripMargin,
+
+    "q79_sequence_packing" ->
+      s"""WITH docs AS (SELECT lang, doc_id,
+         |   CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tok,
+         |   ${sampleKeySql("pack:")} AS h FROM documents),
+         | cum AS (SELECT lang, doc_id, n_tok,
+         |        sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |        FROM docs)
+         |SELECT lang, count(*) AS n_docs,
+         | CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         | CAST(sum(n_tok) // 2048 AS BIGINT) AS n_full_seqs,
+         | CAST(sum(n_tok) % 2048 AS BIGINT) AS tail_waste,
+         | CAST(sum(CASE WHEN (cum - n_tok) // 2048 <> (cum - 1) // 2048 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_docs_crossing
+         |FROM cum GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q69_corpus_mixture" ->
       s"""WITH docs AS (SELECT lang, doc_id,

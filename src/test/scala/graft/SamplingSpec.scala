@@ -40,6 +40,16 @@ class SamplingSpec extends AnyFunSuite {
     assert(total <= 50000L)
   }
 
+  test("q79 packing: sequences + tail exactly account for every token") {
+    val p = SamplingOps.queries("q79_sequence_packing")(spark, TestSpark.sf).collect()
+    assert(p.nonEmpty)
+    p.foreach { r =>
+      assert(r.getAs[Long]("n_full_seqs") * 2048 + r.getAs[Long]("tail_waste")
+        == r.getAs[Long]("total_tokens"))
+      assert(r.getAs[Long]("n_docs_crossing") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("q68 int8 quantization stays in [-127, 127] and reconstructs within half a step") {
     val q = SimilarityOps.queries("q68_vector_quantize")(spark, TestSpark.sf)
     val bad = q.filter(col("max_q") > 127).count()
