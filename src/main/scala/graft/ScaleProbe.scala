@@ -75,7 +75,7 @@ object ScaleProbe {
     // INCREMENTAL dedup at scale: a 1x batch against the kx corpus through
     // the bucketed at-rest index — index build is the one-time cost, the
     // per-batch join stays corpus-stationary (no corpus-side shuffle).
-    val idxBuild = time(s"corpus index build+save ${k}x")(
+    time(s"corpus index build+save ${k}x")(
       graft.operators.DedupOps.indexCorpus(docsK).saveAsTables("probe_mh_idx"))
     val loadedIdx = graft.operators.DedupOps.loadCorpusIndex(spark, "probe_mh_idx")
     val incr = time(s"incremental batch 1x vs corpus ${k}x")(
@@ -83,7 +83,6 @@ object ScaleProbe {
         docs1.withColumn("doc_id", col("doc_id") + 100000000L), loadedIdx)
         .filter(col("jac") >= 0.8).count())
     println(s"[probe] incremental pairs (every batch doc has $k corpus twins): $incr")
-    val _ = idxBuild
 
     // ANN: brute-force corpus pass vs LSH bucketed candidates, same queries,
     // replicated corpus — the gap should WIDEN with corpus size since LSH

@@ -38,6 +38,20 @@ object SamplingOps {
   private def sampleKeySql(tag: String): String =
     s"CAST(md5_number_lower('$tag' || CAST(doc_id AS VARCHAR)) >> 1 AS BIGINT)"
 
+  /** (lang, doc_id, n_tok, h) projection shared by the mixture/packing
+    * queries: per-doc token count + the tag-decorrelated sampling key. */
+  private def docsWithTokens(s: SparkSession, d: String, tag: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(col("lang"), col("doc_id"),
+        TextOps.tokenCountOf(col("text")).cast("long").as("n_tok"),
+        sampleKey(tag).as("h"))
+
+  /** Per-stratum deterministic layout order, with the running-token frame
+    * the mixture/packing queries accumulate over. */
+  private def langHashOrder = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+  private def cumTokens: Column =
+    sum("n_tok").over(langHashOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Deterministic stratified sampling: top-50 documents per language in
@@ -54,13 +68,6 @@ object SamplingOps {
         .orderBy("lang", "doc_id")
     }),
 
-    // Corpus mixture ("data mixing"): allocate a global token budget across
-    // language strata by sqrt-smoothed weight (alpha = 0.5 temperature — the
-    // standard multilingual rebalancing curve: down-weights head languages,
-    // up-weights tail ones), then keep documents per stratum in hash order
-    // until the stratum budget fills. All budget arithmetic is INTEGER
-    // (floor(sqrt()) weights, integer DIV allocation): bit-identical across
-    // engines, no FP summation-order dependence.
     // Sequence-packing statistics (the tokenizer-side "concat then chunk
     // into fixed-length training sequences" step): documents are laid out
     // in deterministic hash order WITHIN each language shard (a global
@@ -71,16 +78,11 @@ object SamplingOps {
     // boundary loss handling has to deal with). All integer arithmetic.
     "q79_sequence_packing" -> ((s, d) => {
       val seqLen = 2048L
-      val docs = Tables.load(s, d, "documents")
-        .select(col("lang"), col("doc_id"),
-          TextOps.tokenCountOf(col("text")).cast("long").as("n_tok"),
-          sampleKey("pack:").as("h"))
-      val cum = docs.withColumn("cum",
-        sum("n_tok").over(Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      docsWithTokens(s, d, "pack:")
+        .withColumn("cum", cumTokens)
         .withColumn("crosses",
           expr(s"(cum - n_tok) DIV $seqLen") =!= expr(s"(cum - 1) DIV $seqLen"))
-      cum.groupBy("lang")
+        .groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),
           sum("n_tok").as("total_tokens"),
@@ -90,11 +92,15 @@ object SamplingOps {
         .orderBy("lang")
     }),
 
+    // Corpus mixture ("data mixing"): allocate a global token budget across
+    // language strata by sqrt-smoothed weight (alpha = 0.5 temperature — the
+    // standard multilingual rebalancing curve: down-weights head languages,
+    // up-weights tail ones), then keep documents per stratum in hash order
+    // until the stratum budget fills. All budget arithmetic is INTEGER
+    // (floor(sqrt()) weights, integer DIV allocation): bit-identical across
+    // engines, no FP summation-order dependence.
     "q69_corpus_mixture" -> ((s, d) => {
-      val docs = Tables.load(s, d, "documents")
-        .select(col("lang"), col("doc_id"),
-          TextOps.tokenCountOf(col("text")).as("n_tok"),
-          sampleKey("mix:").as("h"))
+      val docs = docsWithTokens(s, d, "mix:")
       val weights = docs.groupBy("lang")
         .agg(sum("n_tok").as("lang_tokens"))
         .withColumn("w", floor(sqrt(col("lang_tokens").cast("double"))).cast("bigint"))
@@ -102,10 +108,8 @@ object SamplingOps {
       val sumW = weights.agg(sum("w").as("sum_w"))
       val budgets = weights.join(broadcast(sumW))
         .select(col("lang"), expr("50000 * w DIV sum_w").as("budget"))
-      val ranked = docs.withColumn("cum",
-        sum("n_tok").over(Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      ranked.join(broadcast(budgets), "lang")
+      docs.withColumn("cum", cumTokens)
+        .join(broadcast(budgets), "lang")
         .filter(col("cum") <= col("budget"))
         .groupBy("lang")
         .agg(max("budget").as("budget"),
