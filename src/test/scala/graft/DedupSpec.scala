@@ -200,6 +200,15 @@ class DedupSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_mh_idx_bands")
   }
 
+  test("dedupAgainstCorpus rejects thresholds below the LSH recall floor; empty batch is a no-op") {
+    import graft.operators.DedupPipeline
+    val corpus = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")
+    intercept[IllegalArgumentException](
+      DedupPipeline.dedupAgainstCorpus(corpus.limit(1), corpus, "doc_id", "text", 0.3))
+    val empty = corpus.filter(col("doc_id") < 0)
+    assert(DedupPipeline.dedupAgainstCorpus(empty, corpus, "doc_id", "text", 0.8).isEmpty)
+  }
+
   test("dedupAgainstCorpus admits novel docs and drops corpus twins") {
     import graft.operators.DedupPipeline
     val corpus = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")
