@@ -68,6 +68,26 @@ object SamplingOps {
         .orderBy("lang", "doc_id")
     }),
 
+    // WEIGHTED sampling without replacement (Efraimidis–Spirakis): per
+    // stratum, keep the 30 docs with the largest ln(u)/w where u is a
+    // deterministic uniform from the md5 key and w the doc's weight (here
+    // n_chars — inclusion probability rises with size; swap in a quality
+    // score for importance sampling). Same one-window shuffle shape as q59;
+    // the es_key stays internal so the oracle compares the SELECTED SET,
+    // not float key values.
+    "q80_weighted_sample" -> ((s, d) => {
+      val keyed = Tables.load(s, d, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"), sampleKey("wsample:").as("h"))
+        // u in (0, 1]: h is uniform on [0, 2^63), so (h+1)/2^63 never hits 0
+        .withColumn("es_key",
+          log((col("h") + 1).cast("double") / lit(math.pow(2, 63))) / col("n_chars"))
+      val w = Window.partitionBy("lang").orderBy(col("es_key").desc, col("doc_id"))
+      keyed.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 30)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    }),
+
     // Sequence-packing statistics (the tokenizer-side "concat then chunk
     // into fixed-length training sequences" step): documents are laid out
     // in deterministic hash order WITHIN each language shard (a global
@@ -124,6 +144,14 @@ object SamplingOps {
          | r AS (SELECT lang, doc_id, h,
          |       row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk FROM h)
          |SELECT lang, doc_id, h FROM r WHERE rk <= 50 ORDER BY lang, doc_id""".stripMargin,
+
+    "q80_weighted_sample" ->
+      s"""WITH h AS (SELECT lang, doc_id, n_chars, ${sampleKeySql("wsample:")} AS h FROM documents),
+         | k AS (SELECT lang, doc_id, n_chars,
+         |       ln(CAST(h + 1 AS DOUBLE) / 9223372036854775808.0) / n_chars AS es_key FROM h),
+         | r AS (SELECT lang, doc_id, n_chars,
+         |       row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rk FROM k)
+         |SELECT lang, doc_id, n_chars FROM r WHERE rk <= 30 ORDER BY lang, doc_id""".stripMargin,
 
     "q79_sequence_packing" ->
       s"""WITH docs AS (SELECT lang, doc_id,

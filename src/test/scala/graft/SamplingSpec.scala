@@ -40,6 +40,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(total <= 50000L)
   }
 
+  test("q80 weighted sample is size-biased and deterministic") {
+    val corpusMean = Tables.load(spark, TestSpark.sf, "documents")
+      .agg(avg("n_chars")).as[Double].head()
+    val a = SamplingOps.queries("q80_weighted_sample")(spark, TestSpark.sf)
+    val sampleMean = a.agg(avg("n_chars")).as[Double].head()
+    // weight = n_chars → inclusion probability rises with size, so the
+    // sample mean must sit clearly above the corpus mean
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
+    val b = SamplingOps.queries("q80_weighted_sample")(spark, TestSpark.sf)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("q79 packing: sequences + tail exactly account for every token") {
     val p = SamplingOps.queries("q79_sequence_packing")(spark, TestSpark.sf).collect()
     assert(p.nonEmpty)
