@@ -115,6 +115,33 @@ object EventOps {
           round(col("n_purchase_after_click") / col("n_click_after_view"), 4).as("purchase_conv"))
     }),
 
+    // Regular-interval resampling with forward fill (the time-series
+    // gap-fill operator): generate each user's hourly grid between their
+    // first and last event (sequence + explode — grid generation is
+    // map-side per user, never a driver loop), left-join the observed
+    // hourly values, and carry the last observation forward. The grid
+    // starts at an observed hour, so the fill is never null. Three users
+    // keep the demo output bounded; the shape is per-key linear.
+    "q81_resample_ffill" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .filter(col("user_id") < 3)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
+          col("value"), col("event_id"))
+      val hourly = ev.groupBy("user_id", "hr")
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+      val grid = ev.groupBy("user_id")
+        .agg(min("hr").as("h0"), max("hr").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr"))
+      grid.join(hourly, Seq("user_id", "hr"), "left")
+        .withColumn("filled_value",
+          round(last("v", ignoreNulls = true).over(
+            Window.partitionBy("user_id").orderBy("hr")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .select("user_id", "hr", "filled_value")
+        .orderBy("user_id", "hr")
+    }),
+
     // Deterministic first/last per user via min_by/max_by on the unique
     // event_id (shuffle-safe argmin/argmax, no window needed).
     "q44_first_last" -> ((s, d) => {
@@ -179,6 +206,19 @@ object EventOps {
         |  OVER (PARTITION BY user_id ORDER BY event_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_value
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q81_resample_ffill" ->
+      """WITH ev AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, value, event_id
+        |            FROM events WHERE user_id < 3),
+        | hourly AS (SELECT user_id, hr, arg_max(value, event_id) AS v FROM ev GROUP BY user_id, hr),
+        | bounds AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM ev GROUP BY user_id),
+        | grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM bounds),
+        | j AS (SELECT g.user_id, g.hr, h.v FROM grid g
+        |       LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr)
+        |SELECT user_id, hr,
+        | round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled_value
+        |FROM j ORDER BY user_id, hr""".stripMargin,
 
     "q77_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
