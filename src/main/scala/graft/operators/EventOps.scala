@@ -71,6 +71,17 @@ object EventOps {
         .orderBy("day")
     }),
 
+    // UNPIVOT (melt) — the inverse reshape of q43: wide per-type columns
+    // back to (day, event_type, n) long form via the native unpivot
+    // operator (an Expand node: one pass, rows × 5, no shuffle beyond
+    // q43's own aggregation).
+    "q82_unpivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      queries("q43_daily_pivot")(s, d)
+        .unpivot(Array(col("day")), types.map(col).toArray, "event_type", "n")
+        .orderBy("day", "event_type")
+    }),
+
     // As-of lookup as a window: for every event, the value of the user's
     // most recent PRIOR 'purchase' event (last_value IGNORE NULLS over the
     // preceding frame) — the point-in-time-correct join pattern for feature
@@ -199,6 +210,24 @@ object EventOps {
         | count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         | count(CASE WHEN event_type = 'view' THEN 1 END) AS view
         |FROM events GROUP BY day ORDER BY day""".stripMargin,
+
+    // portable melt: a UNION ALL per measure column (no dialect-specific
+    // UNPIVOT syntax needed on the oracle side)
+    "q82_unpivot" ->
+      """WITH wide AS (
+        | SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        | FROM events GROUP BY day)
+        |SELECT day, 'click' AS event_type, click AS n FROM wide
+        |UNION ALL SELECT day, 'error', error FROM wide
+        |UNION ALL SELECT day, 'purchase', purchase FROM wide
+        |UNION ALL SELECT day, 'signup', signup FROM wide
+        |UNION ALL SELECT day, 'view', view FROM wide
+        |ORDER BY day, event_type""".stripMargin,
 
     "q45_asof_prev_purchase" ->
       """SELECT user_id, event_id, event_type, value,
