@@ -20,6 +20,21 @@ object EventOps {
 
   private val gapMicros = 1800L * 1000 * 1000 // 30 min session gap
 
+  /** The pivoted event-type vocabulary — ONE definition for q43's pivot
+    * columns, its null-fill, and q82's melt list (the oracle SQL spells the
+    * same five names; keep in sync). */
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Un-ordered daily per-type pivot shared by q43 (adds orderBy) and q82
+    * (melts it back — inheriting a terminal sort would carry a redundant
+    * exchange below the Expand). */
+  private def dailyPivot(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", eventTypes)
+      .count()
+      .na.fill(0, eventTypes)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Tumbling-window aggregation (hourly) by event type.
@@ -62,23 +77,15 @@ object EventOps {
 
     // Pivot: daily event-type count matrix (fixed pivot values → static
     // schema, nulls filled to 0 to match SQL conditional aggregation).
-    "q43_daily_pivot" -> ((s, d) => {
-      Tables.load(s, d, "events")
-        .groupBy(date_trunc("day", col("ts")).as("day"))
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .count()
-        .na.fill(0, Seq("click", "error", "purchase", "signup", "view"))
-        .orderBy("day")
-    }),
+    "q43_daily_pivot" -> ((s, d) => dailyPivot(s, d).orderBy("day")),
 
     // UNPIVOT (melt) — the inverse reshape of q43: wide per-type columns
     // back to (day, event_type, n) long form via the native unpivot
     // operator (an Expand node: one pass, rows × 5, no shuffle beyond
-    // q43's own aggregation).
+    // the pivot's own aggregation).
     "q82_unpivot" -> ((s, d) => {
-      val types = Seq("click", "error", "purchase", "signup", "view")
-      queries("q43_daily_pivot")(s, d)
-        .unpivot(Array(col("day")), types.map(col).toArray, "event_type", "n")
+      dailyPivot(s, d)
+        .unpivot(Array(col("day")), eventTypes.map(col).toArray, "event_type", "n")
         .orderBy("day", "event_type")
     }),
 
@@ -140,15 +147,19 @@ object EventOps {
           col("value"), col("event_id"))
       val hourly = ev.groupBy("user_id", "hr")
         .agg(max_by(col("value"), col("event_id")).as("v"))
-      val grid = ev.groupBy("user_id")
+      // bounds from the (small) hourly aggregate, not a second event scan —
+      // every observed hour survives the aggregation, so min/max agree
+      val grid = hourly.groupBy("user_id")
         .agg(min("hr").as("h0"), max("hr").as("h1"))
         .select(col("user_id"),
           explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hr"))
+      // no rounding: the fill SELECTS an existing value (max_by + window
+      // last carry it bit-for-bit), so both engines emit identical doubles
       grid.join(hourly, Seq("user_id", "hr"), "left")
         .withColumn("filled_value",
-          round(last("v", ignoreNulls = true).over(
+          last("v", ignoreNulls = true).over(
             Window.partitionBy("user_id").orderBy("hr")
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select("user_id", "hr", "filled_value")
         .orderBy("user_id", "hr")
     }),
@@ -240,13 +251,13 @@ object EventOps {
       """WITH ev AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, value, event_id
         |            FROM events WHERE user_id < 3),
         | hourly AS (SELECT user_id, hr, arg_max(value, event_id) AS v FROM ev GROUP BY user_id, hr),
-        | bounds AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM ev GROUP BY user_id),
+        | bounds AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM hourly GROUP BY user_id),
         | grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM bounds),
         | j AS (SELECT g.user_id, g.hr, h.v FROM grid g
         |       LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr)
         |SELECT user_id, hr,
-        | round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled_value
+        | last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
         |FROM j ORDER BY user_id, hr""".stripMargin,
 
     "q77_funnel" ->

@@ -72,15 +72,20 @@ object SamplingOps {
     // stratum, keep the 30 docs with the largest ln(u)/w where u is a
     // deterministic uniform from the md5 key and w the doc's weight (here
     // n_chars — inclusion probability rises with size; swap in a quality
-    // score for importance sampling). Same one-window shuffle shape as q59;
-    // the es_key stays internal so the oracle compares the SELECTED SET,
-    // not float key values.
+    // score for importance sampling). Same one-window shuffle shape as q59.
+    // PARITY NOTE: unlike the integer-exact siblings (q59/q69/q75/q76/q79),
+    // the selection boundary here is a double `ln` ordering — a 1-ulp libm
+    // divergence could in principle swap the rank-30/31 pair. Measured
+    // boundary gaps at the tested SFs are ≥7.6e-7 vs ~1e-16 ulp error
+    // (9 orders of margin); E-S keys have no integer-exact form.
     "q80_weighted_sample" -> ((s, d) => {
       val keyed = Tables.load(s, d, "documents")
         .select(col("lang"), col("doc_id"), col("n_chars"), sampleKey("wsample:").as("h"))
-        // u in (0, 1]: h is uniform on [0, 2^63), so (h+1)/2^63 never hits 0
+        // u in (0, 1]: cast h to double BEFORE the +1 — h can be exactly
+        // 2^63-1, where a BIGINT h+1 overflows (DuckDB errors, ANSI Spark
+        // throws); the double path rounds identically on both engines
         .withColumn("es_key",
-          log((col("h") + 1).cast("double") / lit(math.pow(2, 63))) / col("n_chars"))
+          log((col("h").cast("double") + 1) / lit(math.pow(2, 63))) / col("n_chars"))
       val w = Window.partitionBy("lang").orderBy(col("es_key").desc, col("doc_id"))
       keyed.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 30)
@@ -148,7 +153,7 @@ object SamplingOps {
     "q80_weighted_sample" ->
       s"""WITH h AS (SELECT lang, doc_id, n_chars, ${sampleKeySql("wsample:")} AS h FROM documents),
          | k AS (SELECT lang, doc_id, n_chars,
-         |       ln(CAST(h + 1 AS DOUBLE) / 9223372036854775808.0) / n_chars AS es_key FROM h),
+         |       ln((CAST(h AS DOUBLE) + 1) / 9223372036854775808.0) / n_chars AS es_key FROM h),
          | r AS (SELECT lang, doc_id, n_chars,
          |       row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rk FROM k)
          |SELECT lang, doc_id, n_chars FROM r WHERE rk <= 30 ORDER BY lang, doc_id""".stripMargin,
