@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line for the driver.
   *
   * Methodology (round-2 hardening after the r01 2.08× noise ambiguity;
-  * round-3: interleaved sweeps):
+  * round-3: interleaved sweeps; round-4: per-sweep random order + CPU-share
+  * telemetry):
   *  - per-query MEDIAN of `SPARK_GRAFT_TRIALS` (default 3) timed runs, so a
   *    one-off GC/contention window in the shared sandbox cannot masquerade
   *    as a plan regression;
@@ -16,6 +17,21 @@ import org.apache.spark.sql.SparkSession
   *    local times while every neighbor matched; consecutive trials sat
   *    inside the same window). A System.gc() between sweeps keeps one
   *    sweep's garbage from billing the next;
+  *  - each sweep visits the queries in a DIFFERENT deterministic random
+  *    order (seeded by sweep index — reproducible). Fixed-order sweeps
+  *    alias with PERIODIC external load: the r03 driver run measured
+  *    q33–q38 (contiguous in sorted order) at 10–34× their local times in
+  *    ≥2 of 3 sweeps while neighbors stayed at 1× — a recurring external
+  *    job landing on the same phase of every equal-length sweep. With
+  *    per-sweep shuffling the same wall-clock window hits DIFFERENT
+  *    queries each sweep, and each query's median rejects it;
+  *  - process-CPU and OS load are sampled around the timed section
+  *    (`cpu_cores` = this JVM's CPU seconds / wall = average cores this
+  *    process actually used; `load_avg` = max 1-min system load observed).
+  *    On a quiet box load_avg ≈ cpu_cores (the runnable queue is just our
+  *    own threads); load_avg ≫ cpu_cores means OTHER processes were
+  *    competing for the CPUs during the timed section — hard evidence of
+  *    external contention, not a plan regression;
   *  - a failed query records the sentinel -1 (never a fast phantom pass) and
   *    flips `"failed"` in the JSON — a crashing query must not *improve* the
   *    gated total;
@@ -61,19 +77,31 @@ object Bench {
     // noop sink forces FULL evaluation of every output column — count()
     // would let Catalyst prune the projections being measured (sha2,
     // regex, cosine arithmetic would vanish from the timed plan).
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def procCpuNanos(): Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
     val gc0 = gcMillis()
+    val cpu0 = procCpuNanos()
+    val wall0 = System.nanoTime()
+    var maxLoad = osBean.getSystemLoadAverage
     var forcedGcMs = 0L
     var failed = List.empty[String]
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to trials) {
+    for (sweep <- 1 to trials) {
       // the deliberate inter-sweep GC must not bill gc_sec — that metric
       // exists to expose ENVIRONMENT pressure, not self-inflicted pauses
       val g0 = gcMillis()
       System.gc()
       forcedGcMs += gcMillis() - g0
-      ordered.foreach { case (name, fn) =>
+      // deterministic per-sweep shuffle (see scaladoc: periodic external
+      // load aliases with fixed-order sweeps and poisons the same queries
+      // in every sweep)
+      val sweepOrder = new scala.util.Random(7919L * sweep).shuffle(ordered)
+      sweepOrder.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val dt =
           try {
@@ -85,6 +113,7 @@ object Bench {
           }
         samples(name) = samples(name) :+ dt
       }
+      maxLoad = math.max(maxLoad, osBean.getSystemLoadAverage)
     }
     val results = ordered.map { case (name, _) =>
       val times = samples(name)
@@ -94,15 +123,29 @@ object Bench {
       name -> t
     }.toMap
     val gcSec = (gcMillis() - gc0 - forcedGcMs) / 1e3
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val cpu1 = procCpuNanos()
+    val cpuCores =
+      if (cpu0 < 0 || cpu1 < 0) -1.0
+      else math.rint(100.0 * (cpu1 - cpu0) / 1e9 / wallSec) / 100.0
     val heapMb = java.lang.management.ManagementFactory.getMemoryMXBean
       .getHeapMemoryUsage.getUsed / (1024 * 1024)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query spread across trials: median over queries of max/min trial
+    // ratio — ≈1 on a quiet box, inflated when contention hit some sweeps
+    val spreads = samples.values.filter(v => v.nonEmpty && !v.contains(-1.0))
+      .map(v => v.max / math.max(v.min, 1e-9)).toVector.sorted
+    val noise = if (spreads.isEmpty) -1.0
+      else math.rint(100.0 * spreads(spreads.size / 2)) / 100.0
     // Any failure poisons the headline total (-1): summing only successes
     // would let a crashing slow query IMPROVE the gated number.
     val total = if (failed.nonEmpty) -1.0 else results.values.sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials,"failed":$failedJson,"gc_sec":$gcSec,"heap_mb":$heapMb}""")
+    // summary fields are (also) emitted AFTER the queries dict: the driver
+    // stores a bounded tail of stdout, which truncates the FRONT of this
+    // line — total_sec at the end survives that
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials,"failed":$failedJson,"gc_sec":$gcSec,"heap_mb":$heapMb,"cpu_cores":$cpuCores,"load_avg":${math.rint(maxLoad * 100) / 100},"noise_spread":$noise,"wall_sec":${math.rint(wallSec * 10) / 10},"total_sec":$total}""")
     spark.stop()
   }
 }
