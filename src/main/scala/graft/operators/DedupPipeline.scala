@@ -153,6 +153,46 @@ object DedupPipeline {
     labels
   }
 
+  /** Incremental cluster maintenance — the production shape for a persisted
+    * duplicate-cluster table: given the existing (node, label) assignment and
+    * ONLY the pairs incident to a new batch (new~new and new~old, e.g. from
+    * [[DedupOps.minHashCrossDupPairs]]), produce the updated assignment
+    * WITHOUT re-propagating the whole graph.
+    *
+    * Method: contract every existing component to its representative (the
+    * label IS the component's min id, so mapping each endpoint through its
+    * label loses no connectivity), run label propagation on the contracted
+    * graph — whose size is proportional to the BATCH, not the corpus — and
+    * join the resulting rep→rep relabeling back over the full table. Old
+    * components untouched by new edges never enter a shuffle wider than the
+    * label join. The min-label invariant is preserved: each rep is already
+    * its component's min, so the contracted propagation's min over
+    * {reps, new ids} is the true global min.
+    *
+    * At 100 TB this is the difference between a nightly O(batch) update and
+    * a nightly O(corpus) recluster; the full [[clusters]] pass remains the
+    * bootstrap and the periodic self-check. */
+  def updateClusters(existing: DataFrame, newPairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val repsA = existing.select(col("node").as("a"), col("label").as("ra"))
+    val repsB = existing.select(col("node").as("b"), col("label").as("rb"))
+    val contracted = newPairs.select("a", "b")
+      .join(repsA, Seq("a"), "left")
+      .join(repsB, Seq("b"), "left")
+      .select(
+        coalesce(col("ra"), col("a")).as("a"),
+        coalesce(col("rb"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val relabel = clusters(contracted, maxIter)
+    // existing nodes: follow their component's rep through the relabeling
+    val updatedOld = existing
+      .join(relabel.select(col("node").as("label"), col("label").as("nl")), Seq("label"), "left")
+      .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
+    // genuinely new nodes are the relabeled ids the corpus has never seen
+    val newNodes = relabel
+      .join(existing.select("node"), Seq("node"), "left_anti")
+    updatedOld.unionByName(newNodes)
+  }
+
   /** Verified near-duplicate pairs (a < b, exact Jaccard >= threshold) via
     * the MinHash-LSH path — exposed for auditing what dedup() would drop. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame =

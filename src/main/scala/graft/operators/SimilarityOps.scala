@@ -239,6 +239,32 @@ object SimilarityOps {
         .orderBy("la", "lb")
     }),
 
+    // Semantic dedup (the SemDeDup shape: arXiv:2303.09540): coarse-cluster
+    // the corpus into IVF cells, then WITHIN each cell find every vector's
+    // nearest neighbor and flag it as a semantic duplicate when cosine ≥ τ.
+    // Per-vector output (vec_id, cell, nn_id, sim, is_dup) — the keep/drop
+    // decision is "drop if is_dup and nn_id < vec_id" (smallest id is
+    // canonical), exactly the DedupPipeline convention.
+    // Scale: the quadratic work is confined to cells — pick k ∝ n/√n so the
+    // per-cell pair count stays bounded (SemDeDup uses k≈10⁵ for 10⁹ docs);
+    // cells shuffle independently, and the all-pairs join inside a cell is
+    // an equi-join on cell, never corpus × corpus.
+    "q83_semantic_dedup" -> ((s, d) => {
+      val a = IvfIndex.build(vectors(s, d)).assigned
+      val scored = a.select(col("cell"), col("vec_id"), col("emb")).as("x")
+        .join(a.select(col("cell"), col("vec_id").as("nn_id"), col("emb").as("nn_emb")).as("y"),
+          Seq("cell"))
+        .filter(col("vec_id") =!= col("nn_id"))
+        .withColumn("sim", round(cosine(col("emb"), col("nn_emb")), 6))
+      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nn_id"))
+      scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cell"), col("nn_id"), col("sim"),
+          when(col("sim") >= 0.3, lit(1L)).otherwise(lit(0L)).as("is_dup"))
+        .orderBy("vec_id")
+    }),
+
     // Int8 vector quantization (the storage/serving compression step of an
     // embedding pipeline): per-vector symmetric scale = 127 / max|x|,
     // q_i = floor(x_i * scale + 0.5) — floor(+0.5) instead of round() so
@@ -411,6 +437,25 @@ object SimilarityOps {
         | round(list_cosine_similarity(x.emb, y.emb), 6) AS sim
         |FROM v x JOIN v y ON x.label = y.label AND x.vec_id < y.vec_id
         |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin,
+
+    "q83_semantic_dedup" ->
+      s"""WITH v AS ($vCte),
+         | cents AS ($centroidsCte),
+         | assigned AS (SELECT vec_id, emb, cell FROM (
+         |   SELECT v.vec_id, v.emb, c.cell,
+         |     row_number() OVER (PARTITION BY v.vec_id
+         |       ORDER BY list_cosine_similarity(v.emb, c.centroid) DESC, c.cell) AS rk
+         |   FROM v CROSS JOIN cents c) WHERE rk = 1),
+         | scored AS (SELECT x.vec_id, x.cell, y.vec_id AS nn_id,
+         |   round(list_cosine_similarity(x.emb, y.emb), 6) AS sim
+         |   FROM assigned x JOIN assigned y
+         |   ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+         | ranked AS (SELECT vec_id, cell, nn_id, sim,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rk
+         |   FROM scored)
+         |SELECT vec_id, cell, nn_id, sim,
+         | CASE WHEN sim >= 0.3 THEN 1::BIGINT ELSE 0::BIGINT END AS is_dup
+         |FROM ranked WHERE rk = 1 ORDER BY vec_id""".stripMargin,
 
     "q68_vector_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -335,6 +335,101 @@ object TextOps {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(20)
+    }),
+
+    // Sliding-window document chunking (the context-window prep step every
+    // training/RAG pipeline runs): tokens → overlapping chunks of C=16 with
+    // stride S=12, one output row per chunk with an md5 content fingerprint.
+    // Pure narrow map + explode — chunking never shuffles; chunk rows
+    // partition wherever their parent doc lives. Trailing chunks shorter
+    // than C are kept (standard convention).
+    "q84_doc_chunks" -> ((s, d) => {
+      val C = 16; val S = 12
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("tk"))
+        .withColumn("start", explode(sequence(lit(0), size(col("tk")) - 1, lit(S))))
+        .withColumn("chunk", slice(col("tk"), col("start") + 1, lit(C)))
+        .select(
+          col("doc_id"),
+          (col("start") / S).cast("long").as("chunk_idx"),
+          col("start").cast("long").as("start"),
+          size(col("chunk")).cast("long").as("n_tok"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Per-source curation dashboard: the slice-level numbers a corpus owner
+    // reads first — doc count, exact-duplicate rate (distinct canonical
+    // fingerprints), mean tokens per doc, and how many docs trip the PII
+    // patterns. One narrow profiling pass, then a |sources|-sized aggregate;
+    // token totals are exact BIGINT sums (order-independent), divisions
+    // happen once at the end so both engines do identical double math.
+    "q85_source_quality" -> ((s, d) => {
+      val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val urlPat = "https?://[^ ]+"
+      val digitPat = "[0-9]{6,}"
+      Tables.load(s, d, "documents")
+        .select(
+          col("source"),
+          tokenCountOf(col("text")).as("n_tokens"),
+          md5(normText).as("fp"),
+          ((size(regexp_extract_all(col("text"), lit(emailPat), lit(0)))
+            + size(regexp_extract_all(col("text"), lit(urlPat), lit(0)))
+            + size(regexp_extract_all(col("text"), lit(digitPat), lit(0)))) > 0)
+            .cast("long").as("has_pii"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct("fp").as("n_unique"),
+          sum("n_tokens").as("total_tokens"),
+          sum("has_pii").as("pii_docs"))
+        .select(
+          col("source"), col("n_docs"), col("n_unique"),
+          round(lit(1.0) - col("n_unique") / col("n_docs"), 4).as("dup_rate"),
+          col("total_tokens"),
+          round(col("total_tokens") / col("n_docs"), 4).as("avg_tokens"),
+          col("pii_docs"))
+        .orderBy("source")
+    }),
+
+    // BM25 retrieval (Robertson/Lucene scoring, k1=1.2 b=0.75) for a fixed
+    // conjunctive keyword query — the lexical-search side of a data-curation
+    // stack (e.g. targeted corpus slicing). df/avgdl are corpus aggregates
+    // over exact BIGINTs; each (doc, term) score is rounded to integer
+    // millionths BEFORE the per-doc sum (q75's trick) so the aggregate is
+    // shuffle-order-independent and engine-exact. Scale: tf is one
+    // |docs×terms| aggregate after an early filter on the 3 query terms
+    // (predicate-pushdown-friendly), df/avgdl are tiny broadcasts.
+    "q86_bm25" -> ((s, d) => {
+      val terms = Seq("spark", "join", "window")
+      val k1 = 1.2; val b = 0.75
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), tokenCountOf(col("text")).as("dl"),
+          split(lower(col("text")), "\\s+").as("tk"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("tk")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(dfreq), "tok")
+        .join(broadcast(stats)) // single-row broadcast (scalar-subquery shape)
+        .withColumn("idf",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("term_score_u",
+          round(col("idf") * (col("tf") * (k1 + 1.0))
+            / (col("tf") + lit(k1) * (lit(1.0 - b)
+              + lit(b) * col("dl") / (col("sum_dl") / col("n_docs"))))
+            * 1e6).cast("long"))
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum("term_score_u").as("su"))
+        .filter(col("n_terms") === terms.size) // conjunctive: all terms present
+        .select(col("doc_id"), col("n_terms"),
+          round(col("su") / 1e6, 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
     }))
 
   private def hitCountSql(words: Seq[String]): String = {
@@ -478,5 +573,51 @@ object TextOps {
         |   FROM lc JOIN lt l ON lc.lang = l.lang JOIN cc ON lc.tok = cc.tok CROSS JOIN n)
         |SELECT lang, CAST(max(nl) AS BIGINT) AS n_tokens,
         | round(CAST(sum(term) AS DOUBLE) / (max(nl) * 1000000.0), 6) AS kl
-        |FROM terms GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM terms GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q84_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk FROM documents),
+        | st AS (SELECT doc_id, tk, unnest(range(0, len(tk), 12)) AS start FROM t),
+        | ch AS (SELECT doc_id, start, list_slice(tk, start + 1, start + 16) AS chunk FROM st)
+        |SELECT doc_id, start // 12 AS chunk_idx, start, len(chunk) AS n_tok,
+        | md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q85_source_quality" ->
+      s"""WITH base AS (SELECT source,
+         |  len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |  md5($normTextSql) AS fp,
+         |  CASE WHEN len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+         |       + len(regexp_extract_all(text, 'https?://[^ ]+'))
+         |       + len(regexp_extract_all(text, '[0-9]{6,}')) > 0
+         |       THEN 1::BIGINT ELSE 0::BIGINT END AS has_pii
+         | FROM documents)
+         |SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
+         | round(CAST(1.0 AS DOUBLE) - count(DISTINCT fp) / count(*), 4) AS dup_rate,
+         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         | round(CAST(sum(n_tokens) AS BIGINT) / count(*), 4) AS avg_tokens,
+         | CAST(sum(has_pii) AS BIGINT) AS pii_docs
+         |FROM base GROUP BY source ORDER BY source""".stripMargin,
+
+    "q86_bm25" ->
+      """WITH d AS (SELECT doc_id,
+        |   len(string_split_regex(lower(text), '\s+')) AS dl,
+        |   string_split_regex(lower(text), '\s+') AS tk FROM documents),
+        | stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+        | tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM (
+        |   SELECT doc_id, dl, unnest(tk) AS tok FROM d) t
+        |   WHERE tok IN ('spark', 'join', 'window') GROUP BY doc_id, dl, tok),
+        | dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        | scored AS (SELECT tf.doc_id,
+        |   CAST(round(
+        |     ln((s.n_docs - dfq.df + CAST(0.5 AS DOUBLE)) / (dfq.df + CAST(0.5 AS DOUBLE))
+        |        + CAST(1.0 AS DOUBLE))
+        |     * (tf.tf * CAST(2.2 AS DOUBLE))
+        |     / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |        + (CAST(0.75 AS DOUBLE) * tf.dl) / (s.sum_dl / s.n_docs)))
+        |     * 1000000) AS BIGINT) AS tsu
+        |   FROM tf JOIN dfq USING (tok) CROSS JOIN stats s)
+        |SELECT doc_id, count(*) AS n_terms, round(CAST(sum(tsu) AS DOUBLE) / 1000000, 4) AS score
+        |FROM scored GROUP BY doc_id HAVING count(*) = 3
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
 }
