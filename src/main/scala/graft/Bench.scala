@@ -130,7 +130,13 @@ object Bench {
       else math.rint(100.0 * (cpu1 - cpu0) / 1e9 / wallSec) / 100.0
     val heapMb = java.lang.management.ManagementFactory.getMemoryMXBean
       .getHeapMemoryUsage.getUsed / (1024 * 1024)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // stdout values rounded to ms so more of the line survives the driver's
+    // bounded (2000-char) stdout tail; the FULL-precision object goes to
+    // BENCH_LOCAL.json below, which the driver/judge can read whole
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.3f")
+    }.mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // per-query spread across trials: median over queries of max/min trial
     // ratio — ≈1 on a quiet box, inflated when contention hit some sweeps
@@ -145,7 +151,14 @@ object Bench {
     // summary fields are (also) emitted AFTER the queries dict: the driver
     // stores a bounded tail of stdout, which truncates the FRONT of this
     // line — total_sec at the end survives that
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials,"failed":$failedJson,"gc_sec":$gcSec,"heap_mb":$heapMb,"cpu_cores":$cpuCores,"load_avg":${math.rint(maxLoad * 100) / 100},"noise_spread":$noise,"wall_sec":${math.rint(wallSec * 10) / 10},"total_sec":$total}""")
+    def line(queries: String): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queries,"sf":"$sfDir","trials":$trials,"failed":$failedJson,"gc_sec":$gcSec,"heap_mb":$heapMb,"cpu_cores":$cpuCores,"load_avg":${math.rint(maxLoad * 100) / 100},"noise_spread":$noise,"wall_sec":${math.rint(wallSec * 10) / 10},"total_sec":$total}"""
+    // full-precision copy the driver can read WHOLE — BENCH_r04's stdout
+    // tail lost 29 of 86 per-query numbers (VERDICT r4 item 8)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line(qsFull) + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    println(line(qs))
     spark.stop()
   }
 }

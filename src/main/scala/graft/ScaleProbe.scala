@@ -84,6 +84,67 @@ object ScaleProbe {
         .filter(col("jac") >= 0.8).count())
     println(s"[probe] incremental pairs (every batch doc has $k corpus twins): $incr")
 
+    // INCREMENTAL clustering at scale (r5): a FIXED batch of new edges
+    // against a growing persisted (node, label) table. updateClusters
+    // contracts components to reps and propagates only the batch-incident
+    // contracted graph, so its cost must stay ~flat as the corpus grows kx
+    // while a full recluster grows with the corpus.
+    {
+      import graft.operators.DedupPipeline
+      // synthetic dup graph: m chains of 4 docs each (labels = chain min);
+      // batch = 500 new edges, half attaching to existing components
+      def chainEdges(m: Long): DataFrame =
+        spark.range(m).toDF("c").selectExpr(
+          "stack(3, c*4, c*4+1, c*4+1, c*4+2, c*4+2, c*4+3) AS (a, b)")
+      val batch = spark.range(500).toDF("i").selectExpr(
+        "CASE WHEN i % 2 = 0 THEN i * 4 ELSE 1000000000 + i END AS a",
+        "1000000000 + 500 + i AS b")
+      for (m <- Seq(25000L, 100000L, 400000L)) {
+        val existing = DedupPipeline.clusters(chainEdges(m), maxIter = 10)
+          .localCheckpoint(eager = true) // the persisted-table stand-in
+        time(s"updateClusters batch=500 corpus=${m * 4}")(
+          DedupPipeline.updateClusters(existing, batch).count())
+        time(s"full recluster corpus=${m * 4}")(
+          DedupPipeline.clusters(chainEdges(m).unionByName(batch), maxIter = 10).count())
+      }
+    }
+
+    // HOT-SHINGLE probe (r5): boilerplate-heavy corpus (10% of docs share
+    // one injected sentence → its shingles are in >n/10 docs). The
+    // exhaustive inverted-index join sees an F² hot (blk, shingle) key; the
+    // prefix-filtered path (minJac) orders postings by document frequency
+    // and the boilerplate shingles fall outside every prefix — measured as
+    // max postings per join key entering each candidate join.
+    {
+      val boiler2 = "terms of service apply to all content on this site "
+      val docsB = docs1.withColumn("text",
+        when(col("doc_id") % 10 === 0, concat(lit(boiler2), col("text")))
+          .otherwise(col("text")))
+      val root = java.nio.file.Files.createTempDirectory("graft-probe-boiler").toString
+      Tables.load(spark, sfDir, "documents").drop("text")
+        .join(docsB, "doc_id").write.mode("overwrite").parquet(s"$root/documents.parquet")
+      val sh = graft.operators.TextOps.withShingles(
+        Tables.load(spark, root, "documents"))
+        .withColumn("blk", (col("n_chars") / 50).cast("bigint"))
+        .select(col("doc_id"), col("blk"), size(col("sh")).as("n_sh"),
+          explode(col("sh")).as("t"))
+      val maxKeyFull = sh.groupBy("blk", "t").count().agg(max("count")).head().getLong(0)
+      // replicate the prefix construction (df-ordered, length n−⌈t·n⌉+1)
+      val t0 = 0.5
+      val dfq = sh.groupBy("blk", "t").agg(count(lit(1)).as("df"))
+      val prefix = sh.join(dfq, Seq("blk", "t"))
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("blk", "doc_id").orderBy(col("df"), col("t"))))
+        .filter(col("pos") <= col("n_sh") - ceil(lit(t0) * col("n_sh")).cast("bigint") + 1)
+      val maxKeyPrefix = prefix.groupBy("blk", "t").count().agg(max("count")).head().getLong(0)
+      println(s"[probe] hot-shingle max (blk,shingle) postings: full=$maxKeyFull " +
+        s"prefix(t=$t0)=$maxKeyPrefix (candidate pairs per key are the square)")
+      val nB = time("ngram pairs prefix t=0.5 (boilerplate corpus)")(
+        graft.operators.DedupOps.ngramJaccardPairs(spark, root, Some(t0)).count())
+      println(s"[probe] boilerplate-corpus thresholded pairs: $nB")
+    }
+
     // ANN: brute-force corpus pass vs LSH bucketed candidates, same queries,
     // replicated corpus — the gap should WIDEN with corpus size since LSH
     // probes touch only same-bucket vectors.

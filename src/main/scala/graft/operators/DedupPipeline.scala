@@ -116,8 +116,15 @@ object DedupPipeline {
     * count) so the loop adds plan DEPTH not plan WIDTH, and lineage is cut
     * with localCheckpoint every few rounds (at cluster scale: checkpoint to
     * reliable storage). Near-dup graphs have tiny diameters (dup clusters
-    * are near-cliques), so convergence is typically 2–3 iterations. */
-  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    * are near-cliques), so convergence is typically 2–3 iterations.
+    *
+    * Non-convergence at `maxIter` (a component wider than maxIter hops)
+    * THROWS by default: a partial assignment silently splits components,
+    * and a library caller has no cheap way to notice. Pass
+    * `strict = false` to accept the partial assignment (logged as a WARN)
+    * — e.g. when a bounded number of rounds is the point and a coarser
+    * over-segmentation is acceptable. */
+  def clusters(pairs: DataFrame, maxIter: Int = 10, strict: Boolean = true): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -145,11 +152,13 @@ object DedupPipeline {
       i += 1
     }
     edges.unpersist()
-    if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass)
-        .warn(s"clusters(): label propagation did not converge within $maxIter " +
-          "iterations — components wider than maxIter hops carry multiple " +
-          "representatives; raise maxIter for deep duplicate chains")
+    if (!converged) {
+      val msg = s"clusters(): label propagation did not converge within $maxIter " +
+        "iterations — components wider than maxIter hops carry multiple " +
+        "representatives; raise maxIter for deep duplicate chains"
+      if (strict) throw new IllegalStateException(msg)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+    }
     labels
   }
 
@@ -172,7 +181,8 @@ object DedupPipeline {
     * At 100 TB this is the difference between a nightly O(batch) update and
     * a nightly O(corpus) recluster; the full [[clusters]] pass remains the
     * bootstrap and the periodic self-check. */
-  def updateClusters(existing: DataFrame, newPairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def updateClusters(existing: DataFrame, newPairs: DataFrame, maxIter: Int = 10,
+                     strict: Boolean = true): DataFrame = {
     val repsA = existing.select(col("node").as("a"), col("label").as("ra"))
     val repsB = existing.select(col("node").as("b"), col("label").as("rb"))
     val contracted = newPairs.select("a", "b")
@@ -182,7 +192,7 @@ object DedupPipeline {
         coalesce(col("ra"), col("a")).as("a"),
         coalesce(col("rb"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
-    val relabel = clusters(contracted, maxIter)
+    val relabel = clusters(contracted, maxIter, strict)
     // existing nodes: follow their component's rep through the relabeling
     val updatedOld = existing
       .join(relabel.select(col("node").as("label"), col("label").as("nl")), Seq("label"), "left")

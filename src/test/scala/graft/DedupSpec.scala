@@ -230,4 +230,36 @@ class DedupSpec extends AnyFunSuite {
     assert(top.nonEmpty, "LSH found no candidate pairs")
     assert(top.max >= 0.8, s"expected a high-Jaccard planted pair, max=${top.max}")
   }
+
+  test("clusters strict mode: deep chain past maxIter throws; strict=false returns partial") {
+    import graft.operators.DedupPipeline
+    // path graph 0-1-2-...-30: min-label propagation moves the 0 label one
+    // hop per iteration, so maxIter=3 cannot converge
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      DedupPipeline.clusters(chain, maxIter = 3)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    val partial = DedupPipeline.clusters(chain, maxIter = 3, strict = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // partial assignment exists for every node but is over-segmented
+    assert(partial.size == 31 && partial.values.toSet.size > 1)
+    // and with enough iterations the same graph converges to one component
+    val full = DedupPipeline.clusters(chain, maxIter = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full.size == 31 && full.values.forall(_ == 0L))
+  }
+
+  test("prefix-filtered ngramJaccardPairs == exhaustive pairs filtered at the threshold") {
+    import graft.operators.DedupOps
+    val t = 0.5
+    val exhaustive = DedupOps.ngramJaccardPairs(spark, TestSpark.sf)
+      .filter(col("jac") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefix = DedupOps.ngramJaccardPairs(spark, TestSpark.sf, minJac = Some(t))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exhaustive.nonEmpty, "test corpus has no pairs at the threshold")
+    assert(prefix == exhaustive,
+      s"missing=${(exhaustive -- prefix).take(5)} extra=${(prefix -- exhaustive).take(5)}")
+  }
 }
