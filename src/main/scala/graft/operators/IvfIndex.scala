@@ -79,10 +79,67 @@ object IvfIndex {
   }
 
   /** Build from a (vec_id, emb, label) corpus: label-seeded centroids
-    * (per-position mean) and nearest-centroid cell assignment. */
+    * (per-position mean) and nearest-centroid cell assignment. Cell count =
+    * label cardinality — use the `build(vecs, k)` overload
+    * when the corpus has no labels or the label count is the wrong k (a
+    * FIXED cell count makes within-cell work O(n²/k); see q83's note). */
   def build(vecs: DataFrame): IvfIndex = {
     val centroids = centroidsOf(vecs, "label", "cell")
     IvfIndex(centroids, assign(vecs.select("vec_id", "emb"), centroids))
+  }
+
+  /** Build with an EXPLICIT cell count `k`, seeded k-means++-style from a
+    * bounded deterministic sample — the label-free path, and the one that
+    * lets the caller scale k with the corpus (k ∝ √n keeps both the probe
+    * fan-out and the within-cell candidate work sublinear).
+    *
+    * Seeding: take `sampleSize` candidates in xxhash64(vec_id) order (a
+    * deterministic uniform shuffle — no RNG, so builds are reproducible
+    * run-to-run), collect the BOUNDED sample to the driver (k×dim and
+    * S×dim are broadcast-sized by construction; the corpus itself never
+    * leaves the executors), then greedy farthest-point traversal under
+    * angular distance: first seed = first candidate, each next seed
+    * maximizes the minimum (1 − cosine) to the seeds chosen so far — the
+    * deterministic variant of k-means++ (D² sampling's argmax limit).
+    * Farthest-point seeds over-spread relative to random seeding, which is
+    * exactly what bounds the largest Voronoi cell. Follow with [[refine]]
+    * for Lloyd iterations if cell balance matters more than build cost. */
+  def build(vecs: DataFrame, k: Int, sampleSize: Int = 4096): IvfIndex = {
+    require(k >= 1, s"cell count must be >= 1; got $k")
+    val sample = vecs.select(col("vec_id"), col("emb").cast("array<double>").as("emb"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(math.max(sampleSize, k))
+      .select("emb")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k,
+      s"corpus has only ${sample.length} vectors for k=$k cells")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val seeds = scala.collection.mutable.ArrayBuffer(sample(0))
+    // minDist(i) = min angular distance from sample(i) to any chosen seed
+    val minDist = sample.map(v => 1.0 - cos(v, seeds(0)))
+    while (seeds.length < k) {
+      var best = 0; var i = 1
+      while (i < sample.length) { if (minDist(i) > minDist(best)) best = i; i += 1 }
+      val s = sample(best)
+      seeds += s
+      i = 0
+      while (i < sample.length) {
+        val d = 1.0 - cos(sample(i), s)
+        if (d < minDist(i)) minDist(i) = d
+        i += 1
+      }
+    }
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val centroids = seeds.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toSeq) }
+      .toDF("cell", "centroid")
+    IvfIndex(centroids, assign(vecs.select("vec_id", "emb"), broadcast(centroids)))
   }
 
   /** SPHERICAL k-means Lloyd refinement: recompute each cell's centroid as

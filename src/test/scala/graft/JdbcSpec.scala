@@ -34,6 +34,14 @@ class JdbcSpec extends AnyFunSuite {
     assert(extracted.rdd.getNumPartitions == 4, "JDBC read not partitioned")
     assert(extracted.columns.toSeq == Seq("USERNAME", "EMAIL") ||
       extracted.columns.toSeq == Seq("username", "email"))
+    // the projection must reach the SCAN (pushed into the generated JDBC
+    // query), not be applied as a post-scan Project over SELECT *
+    val scans = extracted.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no JDBC scan node in the physical plan")
+    assert(scans.head.output.map(_.name.toLowerCase).toSet == Set("username", "email"),
+      s"scan reads ${scans.head.output.map(_.name)} — projection not pushed")
 
     val out = Files.createTempDirectory("graft-jdbc-out").toString
     val normalized = extracted.toDF("username", "email")

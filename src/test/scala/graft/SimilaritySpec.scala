@@ -135,4 +135,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.forall { case (_, r) => r >= 0.0 && r <= 1.0 })
     assert(out.map(_._1).toSet == Set("lsh", "ivf"))
   }
+
+  test("IvfIndex.build(k): k = sqrt(n) keeps within-cell pair work sublinear vs fixed k") {
+    import graft.operators.IvfIndex
+    // synthetic isotropic corpus (the ANN worst case): deterministic seed
+    val rnd = new scala.util.Random(1234)
+    def corpus(n: Int) = (0 until n)
+      .map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian())))
+      .toDF("vec_id", "emb")
+    def pairWork(idx: IvfIndex): (Long, Long) = {
+      val sizes = idx.assigned.groupBy("cell").count().select("count").as[Long].collect()
+      (sizes.map(m => m * (m - 1) / 2).sum, sizes.max)
+    }
+    val small = corpus(1000).cache()
+    val big = corpus(4000).cache()
+    val kSmall = math.ceil(math.sqrt(1000.0)).toInt  // 32
+    val kBig = math.ceil(math.sqrt(4000.0)).toInt    // 64
+    val (pSmall, _) = pairWork(IvfIndex.build(small, kSmall))
+    val (pBigAdaptive, maxCell) = pairWork(IvfIndex.build(big, kBig))
+    val (pBigFixed, _) = pairWork(IvfIndex.build(big, kSmall))
+    // fixed k: pairs grow ~n^2 (16x); adaptive k = sqrt(n): ~n^1.5 (8x)
+    assert(pBigAdaptive < pBigFixed,
+      s"k=sqrt(n) ($pBigAdaptive pairs) not below fixed k ($pBigFixed pairs)")
+    val growth = pBigAdaptive.toDouble / pSmall
+    assert(growth < 13.0,
+      s"within-cell pairs grew ${growth}x for 4x corpus — expected ~8x with k = sqrt(n)")
+    // no degenerate mega-cell: farthest-point seeds spread over the sphere
+    assert(maxCell < 4000 / 4, s"largest cell holds $maxCell of 4000 vectors")
+    small.unpersist(); big.unpersist()
+  }
+
+  test("semanticDedup flags a planted duplicate pair under default k") {
+    import graft.operators.SimilarityOps
+    val v = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val maxId = v.agg(max("vec_id")).as[Long].head()
+    val clone = v.filter(col("vec_id") === 3)
+      .select((col("vec_id") + maxId + 1).as("vec_id"), col("emb"))
+    val out = SimilarityOps.semanticDedup(v.unionByName(clone), tau = 0.9)
+      .filter(col("vec_id") === maxId + 4)
+      .collect()
+    assert(out.length == 1, "clone missing from the output")
+    assert(out.head.getAs[Long]("nn_id") == 3L && out.head.getAs[Long]("is_dup") == 1L,
+      s"clone row ${out.head} should point at vec 3 with is_dup=1")
+  }
 }
