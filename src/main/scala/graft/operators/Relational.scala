@@ -541,6 +541,27 @@ object Relational {
         .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name", "revenue", "n_items")
         .orderBy("s_suppkey")
+    }),
+
+    // Salted join under a manufactured hot key: a third of all orders are
+    // redirected to customer 1 (the hot-key shape AQE's skew-join cannot
+    // fix — splitting the partition still sends every row of the key
+    // through one join task). SkewOps.saltedJoin fans the hot key over 8
+    // salt buckets (big side: deterministic per-row salt; small side:
+    // replicated ×8) — the oracle replays the PLAIN join, so a green row
+    // proves salt-neutrality: the salt changes the schedule, never the
+    // answer.
+    "q88_skew_salted_join" -> ((s, d) => {
+      val big = t(s, d, "orders")
+        .select(
+          when(col("o_custkey") % 3 === 0, lit(1L)).otherwise(col("o_custkey"))
+            .as("c_custkey"),
+          col("o_totalprice"))
+      val small = t(s, d, "customer").select("c_custkey", "c_name")
+      SkewOps.saltedJoin(big, small, "c_custkey", salts = 8)
+        .groupBy("c_custkey", "c_name")
+        .agg(count(lit(1)).as("n_orders"), Num.dsum(col("o_totalprice")).as("total"))
+        .orderBy("c_custkey")
     }))
 
   /** Engine-neutral ANSI SQL: runs unchanged on Spark SQL and DuckDB. */
@@ -810,6 +831,14 @@ object Relational {
         | CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend
         |FROM orders ORDER BY o_custkey, order_seq""".stripMargin,
+
+    "q88_skew_salted_join" ->
+      s"""SELECT o.ck AS c_custkey, c.c_name, count(*) AS n_orders,
+         | ${Num.dsumSql("o_totalprice")} AS total
+         |FROM (SELECT CASE WHEN o_custkey % 3 = 0 THEN 1 ELSE o_custkey END AS ck,
+         |             o_totalprice FROM orders) o
+         |JOIN customer c ON c.c_custkey = o.ck
+         |GROUP BY o.ck, c.c_name ORDER BY c_custkey""".stripMargin,
 
     "q26_supplier_activity" ->
       """SELECT s_suppkey, s_name, n_name,
