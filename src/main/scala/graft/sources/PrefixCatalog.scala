@@ -49,27 +49,62 @@ object PrefixCatalog {
       table
     }
 
-  /** Drift sync (reference parity: `manage_crawler_targets.py:3-9` re-runs
-    * idempotently as prefixes appear/disappear): diff the CURRENT first-
-    * level prefixes against the catalog's `namePrefix_*` tables — register
-    * tables for new prefixes, drop tables whose prefix is gone, leave the
-    * rest untouched. Returns (added, removed) table names. */
-  def syncPrefixTables(spark: SparkSession, base: String,
-                       namePrefix: String): (Seq[String], Seq[String]) = {
+  /** Seam for the downstream target registry (SURVEY §3.3). The reference
+    * keeps an EXTERNAL catalog authoritative (its crawler-target update,
+    * `manage_crawler_targets.py:8-9`, is a cloud-SDK driver step); the
+    * engine-native default registers Spark catalog tables instead. A
+    * deployment that must keep an external catalog in the loop implements
+    * these three calls with its SDK and passes the impl to
+    * [[syncPrefixTargets]] — the discovery + diff logic is shared, only
+    * the registry calls swap. */
+  trait CatalogSync {
+    /** Currently-registered target names that belong to `namePrefix`. */
+    def existingTargets(namePrefix: String): Set[String]
+    def register(name: String, path: String): Unit
+    def remove(name: String): Unit
+  }
+
+  /** Engine-native registry: Spark catalog external tables. Registration
+    * goes through the typed API (`createTable(name, path)`), so discovered
+    * paths never reach SQL text (injection-safe); drops quote the
+    * identifier. */
+  final class SparkCatalogSync(spark: SparkSession) extends CatalogSync {
+    def existingTargets(namePrefix: String): Set[String] = {
+      val p = s"${namePrefix}_".toLowerCase(java.util.Locale.ROOT)
+      spark.catalog.listTables().collect()
+        .map(_.name.toLowerCase(java.util.Locale.ROOT))
+        .filter(_.startsWith(p)).toSet
+    }
+    def register(name: String, path: String): Unit =
+      spark.catalog.createTable(name, path, "parquet")
+    def remove(name: String): Unit =
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+  }
+
+  /** Drift sync against ANY registry (reference parity:
+    * `manage_crawler_targets.py:3-9` re-runs idempotently as prefixes
+    * appear/disappear): diff the CURRENT first-level prefixes against the
+    * registry's `namePrefix_*` targets — register new prefixes, remove
+    * targets whose prefix is gone, leave the rest untouched. Returns
+    * (added, removed) target names. */
+  def syncPrefixTargets(spark: SparkSession, base: String, namePrefix: String,
+                        sync: CatalogSync): (Seq[String], Seq[String]) = {
     val wanted = listFirstLevelPrefixes(spark, base)
       .map(t => tableNameFor(namePrefix, t.path) -> t.path).toMap
-    val catalogPrefix = s"${namePrefix}_".toLowerCase(java.util.Locale.ROOT)
-    val existing = spark.catalog.listTables().collect()
-      .map(_.name.toLowerCase(java.util.Locale.ROOT))
-      .filter(_.startsWith(catalogPrefix)).toSet
+    val existing = sync.existingTargets(namePrefix)
     val added = (wanted.keySet -- existing).toSeq.sorted.map { table =>
-      spark.catalog.createTable(table, wanted(table), "parquet")
+      sync.register(table, wanted(table))
       table
     }
     val removed = (existing -- wanted.keySet).toSeq.sorted.map { table =>
-      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      sync.remove(table)
       table
     }
     (added, removed)
   }
+
+  /** Drift sync against the Spark catalog (the engine-native default). */
+  def syncPrefixTables(spark: SparkSession, base: String,
+                       namePrefix: String): (Seq[String], Seq[String]) =
+    syncPrefixTargets(spark, base, namePrefix, new SparkCatalogSync(spark))
 }

@@ -178,6 +178,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(a5.isEmpty && r5.isEmpty, s"mixed-case drift sync not idempotent: $a5 / $r5")
   }
 
+  test("drift sync drives an EXTERNAL registry through the CatalogSync seam") {
+    // the discovery+diff logic must be registry-agnostic: a cloud-catalog
+    // impl (the reference's crawler-target update as a driver step) plugs in
+    // here; this fake records the calls the SDK impl would make
+    val base = Files.createTempDirectory("graft-drift-ext")
+    spark.range(3).toDF("id").write.parquet(base.resolve("alpha").toString)
+    spark.range(3).toDF("id").write.parquet(base.resolve("beta").toString)
+    class Recording(var targets: Set[String]) extends PrefixCatalog.CatalogSync {
+      val calls = scala.collection.mutable.Buffer.empty[String]
+      def existingTargets(p: String): Set[String] = targets
+      def register(name: String, path: String): Unit = {
+        calls += s"register:$name"; targets += name
+        assert(path.contains(base.getFileName.toString), s"wrong path $path")
+      }
+      def remove(name: String): Unit = { calls += s"remove:$name"; targets -= name }
+    }
+    // registry already holds a stale target; alpha/beta are new
+    val reg = new Recording(Set("ext_stale"))
+    val (added, removed) = PrefixCatalog.syncPrefixTargets(spark, base.toString, "ext", reg)
+    assert(added == Seq("ext_alpha", "ext_beta") && removed == Seq("ext_stale"))
+    assert(reg.calls.sorted ==
+      Seq("register:ext_alpha", "register:ext_beta", "remove:ext_stale"))
+    // converged: a re-run makes no registry calls
+    val (a2, r2) = PrefixCatalog.syncPrefixTargets(spark, base.toString, "ext", reg)
+    assert(a2.isEmpty && r2.isEmpty && reg.calls.size == 3)
+  }
+
   test("metrics recorder captures actions and feeds the notifier") {
     val rec = Metrics.install(spark)
     val probe = Seq((1, "a"), (2, "b")).toDF("id", "v")
