@@ -141,6 +141,53 @@ object SamplingOps {
           count(lit(1)).as("n_docs_kept"),
           sum("n_tok").as("tokens_kept"))
         .orderBy("lang")
+    }),
+
+    // DSIR-style data selection (Data Selection via Importance Resampling,
+    // arXiv:2302.03169): score every raw document by how target-like its
+    // token distribution is — per-token log-likelihood ratio between an
+    // add-1-smoothed unigram LM of the TARGET slice (here sources
+    // src1/src2, the "domain we want more of") and of the RAW corpus —
+    // then Gumbel-softmax-select the top 50 (log-space sampling ∝ exp of
+    // the score, so no exp() overflow; the Gumbel uniform comes from the
+    // deterministic md5 sample key, so selection is reproducible and
+    // oracle-replayable). LLR terms reuse q75's integer-millionths log
+    // scaling: the per-doc sum is shuffle-order-independent and
+    // engine-exact; only the final key addition is FP, and it is the same
+    // two-double sum on both engines.
+    // Scale: two vocab-sized aggregations + one broadcastable LLR table
+    // (vocab ≪ corpus) joined map-side onto the token stream; the top-50 is
+    // a TakeOrdered, never a global sort.
+    "q89_dsir_selection" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "source", "text")
+      val toks = docs.select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      val raw = toks.groupBy("tok").agg(count(lit(1)).as("cr"))
+      val tgt = toks.filter(col("source").isin("src1", "src2"))
+        .groupBy("tok").agg(count(lit(1)).as("ct"))
+      val tot = raw.agg(sum("cr").as("nr"), count(lit(1)).as("v"))
+      val tt = tgt.agg(sum("ct").as("nt"))
+      val llr = raw.join(tgt, Seq("tok"), "left")
+        .join(broadcast(tot)).join(broadcast(tt))
+        .select(col("tok"), round(
+          (log((coalesce(col("ct"), lit(0L)) + 1) / (col("nt") + col("v"))) -
+            log((col("cr") + 1) / (col("nr") + col("v")))) * 1e6).cast("long").as("llr"))
+      val scored = toks.join(llr, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("llr").as("sllr"))
+      val keyed = docs.select(col("doc_id"), col("source"), sampleKey("dsir:").as("h"))
+        .join(scored, "doc_id")
+        // u strictly inside (0,1): h is 63-bit, (h + 0.5)/2^63 never hits
+        // 0 or 1, so the Gumbel −ln(−ln(u)) is always finite
+        .withColumn("g", -log(-log((col("h").cast("double") + 0.5) / lit(math.pow(2, 63)))))
+        .withColumn("sel_key", col("sllr") / (col("n_tok") * 1e6) + col("g"))
+      keyed
+        .orderBy(col("sel_key").desc, col("doc_id"))
+        .limit(50) // TakeOrdered — per-partition heaps, no global sort
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          round(col("sllr") / (col("n_tok") * 1e6), 6).as("avg_llr"),
+          round(col("sel_key"), 6).as("sel_key"))
+        .orderBy("doc_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -190,5 +237,33 @@ object SamplingOps {
          | count(*) AS n_docs_kept, CAST(sum(r.n_tok) AS BIGINT) AS tokens_kept
          |FROM ranked r JOIN b ON r.lang = b.lang
          |WHERE r.cum <= b.budget
-         |GROUP BY r.lang, b.budget ORDER BY r.lang""".stripMargin)
+         |GROUP BY r.lang, b.budget ORDER BY r.lang""".stripMargin,
+
+    // Replays the full DSIR pipeline: smoothed unigram LLR per token
+    // (integer-millionths, same round/cast as q75), per-doc sums, the
+    // md5-derived Gumbel key, global top-50.
+    "q89_dsir_selection" ->
+      s"""WITH toks AS (SELECT doc_id, source,
+         |   unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents),
+         | raw AS (SELECT tok, count(*) AS cr FROM toks GROUP BY tok),
+         | tgt AS (SELECT tok, count(*) AS ct FROM toks
+         |         WHERE source IN ('src1', 'src2') GROUP BY tok),
+         | tot AS (SELECT sum(cr) AS nr, count(*) AS v FROM raw),
+         | tt AS (SELECT sum(ct) AS nt FROM tgt),
+         | llr AS (SELECT r.tok,
+         |   CAST(round((ln((COALESCE(t.ct, 0) + 1) / CAST(tt.nt + tot.v AS DOUBLE))
+         |             - ln((r.cr + 1) / CAST(tot.nr + tot.v AS DOUBLE))) * 1e6) AS BIGINT) AS llr
+         |   FROM raw r LEFT JOIN tgt t ON r.tok = t.tok, tot, tt),
+         | scored AS (SELECT k.doc_id, count(*) AS n_tok, sum(l.llr) AS sllr
+         |   FROM toks k JOIN llr l ON k.tok = l.tok GROUP BY k.doc_id),
+         | hk AS (SELECT doc_id, source, ${sampleKeySql("dsir:")} AS h FROM documents),
+         | keyed AS (SELECT d.doc_id, d.source, s.n_tok, s.sllr,
+         |   s.sllr / (s.n_tok * 1e6)
+         |     + -ln(-ln((CAST(d.h AS DOUBLE) + 0.5)
+         |               / 9223372036854775808.0)) AS sel_key
+         |   FROM hk d JOIN scored s ON d.doc_id = s.doc_id),
+         | top AS (SELECT * FROM keyed ORDER BY sel_key DESC, doc_id LIMIT 50)
+         |SELECT doc_id, source, n_tok, round(sllr / (n_tok * 1e6), 6) AS avg_llr,
+         | round(sel_key, 6) AS sel_key
+         |FROM top ORDER BY doc_id""".stripMargin)
 }
