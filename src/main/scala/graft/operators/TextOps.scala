@@ -358,6 +358,37 @@ object TextOps {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // C4/RefinedWeb-style boilerplate-line removal, audited per doc: split
+    // each document into NON-overlapping 16-token lines, count how many
+    // DISTINCT docs each exact line occurs in, and treat a line seen in ≥ 2
+    // docs as boilerplate (navigation chrome / licence blocks / templated
+    // headers in a real crawl; here the planted near-dup twins). Reports
+    // what the filter would keep — the audit a corpus owner runs before
+    // turning the rule on.
+    // Scale: one shuffle keyed on the line hash (16-byte md5, never the
+    // text), single-distinct count (two-phase partial distinct, no Expand),
+    // one join back — the shape C4 ran at web scale.
+    "q90_boilerplate_lines" -> ((s, d) => {
+      val C = 16
+      val lines = Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("tk"))
+        .withColumn("start", explode(sequence(lit(0), size(col("tk")) - 1, lit(C))))
+        .withColumn("chunk", slice(col("tk"), col("start") + 1, lit(C)))
+        .select(col("doc_id"),
+          size(col("chunk")).cast("long").as("n_tok"),
+          md5(concat_ws(" ", col("chunk"))).as("lh"))
+      val lineDf = lines.groupBy("lh").agg(countDistinct(col("doc_id")).as("ndocs"))
+      lines.join(lineDf, "lh")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_boiler_lines"),
+          sum(col("n_tok")).as("n_tok"),
+          sum(when(col("ndocs") < 2, col("n_tok")).otherwise(0L)).as("n_tok_kept"))
+        .withColumn("pct_kept", round(col("n_tok_kept") / col("n_tok"), 4))
+        .orderBy("doc_id")
+    }),
+
     // Per-source curation dashboard: the slice-level numbers a corpus owner
     // reads first — doc count, exact-duplicate rate (distinct canonical
     // fingerprints), mean tokens per doc, and how many docs trip the PII
@@ -582,6 +613,22 @@ object TextOps {
         |SELECT doc_id, start // 12 AS chunk_idx, start, len(chunk) AS n_tok,
         | md5(array_to_string(chunk, ' ')) AS chunk_md5
         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q90_boilerplate_lines" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk FROM documents),
+        | st AS (SELECT doc_id, tk, unnest(range(0, len(tk), 16)) AS start FROM t),
+        | lines AS (SELECT doc_id,
+        |   CAST(len(list_slice(tk, start + 1, start + 16)) AS BIGINT) AS n_tok,
+        |   md5(array_to_string(list_slice(tk, start + 1, start + 16), ' ')) AS lh FROM st),
+        | df AS (SELECT lh, count(DISTINCT doc_id) AS ndocs FROM lines GROUP BY lh)
+        |SELECT l.doc_id AS doc_id, count(*) AS n_lines,
+        | CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_lines,
+        | CAST(sum(l.n_tok) AS BIGINT) AS n_tok,
+        | CAST(sum(CASE WHEN df.ndocs < 2 THEN l.n_tok ELSE 0 END) AS BIGINT) AS n_tok_kept,
+        | round(CAST(sum(CASE WHEN df.ndocs < 2 THEN l.n_tok ELSE 0 END) AS BIGINT)
+        |   / CAST(sum(l.n_tok) AS BIGINT), 4) AS pct_kept
+        |FROM lines l JOIN df ON l.lh = df.lh
+        |GROUP BY l.doc_id ORDER BY doc_id""".stripMargin,
 
     "q85_source_quality" ->
       s"""WITH base AS (SELECT source,
