@@ -103,7 +103,14 @@ object IvfIndex {
     * deterministic variant of k-means++ (D² sampling's argmax limit).
     * Farthest-point seeds over-spread relative to random seeding, which is
     * exactly what bounds the largest Voronoi cell. Follow with [[refine]]
-    * for Lloyd iterations if cell balance matters more than build cost. */
+    * for Lloyd iterations if cell balance matters more than build cost.
+    *
+    * Driver-side seeding cost is O(max(sampleSize, k) · k · dim) — fine to
+    * k ≈ 5000 (sub-second), tens of seconds by k ≈ 30k (a 10⁹-vector corpus
+    * at k = √n). Past that, seed hierarchically: build(k₁ = √k) first, then
+    * seed each coarse cell's sub-centroids from its own members (k₁ × k₂
+    * cells total) — the executor-side composition of this same API; the
+    * greedy driver loop is deliberately not where that complexity lives. */
   def build(vecs: DataFrame, k: Int, sampleSize: Int = 4096): IvfIndex = {
     require(k >= 1, s"cell count must be >= 1; got $k")
     val sample = vecs.select(col("vec_id"), col("emb").cast("array<double>").as("emb"))

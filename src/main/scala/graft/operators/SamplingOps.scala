@@ -155,9 +155,12 @@ object SamplingOps {
     // scaling: the per-doc sum is shuffle-order-independent and
     // engine-exact; only the final key addition is FP, and it is the same
     // two-double sum on both engines.
-    // Scale: two vocab-sized aggregations + one broadcastable LLR table
-    // (vocab ≪ corpus) joined map-side onto the token stream; the top-50 is
-    // a TakeOrdered, never a global sort.
+    // Scale: two vocab-sized aggregations; the LLR table joins back onto
+    // the token stream — broadcast when the vocab fits (it does here), and
+    // at web scale (vocab in the 10⁸ range) a shuffle join whose stopword
+    // hot keys are exactly the splittable-equi-join case AQE skew handling
+    // covers (tiny payload per key, no aggregation on the hot side). The
+    // top-50 is a TakeOrdered, never a global sort.
     "q89_dsir_selection" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").select("doc_id", "source", "text")
       val toks = docs.select(col("doc_id"), col("source"),
