@@ -176,6 +176,35 @@ object EventOps {
           max_by(col("value"), col("event_id")).as("last_value"),
           count(lit(1)).as("n_events"))
         .orderBy("user_id")
+    }),
+
+    // Dimension upsert (SCD type-1 MERGE semantics, engine-composed): the
+    // "current state per user" dimension as of a cutoff is merged with a
+    // delta batch (events after the cutoff) — matched keys take the delta's
+    // latest values, unmatched delta keys insert, untouched keys carry
+    // over, and each row reports which of the three MERGE branches it took.
+    // Both sides reduce to ONE row per key (shuffle-safe arg-max on the
+    // unique event_id) BEFORE the merge, so the full-outer join is
+    // key-sized, not event-sized — and in production the delta side is a
+    // day's batch, broadcastable against a bucketed dimension table.
+    "q92_dim_upsert" -> ((s, d) => {
+      val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+      val ev = Tables.load(s, d, "events")
+      def latest(df: DataFrame, p: String): DataFrame = df.groupBy("user_id").agg(
+        max_by(col("event_type"), col("event_id")).as(p + "t"),
+        max_by(col("value"), col("event_id")).as(p + "v"),
+        max(col("event_id")).as(p + "eid"))
+      latest(ev.filter(col("ts") < cutoff), "b")
+        .join(latest(ev.filter(col("ts") >= cutoff), "d"), Seq("user_id"), "full_outer")
+        .select(
+          col("user_id"),
+          coalesce(col("dt"), col("bt")).as("last_type"),
+          coalesce(col("dv"), col("bv")).as("last_value"),
+          coalesce(col("deid"), col("beid")).as("last_event_id"),
+          when(col("deid").isNotNull && col("beid").isNotNull, "updated")
+            .when(col("beid").isNull, "inserted")
+            .otherwise("unchanged").as("status"))
+        .orderBy("user_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -284,5 +313,26 @@ object EventOps {
         | arg_min(value, event_id) AS first_value,
         | arg_max(value, event_id) AS last_value,
         | count(*) AS n_events
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q92_dim_upsert" ->
+      """WITH base AS (
+        |  SELECT user_id, arg_max(event_type, event_id) AS bt,
+        |   arg_max(value, event_id) AS bv, max(event_id) AS beid
+        |  FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'
+        |  GROUP BY user_id),
+        | delta AS (
+        |  SELECT user_id, arg_max(event_type, event_id) AS dt,
+        |   arg_max(value, event_id) AS dv, max(event_id) AS deid
+        |  FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-20 00:00:00'
+        |  GROUP BY user_id)
+        |SELECT coalesce(b.user_id, d.user_id) AS user_id,
+        | coalesce(d.dt, b.bt) AS last_type,
+        | coalesce(d.dv, b.bv) AS last_value,
+        | coalesce(d.deid, b.beid) AS last_event_id,
+        | CASE WHEN d.deid IS NOT NULL AND b.beid IS NOT NULL THEN 'updated'
+        |      WHEN b.beid IS NULL THEN 'inserted'
+        |      ELSE 'unchanged' END AS status
+        |FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+        |ORDER BY user_id""".stripMargin)
 }

@@ -310,6 +310,43 @@ object SimilarityOps {
             aggregate(zip_with(col("emb"), col("q"), (x, q) => abs(x - q / col("scale"))),
               lit(0.0), (a, e) => a + e) / size(col("emb")), 6).as("mean_abs_err"))
         .orderBy("vec_id")
+    }),
+
+    // Quantization-quality QA: recall@5 of brute-force top-k computed on
+    // the INT8-quantized vectors (q68's floor quantizer) against the
+    // float-vector ground truth (q60) — the accept/reject number a serving
+    // team reads before switching storage to int8. The quantized values
+    // are small exact integers carried as doubles, so the same fused
+    // cosine kernel (and DuckDB's list_cosine_similarity) evaluates them
+    // with zero representation error — cross-engine parity is inherited
+    // from q60 rather than re-argued. Scale: two narrow scoring passes
+    // (query set broadcast) + a key-sized recall join; the quantized pass
+    // is the one that would run at full corpus width, at 1/4 the scan
+    // bytes of float32.
+    "q95_quantized_recall" -> ((s, d) => {
+      val v = vectors(s, d)
+      val qz = v
+        .withColumn("scale", lit(127.0) / array_max(transform(col("emb"), x => abs(x))))
+        .select(col("vec_id"),
+          transform(col("emb"),
+            x => floor(x * col("scale") + lit(0.5)).cast("double")).as("emb"))
+      val queries8 = qz.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+      val int8Top = qz.join(broadcast(queries8), col("vec_id") =!= col("q_id"))
+        .withColumn("sim", round(cosine(col("q_emb"), col("emb")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id").as("n_id"))
+      val brute = queries("q60_knn_brute")(s, d).select("q_id", "n_id")
+      val hits = brute.join(int8Top, Seq("q_id", "n_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      brute.select("q_id").distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          round(coalesce(col("hits"), lit(0L)) / 5.0, 4).as("recall"))
+        .orderBy("q_id")
     }))
 
   /** The seeded hyperplanes as a DuckDB VALUES list `(p, [64 doubles])` —
@@ -491,5 +528,28 @@ object SimilarityOps {
         | CAST(list_sum(q) AS BIGINT) AS sum_q,
         | CAST(list_max(q) AS BIGINT) AS max_q,
         | round(list_sum([abs(emb[i] - q[i] / scale) for i in range(1, len(emb) + 1)]) / len(emb), 6) AS mean_abs_err
-        |FROM qv ORDER BY vec_id""".stripMargin)
+        |FROM qv ORDER BY vec_id""".stripMargin,
+
+    "q95_quantized_recall" ->
+      s"""WITH brute AS ($bruteSql),
+         | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         | qz AS (SELECT vec_id,
+         |   list_transform(emb, x -> CAST(CAST(floor(
+         |     x * (127.0 / list_max(list_transform(emb, y -> abs(y)))) + 0.5)
+         |     AS BIGINT) AS DOUBLE)) AS emb
+         |  FROM v),
+         | q AS (SELECT vec_id AS q_id, emb AS q_emb FROM qz WHERE vec_id < 10),
+         | scored AS (SELECT q.q_id, qz.vec_id AS n_id,
+         |   round(list_cosine_similarity(q.q_emb, qz.emb), 6) AS sim
+         |   FROM qz CROSS JOIN q WHERE qz.vec_id <> q.q_id),
+         | int8top AS (SELECT q_id, n_id FROM (
+         |   SELECT q_id, n_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+         |   FROM scored) WHERE rank <= 5),
+         | h AS (SELECT b.q_id, count(*) AS hits FROM brute b
+         |   JOIN int8top a ON b.q_id = a.q_id AND b.n_id = a.n_id GROUP BY b.q_id)
+         |SELECT q_id, coalesce(hits, 0) AS hits,
+         | round(coalesce(hits, 0) / 5.0, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM brute) qs LEFT JOIN h USING (q_id)
+         |ORDER BY q_id""".stripMargin)
 }

@@ -461,6 +461,108 @@ object TextOps {
           round(col("su") / 1e6, 4).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
+    }),
+
+    // Gopher-style heuristic quality rules (Rae et al. 2021 §A1.1) as a
+    // per-document audit: word-count bounds, mean-word-length bounds,
+    // minimum distinct-stopword evidence, and a type-token-ratio floor
+    // (the repetition proxy). Every rule is an INTEGER comparison
+    // (n_nonws >= 4*n_tokens rather than n_nonws/n_tokens >= 4.0) so there
+    // is no FP boundary for the two engines to disagree on. Pure narrow
+    // map over one TextProfile pass — zero shuffle, embarrassingly
+    // parallel at any corpus size.
+    "q91_gopher_rules" -> ((s, d) => {
+      val stops = Seq("the", "a", "of", "to", "in")
+      Tables.load(s, d, "documents")
+        .withColumn("tp", textProfile(col("text")))
+        .withColumn("n_tokens", col("tp.n_tokens"))
+        .withColumn("n_stop_distinct",
+          size(array_intersect(
+            array_distinct(split(lower(col("text")), "\\s+")),
+            array(stops.map(lit): _*))).cast("long"))
+        .withColumn("r_wc",
+          (col("n_tokens") >= 30 && col("n_tokens") <= 10000).cast("long"))
+        .withColumn("r_mwl",
+          (col("tp.n_nonws") >= col("n_tokens") * 4
+            && col("tp.n_nonws") <= col("n_tokens") * 10).cast("long"))
+        .withColumn("r_stop", (col("n_stop_distinct") >= 2).cast("long"))
+        .withColumn("r_ttr", (col("tp.n_unique") * 2 >= col("n_tokens")).cast("long"))
+        .withColumn("keep",
+          (col("r_wc") + col("r_mwl") + col("r_stop") + col("r_ttr") === 4).cast("long"))
+        .select("doc_id", "n_tokens", "r_wc", "r_mwl", "r_stop", "r_ttr", "keep")
+        .orderBy("doc_id")
+    }),
+
+    // Exact-substring duplication audit (Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better"):
+    // OVERLAPPING 16-token windows at stride 1 (vs q90's disjoint C4
+    // lines), hashed to 16-byte md5 keys; a window shared by >= 2
+    // distinct docs marks a duplicated span. Reports per-doc span counts
+    // and the duplicated fraction — the audit that sizes a span-removal
+    // pass before running it. Docs shorter than the window emit nothing
+    // and are excluded (documented; the rule cannot apply to them).
+    // Scale: the span stream is |tokens|-sized (one row per position) —
+    // the same footprint as the token-frequency queries; one shuffle on
+    // the hash, a single-distinct two-phase count, one join back. This is
+    // the practical distributed approximation of the paper's suffix-array
+    // pass (which is inherently single-machine).
+    "q93_dup_span_audit" -> ((s, d) => {
+      val C = 16
+      val spans = Tables.load(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), "\\s+").as("tk"))
+        .filter(size(col("tk")) >= C)
+        .withColumn("start", explode(sequence(lit(0), size(col("tk")) - C)))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("tk"), col("start") + 1, lit(C)))).as("sh"))
+      val shared = spans.groupBy("sh").agg(countDistinct(col("doc_id")).as("ndocs"))
+      spans.join(shared, "sh")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .withColumn("dup_ratio", round(col("n_dup_spans") / col("n_spans"), 4))
+        .orderBy("doc_id")
+    }),
+
+    // Zipf rank-frequency fit per source: token frequencies ranked
+    // (freq desc, token asc — total order, engine-identical), then a
+    // least-squares slope of ln(freq) on ln(rank). The log coordinates are
+    // scaled to integer MILLIONTHS before summation (q75/q86's trick) and
+    // the moment sums run in decimal(38,0), so every aggregate is exact
+    // and shuffle-order-independent; doubles appear only in the final
+    // slope/intercept division. A natural-text corpus fits slope ≈ -1
+    // (Zipf's law); templated/synthetic slices deviate — a cheap
+    // distribution-drift check per source.
+    // Scale: one |tokens| shuffle to count, one |vocab| window per source,
+    // one |sources| aggregate — vocabulary is sublinear in corpus size, so
+    // this stays cheap as the corpus grows.
+    "q94_zipf_curve" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val freq = Tables.load(s, d, "documents")
+        .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("tok"))
+      val xy = freq
+        .withColumn("rank", row_number().over(w))
+        .select(col("source"),
+          round(log(col("rank").cast("double")) * 1e6).cast("long").as("x"),
+          round(log(col("cnt").cast("double")) * 1e6).cast("long").as("y"))
+      xy.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_types"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("y").cast(dec)).as("sy"),
+          sum((col("x").cast(dec) * col("y").cast(dec))).as("sxy"),
+          sum((col("x").cast(dec) * col("x").cast(dec))).as("sxx"))
+        .withColumn("slope_d",
+          (col("n_types") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n_types") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .select(col("source"), col("n_types"),
+          round(col("slope_d"), 6).as("slope"),
+          round((col("sy").cast("double") - col("slope_d") * col("sx").cast("double"))
+            / col("n_types") / 1e6, 6).as("intercept"))
+        .orderBy("source")
     }))
 
   private def hitCountSql(words: Seq[String]): String = {
@@ -666,5 +768,61 @@ object TextOps {
         |   FROM tf JOIN dfq USING (tok) CROSS JOIN stats s)
         |SELECT doc_id, count(*) AS n_terms, round(CAST(sum(tsu) AS DOUBLE) / 1000000, 4) AS score
         |FROM scored GROUP BY doc_id HAVING count(*) = 3
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q91_gopher_rules" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(text, '\s+') AS w,
+        |  string_split_regex(lower(text), '\s+') AS lw,
+        |  length(regexp_replace(text, '\s', '', 'g')) AS n_nonws
+        | FROM documents),
+        |f AS (SELECT doc_id, len(w) AS n_tokens,
+        |  CASE WHEN len(w) >= 30 AND len(w) <= 10000 THEN 1 ELSE 0 END AS r_wc,
+        |  CASE WHEN n_nonws >= len(w) * 4 AND n_nonws <= len(w) * 10 THEN 1 ELSE 0 END AS r_mwl,
+        |  CASE WHEN len(list_distinct(list_filter(lw,
+        |    x -> list_contains(['the','a','of','to','in'], x)))) >= 2 THEN 1 ELSE 0 END AS r_stop,
+        |  CASE WHEN len(list_distinct(w)) * 2 >= len(w) THEN 1 ELSE 0 END AS r_ttr
+        | FROM t)
+        |SELECT doc_id, n_tokens,
+        | CAST(r_wc AS BIGINT) AS r_wc, CAST(r_mwl AS BIGINT) AS r_mwl,
+        | CAST(r_stop AS BIGINT) AS r_stop, CAST(r_ttr AS BIGINT) AS r_ttr,
+        | CAST(CASE WHEN r_wc + r_mwl + r_stop + r_ttr = 4 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q93_dup_span_audit" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+        |   FROM documents WHERE len(string_split_regex(lower(text), '\s+')) >= 16),
+        | spans AS (SELECT doc_id,
+        |   md5(array_to_string(list_slice(tk, start + 1, start + 16), ' ')) AS sh
+        |   FROM (SELECT doc_id, tk, unnest(range(0, len(tk) - 15)) AS start FROM t)),
+        | df AS (SELECT sh, count(DISTINCT doc_id) AS ndocs FROM spans GROUP BY sh)
+        |SELECT s.doc_id AS doc_id, count(*) AS n_spans,
+        | CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        | round(CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   / count(*), 4) AS dup_ratio
+        |FROM spans s JOIN df USING (sh)
+        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q94_zipf_curve" ->
+      """WITH f AS (
+        |  SELECT source, tok, count(*) AS cnt FROM (
+        |    SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |    FROM documents) GROUP BY source, tok),
+        | r AS (SELECT source,
+        |   CAST(round(ln(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, tok))
+        |     * 1000000) AS BIGINT) AS x,
+        |   CAST(round(ln(cnt) * 1000000) AS BIGINT) AS y
+        |   FROM f),
+        | a AS (SELECT source, count(*) AS n_types,
+        |   sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |   sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(x AS HUGEINT) * x) AS sxx
+        |   FROM r GROUP BY source),
+        | s AS (SELECT source, n_types,
+        |   CAST(n_types * sxy - sx * sy AS DOUBLE)
+        |     / CAST(n_types * sxx - sx * sx AS DOUBLE) AS slope_d,
+        |   CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+        |   FROM a)
+        |SELECT source, n_types, round(slope_d, 6) AS slope,
+        | round((syd - slope_d * sxd) / n_types / 1000000, 6) AS intercept
+        |FROM s ORDER BY source""".stripMargin)
 }

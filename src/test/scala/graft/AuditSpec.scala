@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{EventOps, SimilarityOps, TextOps}
+
+/** Invariant specs for the round-5 audit/maintenance operators (q91–q95).
+  * The hard cross-engine check is the DuckDB oracle (Verify); these
+  * re-derive each answer INDEPENDENTLY in plain Scala on the collected
+  * sf0.001 slice, so a shared mistake in the Spark plan and its oracle SQL
+  * (the one failure mode the hash check can't see) would still surface.
+  */
+class AuditSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs: Map[Long, String] =
+    Tables.load(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+
+  private def tok(t: String): Array[String] = t.toLowerCase.split("\\s+")
+
+  // ---- q91 Gopher rules ---------------------------------------------------
+
+  test("q91: flags match a plain-Scala re-derivation of the rules") {
+    val got = TextOps.queries("q91_gopher_rules")(spark, TestSpark.sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("r_wc"), r.getAs[Long]("r_mwl"),
+          r.getAs[Long]("r_stop"), r.getAs[Long]("r_ttr"),
+          r.getAs[Long]("keep"))).toMap
+    val stops = Set("the", "a", "of", "to", "in")
+    docs.foreach { case (id, text) =>
+      val raw = text.split("\\s+")
+      val w = tok(text)
+      val nonws = text.replaceAll("\\s", "").length
+      val rwc = if (w.length >= 30 && w.length <= 10000) 1L else 0L
+      val rmwl = if (nonws >= 4 * w.length && nonws <= 10 * w.length) 1L else 0L
+      val rstop = if (w.toSet.count(stops) >= 2) 1L else 0L
+      val rttr = if (raw.distinct.length * 2 >= raw.length) 1L else 0L
+      val keep = if (rwc + rmwl + rstop + rttr == 4) 1L else 0L
+      assert(got(id) == ((rwc, rmwl, rstop, rttr, keep)), s"doc $id")
+    }
+    // the rules must be discriminative on this corpus, not vacuous
+    val keeps = got.values.map(_._5).toSeq
+    assert(keeps.contains(0L) && keeps.contains(1L))
+  }
+
+  // ---- q92 dimension upsert -----------------------------------------------
+
+  test("q92: MERGE branches match an event-log replay") {
+    // session TZ is UTC, so the naive literal in the query is this instant
+    val cutoff = java.time.Instant.parse("2024-01-20T00:00:00Z").toEpochMilli
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .as[(Long, Long, String, Long)].collect()
+    val byUser = ev.groupBy(_._1)
+    val got = EventOps.queries("q92_dim_upsert")(spark, TestSpark.sf)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[String]("last_type"), r.getAs[Long]("last_event_id"),
+          r.getAs[String]("status"))).toMap
+    assert(got.size == byUser.size) // every user exactly once
+    byUser.foreach { case (u, rows) =>
+      val base = rows.filter(_._4 < cutoff)
+      val delta = rows.filter(_._4 >= cutoff)
+      val expStatus =
+        if (base.nonEmpty && delta.nonEmpty) "updated"
+        else if (base.isEmpty) "inserted" else "unchanged"
+      val latest = (if (delta.nonEmpty) delta else base).maxBy(_._2)
+      assert(got(u) == ((latest._3, latest._2, expStatus)), s"user $u")
+    }
+  }
+
+  // ---- q93 duplicated-span audit -------------------------------------------
+
+  test("q93: span counts match a sliding-window re-derivation") {
+    val C = 16
+    val windows = docs.toSeq.flatMap { case (id, text) =>
+      val w = tok(text)
+      if (w.length < C) Seq.empty
+      else w.sliding(C).map(s => id -> s.mkString(" ")).toSeq
+    }
+    val docsPerSpan = windows.groupBy(_._2).map { case (s, xs) =>
+      s -> xs.map(_._1).distinct.size
+    }
+    val exp = windows.groupBy(_._1).map { case (id, xs) =>
+      id -> (xs.size.toLong, xs.count(x => docsPerSpan(x._2) >= 2).toLong)
+    }
+    val got = TextOps.queries("q93_dup_span_audit")(spark, TestSpark.sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"))).toMap
+    assert(got == exp)
+    // every doc with >= 16 tokens emits exactly len-15 spans
+    got.foreach { case (id, (n, _)) =>
+      assert(n == tok(docs(id)).length - C + 1, s"doc $id")
+    }
+  }
+
+  // ---- q94 Zipf fit ---------------------------------------------------------
+
+  test("q94: slope matches a least-squares re-derivation and is negative") {
+    val rows = TextOps.queries("q94_zipf_curve")(spark, TestSpark.sf).collect()
+    val bySource = Tables.load(spark, TestSpark.sf, "documents")
+      .select("source", "text").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.flatMap(d => tok(d._2)))
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val counts = bySource(src).groupBy(identity).view.mapValues(_.length)
+        .toSeq.sortBy { case (t, c) => (-c, t) }
+      val xy = counts.zipWithIndex.map { case ((_, c), i) =>
+        (math.round(math.log(i + 1.0) * 1e6), math.round(math.log(c.toDouble) * 1e6))
+      }
+      val n = xy.size.toDouble
+      val sx = xy.map(_._1.toDouble).sum; val sy = xy.map(_._2.toDouble).sum
+      val sxy = xy.map(p => p._1.toDouble * p._2).sum
+      val sxx = xy.map(p => p._1.toDouble * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(r.getAs[Long]("n_types") == xy.size)
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-4, src)
+      assert(r.getAs[Double]("slope") < 0.0, s"$src: rank-frequency must decay")
+    }
+  }
+
+  // ---- q95 quantized recall --------------------------------------------------
+
+  test("q95: one row per query, recall = hits/5 within [0,1], int8 is not garbage") {
+    val rows = SimilarityOps.queries("q95_quantized_recall")(spark, TestSpark.sf)
+      .collect()
+    assert(rows.length == 10) // vec_id < 10 query set
+    rows.foreach { r =>
+      val h = r.getAs[Long]("hits")
+      assert(h >= 0 && h <= 5)
+      assert(math.abs(r.getAs[Double]("recall") - h / 5.0) < 1e-9)
+    }
+    // int8 with per-vector scaling barely perturbs ranking on gaussian
+    // vectors — mean recall must be well above chance (5/499)
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(mean >= 0.5, s"mean int8 recall@5 = $mean")
+  }
+}
