@@ -130,6 +130,28 @@ object DedupOps {
       s.table(s"${namePrefix}_shingles"),
       s.table(s"${namePrefix}_bands"))
 
+  /** APPEND a new batch to an at-rest corpus index written by
+    * [[MinHashCorpusIndex.saveAsTables]] — the admit step of the nightly
+    * ingest loop (dedup the batch against the index, then append the
+    * survivors). Cost is O(batch): only the batch's shingles/bands are
+    * computed and written; the existing corpus files are untouched. The
+    * band append declares the SAME bucketing spec, so new files land in
+    * the correct buckets and subsequent batch joins stay corpus-stationary
+    * (zero corpus-side shuffle — parity with a full rebuild is
+    * spec-asserted). Callers own batch-vs-corpus doc_id uniqueness. */
+  def appendToCorpusIndex(namePrefix: String, newDocs: DataFrame,
+                          nBuckets: Int = 32): Unit = {
+    val sh = TextOps.withShingles(newDocs).select("doc_id", "sh")
+    sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sh.write.mode("append").format("parquet")
+        .saveAsTable(s"${namePrefix}_shingles")
+      bandedSignatures(sh).write.mode("append").format("parquet")
+        .bucketBy(nBuckets, "bucket_key", "band", "bsig")
+        .saveAsTable(s"${namePrefix}_bands")
+    } finally sh.unpersist()
+  }
+
   /** Index a (doc_id, text) corpus for incremental dedup. */
   def indexCorpus(corpus: DataFrame): MinHashCorpusIndex = {
     val sh = TextOps.withShingles(corpus).select("doc_id", "sh")
@@ -384,6 +406,41 @@ object DedupOps {
         .filter(col("rk") === 1)
         .select(col("new_id"), col("corpus_id").as("dup_of"), col("jac"))
         .orderBy("new_id")
+    }),
+
+    // MinHash ESTIMATOR-error audit: for every LSH candidate pair, the
+    // signature Jaccard estimate (matching minhash positions / 32) against
+    // the exact shingle Jaccard — the number that justifies trusting the
+    // sketch before turning signature-only dedup on (E[est] = jac;
+    // 32 hashes → σ ≈ 0.09 at jac 0.5). n_match/32 is a dyadic rational,
+    // exact in IEEE doubles, so the estimate column is engine-identical.
+    // Scale: the estimate needs ONLY the 32-long signatures the LSH join
+    // already carries — the exact-verify side is the expensive part, and
+    // this audit is precisely what licenses dropping it at full scale.
+    "q96_minhash_estimate" -> ((s, d) => {
+      val shingled = docShingles(s, d)
+      val sigs = signatures(shingled)
+      val banded = bandedSignatures(shingled)
+      val candidates = banded.as("x")
+        .join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val est = candidates
+        .join(sigs.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
+        .join(sigs.select(col("doc_id").as("b"), col("sig").as("sb")), "b")
+        .withColumn("n_match",
+          aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+            .cast("long"))
+        .select("a", "b", "n_match")
+      est.join(verifyJaccard(shingled, candidates), Seq("a", "b"))
+        .select(col("a"), col("b"), col("jac"),
+          round(col("n_match") / 32.0, 4).as("jac_est"),
+          round(abs(round(col("n_match") / 32.0, 4) - col("jac")), 4).as("abs_err"))
+        .orderBy(col("jac").desc, col("a"), col("b"))
+        .limit(50)
     }))
 
   /** The (i, a_i, b_i) permutation constants as a DuckDB VALUES list —
@@ -502,5 +559,32 @@ object DedupOps {
          | best AS (SELECT new_id, corpus_id, jac,
          |          row_number() OVER (PARTITION BY new_id ORDER BY jac DESC, corpus_id) AS rk
          |          FROM jac WHERE jac >= 0.5)
-         |SELECT new_id, corpus_id AS dup_of, jac FROM best WHERE rk = 1 ORDER BY new_id""".stripMargin)
+         |SELECT new_id, corpus_id AS dup_of, jac FROM best WHERE rk = 1 ORDER BY new_id""".stripMargin,
+
+    "q96_minhash_estimate" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         | sh AS (SELECT doc_id, ${TextOps.shinglesSql} AS s FROM t),
+         | ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         | base AS (SELECT doc_id, CAST(md5_number_lower(shingle) >> 33 AS BIGINT) AS x FROM ex),
+         | ab(i, pa, pb) AS (VALUES $permCoeffsSql),
+         | mh AS (SELECT doc_id, i, min((pa * x + pb) % 2147483647) AS minh
+         |        FROM base CROSS JOIN ab GROUP BY doc_id, i),
+         | bands AS (SELECT doc_id, i // $bandRows AS band, list(minh ORDER BY i) AS bsig
+         |           FROM mh GROUP BY doc_id, i // $bandRows),
+         | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |          FROM bands x JOIN bands y
+         |          ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+         | est AS (SELECT c.a, c.b,
+         |   CAST(sum(CASE WHEN ma.minh = mb.minh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         |   FROM cand c JOIN mh ma ON ma.doc_id = c.a
+         |   JOIN mh mb ON mb.doc_id = c.b AND mb.i = ma.i
+         |   GROUP BY c.a, c.b),
+         | jac AS (SELECT c.a, c.b,
+         |   round(len(list_intersect(sa.s, sb.s)) / len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jac
+         |   FROM cand c JOIN sh sa ON c.a = sa.doc_id JOIN sh sb ON c.b = sb.doc_id)
+         |SELECT e.a, e.b, j.jac,
+         | round(e.n_match / 32.0, 4) AS jac_est,
+         | round(abs(round(e.n_match / 32.0, 4) - j.jac), 4) AS abs_err
+         |FROM est e JOIN jac j ON e.a = j.a AND e.b = j.b
+         |ORDER BY j.jac DESC, e.a, e.b LIMIT 50""".stripMargin)
 }

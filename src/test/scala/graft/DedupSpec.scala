@@ -262,4 +262,56 @@ class DedupSpec extends AnyFunSuite {
     assert(prefix == exhaustive,
       s"missing=${(exhaustive -- prefix).take(5)} extra=${(prefix -- exhaustive).take(5)}")
   }
+
+  test("appendToCorpusIndex: index(A) + append(B) answers like index(A∪B)") {
+    import graft.operators.DedupOps
+    val docs = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val a = docs.filter(col("doc_id") % 10 === 1)
+    val b = docs.filter(col("doc_id") % 10 === 2)
+    try {
+      DedupOps.indexCorpus(a).saveAsTables("graft_mh_app", nBuckets = 4)
+      DedupOps.appendToCorpusIndex("graft_mh_app", b, nBuckets = 4)
+      val appended = DedupOps.minHashCrossDupPairs(
+        batch, DedupOps.loadCorpusIndex(spark, "graft_mh_app"))
+      val rebuilt = DedupOps.minHashCrossDupPairs(batch, a.unionByName(b))
+      assert(appended.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(appended).isEmpty)
+      // appended files must land in the same bucket layout: the loaded scan
+      // is still bucketed, so batch joins stay corpus-stationary
+      val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+      val prevBc = spark.conf.get(bcKey)
+      try {
+        spark.conf.set(bcKey, "-1")
+        val smj = DedupOps.minHashCrossDupPairs(
+          batch, DedupOps.loadCorpusIndex(spark, "graft_mh_app"))
+        smj.collect()
+        assert(smj.queryExecution.executedPlan.toString.contains("Bucketed: true"))
+      } finally spark.conf.set(bcKey, prevBc)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_mh_app_shingles")
+      spark.sql("DROP TABLE IF EXISTS graft_mh_app_bands")
+    }
+  }
+
+  test("q96 estimator audit: jac_est is n/32 dyadic and |est - jac| is small on candidates") {
+    val rows = graft.operators.DedupOps.queries("q96_minhash_estimate")(spark, TestSpark.sf)
+      .select("jac", "jac_est", "abs_err")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty, "no LSH candidate pairs to audit")
+    // every estimate is k/32 for integer k in [0, 32], up to the query's
+    // round-to-4-decimals (quantization error ≤ 5e-5)
+    assert(rows.forall { case (_, e, _) =>
+      val k = math.rint(e * 32.0)
+      k >= 0 && k <= 32 && math.abs(e - k / 32.0) <= 5e-5 + 1e-12 })
+    // abs_err is consistent with the reported columns
+    assert(rows.forall { case (j, e, err) => math.abs(math.abs(e - j).round4 - err) < 1e-9 })
+    // candidates passed an 8-row band match, so estimates can't all be junk:
+    // mean absolute error across candidates stays under 3σ of a 32-hash sketch
+    val meanErr = rows.map(_._3).sum / rows.length
+    assert(meanErr < 0.27, s"mean |est-jac| = $meanErr")
+  }
+
+  private implicit class Round4(private val d: Double) {
+    def round4: Double = math.rint(d * 1e4) / 1e4
+  }
 }
