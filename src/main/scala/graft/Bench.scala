@@ -88,7 +88,11 @@ object Bench {
     var maxLoad = osBean.getSystemLoadAverage
     var forcedGcMs = 0L
     var failed = List.empty[String]
+    // SPARK_GRAFT_ONLY=q87,q58 — comma-separated name prefixes; restricts the
+    // sweep for single-query profiling without touching the harness shape
+    val onlyPrefixes = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => onlyPrefixes.forall(_.exists(n.startsWith)) }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     for (sweep <- 1 to trials) {

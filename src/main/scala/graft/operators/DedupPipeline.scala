@@ -128,10 +128,11 @@ object DedupPipeline {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("node")).distinct()
+    val labels0 = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+    labels0.count()
+    var labels: DataFrame = labels0
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -139,19 +140,22 @@ object DedupPipeline {
         .join(labels.select(col("node").as("src"), col("label").as("srcLabel")), "src")
         .groupBy(col("dst").as("node"))
         .agg(min("srcLabel").as("nbrLabel"))
+      // ONE materialization per iteration: the checkpoint job computes the
+      // relabeling AND the changed flag; the convergence probe then reads
+      // the checkpointed partitions (no shuffle recompute). The previous
+      // persist → isEmpty → re-checkpoint shape paid the propagation twice.
       val next = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nbrLabel"), col("label"))).as("newLabel"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next.filter(col("newLabel") =!= col("label")).isEmpty
-      val prev = labels
-      labels = next.select(col("node"), col("newLabel").as("label"))
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbrLabel"), col("label"))).as("newLabel"),
+          (least(col("label"), coalesce(col("nbrLabel"), col("label"))) =!= col("label"))
+            .as("changed"))
         .localCheckpoint(eager = true)
-      prev.unpersist()
-      next.unpersist()
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("node"), col("newLabel").as("label"))
       i += 1
     }
     edges.unpersist()
+    if (labels ne labels0) labels0.unpersist()
     if (!converged) {
       val msg = s"clusters(): label propagation did not converge within $maxIter " +
         "iterations — components wider than maxIter hops carry multiple " +
