@@ -84,6 +84,14 @@ object ScaleProbe {
         .filter(col("jac") >= 0.8).count())
     println(s"[probe] incremental pairs (every batch doc has $k corpus twins): $incr")
 
+    // APPEND at scale (r5): admitting a 1x batch into the kx at-rest index
+    // touches only the batch's shingles/bands (corpus files untouched), so
+    // append cost must track the BATCH size, not the corpus — compare with
+    // the full index build+save above, which grows kx.
+    time(s"appendToCorpusIndex batch 1x into ${k}x index")(
+      graft.operators.DedupOps.appendToCorpusIndex(
+        "probe_mh_idx", docs1.withColumn("doc_id", col("doc_id") + 200000000L)))
+
     // INCREMENTAL clustering at scale (r5): a FIXED batch of new edges
     // against a growing persisted (node, label) table. updateClusters
     // contracts components to reps and propagates only the batch-incident

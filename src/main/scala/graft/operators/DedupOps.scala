@@ -135,12 +135,21 @@ object DedupOps {
     * ingest loop (dedup the batch against the index, then append the
     * survivors). Cost is O(batch): only the batch's shingles/bands are
     * computed and written; the existing corpus files are untouched. The
-    * band append declares the SAME bucketing spec, so new files land in
-    * the correct buckets and subsequent batch joins stay corpus-stationary
-    * (zero corpus-side shuffle — parity with a full rebuild is
-    * spec-asserted). Callers own batch-vs-corpus doc_id uniqueness. */
-  def appendToCorpusIndex(namePrefix: String, newDocs: DataFrame,
-                          nBuckets: Int = 32): Unit = {
+    * band append declares the SAME bucketing spec — read from the existing
+    * table's catalog metadata, so a caller can never silently mismatch it —
+    * and new files land in the correct buckets: subsequent batch joins stay
+    * corpus-stationary (zero corpus-side shuffle — parity with a full
+    * rebuild is spec-asserted). Callers own batch-vs-corpus doc_id
+    * uniqueness. */
+  def appendToCorpusIndex(namePrefix: String, newDocs: DataFrame): Unit = {
+    val spark = newDocs.sparkSession
+    val nBuckets = spark.sessionState.catalog
+      .getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(s"${namePrefix}_bands"))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"${namePrefix}_bands exists but carries no bucket spec — not an " +
+          "index written by MinHashCorpusIndex.saveAsTables"))
     val sh = TextOps.withShingles(newDocs).select("doc_id", "sh")
     sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -408,6 +417,33 @@ object DedupOps {
         .orderBy("new_id")
     }),
 
+    // Cross-source duplication matrix — the training-data mixing audit
+    // ("how much of source X already appears in source Y?"): verified
+    // near-dup pairs rolled up to unordered source pairs. Per-pair Jaccard
+    // is scaled to integer ten-thousandths before summing so the average is
+    // shuffle-order independent (the q75 integer-log trick applied to
+    // averages). Scale: the pair frame is LSH-banded (never all-pairs) and
+    // the doc_id→source projection joins on the pair ids — pairs-sized
+    // shuffles, corpus touched once for the projection.
+    "q97_cross_source_dups" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val pairs = minHashNearDupPairs(docs.select("doc_id", "text"))
+        .filter(col("jac") >= 0.5)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+        .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+        .groupBy(
+          least(col("sa"), col("sb")).as("source_x"),
+          greatest(col("sa"), col("sb")).as("source_y"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          round(sum(round(col("jac") * 10000).cast("long")) /
+            (count(lit(1)) * 10000.0), 4).as("avg_jac"),
+          max(col("jac")).as("max_jac"))
+        .orderBy("source_x", "source_y")
+    }),
+
     // MinHash ESTIMATOR-error audit: for every LSH candidate pair, the
     // signature Jaccard estimate (matching minhash positions / 32) against
     // the exact shingle Jaccard — the number that justifies trusting the
@@ -560,6 +596,33 @@ object DedupOps {
          |          row_number() OVER (PARTITION BY new_id ORDER BY jac DESC, corpus_id) AS rk
          |          FROM jac WHERE jac >= 0.5)
          |SELECT new_id, corpus_id AS dup_of, jac FROM best WHERE rk = 1 ORDER BY new_id""".stripMargin,
+
+    "q97_cross_source_dups" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         | sh AS (SELECT doc_id, ${TextOps.shinglesSql} AS s FROM t),
+         | ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         | base AS (SELECT doc_id, CAST(md5_number_lower(shingle) >> 33 AS BIGINT) AS x FROM ex),
+         | ab(i, pa, pb) AS (VALUES $permCoeffsSql),
+         | mh AS (SELECT doc_id, i, min((pa * x + pb) % 2147483647) AS minh
+         |        FROM base CROSS JOIN ab GROUP BY doc_id, i),
+         | bands AS (SELECT doc_id, i // $bandRows AS band, list(minh ORDER BY i) AS bsig
+         |           FROM mh GROUP BY doc_id, i // $bandRows),
+         | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |          FROM bands x JOIN bands y
+         |          ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+         | jac AS (SELECT c.a, c.b,
+         |   round(len(list_intersect(sa.s, sb.s)) / len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jac
+         |   FROM cand c JOIN sh sa ON c.a = sa.doc_id JOIN sh sb ON c.b = sb.doc_id),
+         | v AS (SELECT a, b, jac FROM jac WHERE jac >= 0.5),
+         | j AS (SELECT least(da.source, db.source) AS source_x,
+         |              greatest(da.source, db.source) AS source_y,
+         |              CAST(round(v.jac * 10000) AS BIGINT) AS jac_i, v.jac
+         |       FROM v JOIN documents da ON v.a = da.doc_id
+         |              JOIN documents db ON v.b = db.doc_id)
+         |SELECT source_x, source_y, count(*) AS n_pairs,
+         | round(sum(jac_i) / (count(*) * 10000.0), 4) AS avg_jac,
+         | max(jac) AS max_jac
+         |FROM j GROUP BY source_x, source_y ORDER BY source_x, source_y""".stripMargin,
 
     "q96_minhash_estimate" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -205,6 +205,27 @@ object EventOps {
             .when(col("beid").isNull, "inserted")
             .otherwise("unchanged").as("status"))
         .orderBy("user_id")
+    }),
+
+    // Retention cohort matrix: users grouped by first-activity day, then
+    // distinct active users per (cohort, day-offset) cell — the classic
+    // product-analytics triangle. Scale: one shuffle on user_id for the
+    // first-day aggregate; the join back is on the SAME key so the
+    // exchange is reused, and the cell aggregate is |days|²-sized. The
+    // exact count-distinct per cell is the semantics (a HLL sketch
+    // variant is q47's territory).
+    "q98_retention_cohorts" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val firsts = ev.groupBy("user_id").agg(min("day").as("c0"))
+      ev.join(firsts, "user_id")
+        .groupBy(
+          // string cohort key: raw DATE columns round-trip differently
+          // across engines (date32 vs timestamp in the compare harness)
+          date_format(col("c0"), "yyyy-MM-dd").as("cohort"),
+          datediff(col("day"), col("c0")).cast("long").as("day_offset"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort", "day_offset")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -334,5 +355,14 @@ object EventOps {
         |      WHEN b.beid IS NULL THEN 'inserted'
         |      ELSE 'unchanged' END AS status
         |FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
-        |ORDER BY user_id""".stripMargin)
+        |ORDER BY user_id""".stripMargin,
+
+    "q98_retention_cohorts" ->
+      """WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        | firsts AS (SELECT user_id, min(day) AS c0 FROM ev GROUP BY user_id)
+        |SELECT strftime(f.c0, '%Y-%m-%d') AS cohort,
+        | datediff('day', f.c0, e.day) AS day_offset,
+        | count(DISTINCT e.user_id) AS n_users
+        |FROM ev e JOIN firsts f ON e.user_id = f.user_id
+        |GROUP BY cohort, day_offset ORDER BY cohort, day_offset""".stripMargin)
 }

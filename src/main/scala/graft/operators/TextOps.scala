@@ -563,6 +563,29 @@ object TextOps {
           round((col("sy").cast("double") - col("slope_d") * col("sx").cast("double"))
             / col("n_types") / 1e6, 6).as("intercept"))
         .orderBy("source")
+    }),
+
+    // Sequence-length histogram in power-of-2 buckets — the planning input
+    // for q79's packing (what fraction of docs land in each length band,
+    // how many tokens each band holds). The bucket is the token count's
+    // BIT LENGTH (length of its binary form: 2^(b-1) ≤ n < 2^b) — an
+    // integer-exact bucketing both engines compute identically, where
+    // log2-based bucketing would sit on FP rounding at exact powers of
+    // two. Zero-shuffle until the ≤64-row aggregate; the share column's
+    // global window runs over those ≤64 rows, not the corpus.
+    "q99_token_histogram" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.load(s, d, "documents")
+        .select(textProfile(col("text")).getField("n_tokens").as("nt"))
+        .groupBy(length(bin(col("nt"))).cast("long").as("bucket_bits"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("nt").as("total_tokens"),
+          min("nt").as("min_tokens"),
+          max("nt").as("max_tokens"))
+        .withColumn("share",
+          round(col("n_docs") / sum("n_docs").over(Window.partitionBy()), 4))
+        .orderBy("bucket_bits")
     }))
 
   private def hitCountSql(words: Seq[String]): String = {
@@ -824,5 +847,15 @@ object TextOps {
         |   FROM a)
         |SELECT source, n_types, round(slope_d, 6) AS slope,
         | round((syd - slope_d * sxd) / n_types / 1000000, 6) AS intercept
-        |FROM s ORDER BY source""".stripMargin)
+        |FROM s ORDER BY source""".stripMargin,
+
+    "q99_token_histogram" ->
+      """WITH n AS (SELECT len(string_split_regex(text, '\s+')) AS nt FROM documents),
+        | h AS (SELECT length(bin(nt)) AS bucket_bits,
+        |   count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |   min(nt) AS min_tokens, max(nt) AS max_tokens
+        |   FROM n GROUP BY bucket_bits)
+        |SELECT bucket_bits, n_docs, total_tokens, min_tokens, max_tokens,
+        | round(n_docs / sum(n_docs) OVER (), 4) AS share
+        |FROM h ORDER BY bucket_bits""".stripMargin)
 }

@@ -137,4 +137,74 @@ class AuditSpec extends AnyFunSuite {
     val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
     assert(mean >= 0.5, s"mean int8 recall@5 = $mean")
   }
+
+  // ---- q97 cross-source duplication matrix --------------------------------
+
+  test("q97: pair counts sum to the verified pair total and keys are ordered") {
+    val srcOf = Tables.load(spark, TestSpark.sf, "documents")
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    val pairs = graft.operators.DedupOps
+      .queries("q51_minhash_lsh")(spark, TestSpark.sf) // same pairs, limited
+      .collect()
+    val matrix = graft.operators.DedupOps
+      .queries("q97_cross_source_dups")(spark, TestSpark.sf).collect()
+    assert(matrix.nonEmpty, "no cross-source near-dups in the test corpus")
+    matrix.foreach { r =>
+      assert(r.getAs[String]("source_x") <= r.getAs[String]("source_y"))
+      assert(r.getAs[Double]("max_jac") >= 0.5 && r.getAs[Double]("max_jac") <= 1.0)
+      assert(r.getAs[Double]("avg_jac") <= r.getAs[Double]("max_jac") + 1e-9)
+    }
+    // every q51 pair lands in exactly one matrix cell → counts sum to total
+    val total = matrix.map(_.getAs[Long]("n_pairs")).sum
+    assert(total == pairs.length,
+      s"matrix covers $total pairs, q51 found ${pairs.length}")
+    // one cell re-derived: the (source_x, source_y) of the top q51 pair
+    val top = pairs.head
+    val (sx, sy) = {
+      val (a, b) = (srcOf(top.getAs[Long]("a")), srcOf(top.getAs[Long]("b")))
+      (if (a <= b) a else b, if (a <= b) b else a)
+    }
+    assert(matrix.exists(r => r.getAs[String]("source_x") == sx &&
+      r.getAs[String]("source_y") == sy))
+  }
+
+  // ---- q98 retention cohorts ----------------------------------------------
+
+  test("q98: day-offset-0 cells cover every user exactly once") {
+    val rows = graft.operators.EventOps
+      .queries("q98_retention_cohorts")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("day_offset") >= 0L,
+      "an activity day precedes its user's cohort day"))
+    // every user is active on their own first day, so the offset-0 cells
+    // partition the user population
+    val usersAt0 = rows.filter(_.getAs[Long]("day_offset") == 0L)
+      .map(_.getAs[Long]("n_users")).sum
+    val totalUsers = Tables.load(spark, TestSpark.sf, "events")
+      .select("user_id").distinct().count()
+    assert(usersAt0 == totalUsers, s"offset-0 covers $usersAt0 of $totalUsers")
+    // and no cell can exceed its cohort's size
+    val cohortSize = rows.filter(_.getAs[Long]("day_offset") == 0L)
+      .map(r => r.getAs[String]("cohort") -> r.getAs[Long]("n_users")).toMap
+    rows.foreach(r => assert(
+      r.getAs[Long]("n_users") <= cohortSize(r.getAs[String]("cohort"))))
+  }
+
+  // ---- q99 token histogram ------------------------------------------------
+
+  test("q99: buckets partition the corpus and bound their token counts") {
+    val rows = graft.operators.TextOps
+      .queries("q99_token_histogram")(spark, TestSpark.sf).collect()
+    val nDocs = Tables.load(spark, TestSpark.sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket_bits").toInt
+      val lo = 1L << (b - 1)
+      val hi = (1L << b) - 1
+      assert(r.getAs[Long]("min_tokens") >= lo && r.getAs[Long]("max_tokens") <= hi,
+        s"bucket $b holds tokens outside [$lo,$hi]")
+    }
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 0.001, s"shares sum to $shareSum")
+  }
 }

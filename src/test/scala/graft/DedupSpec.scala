@@ -271,7 +271,7 @@ class DedupSpec extends AnyFunSuite {
     val b = docs.filter(col("doc_id") % 10 === 2)
     try {
       DedupOps.indexCorpus(a).saveAsTables("graft_mh_app", nBuckets = 4)
-      DedupOps.appendToCorpusIndex("graft_mh_app", b, nBuckets = 4)
+      DedupOps.appendToCorpusIndex("graft_mh_app", b)
       val appended = DedupOps.minHashCrossDupPairs(
         batch, DedupOps.loadCorpusIndex(spark, "graft_mh_app"))
       val rebuilt = DedupOps.minHashCrossDupPairs(batch, a.unionByName(b))
