@@ -67,11 +67,18 @@ object DedupOps {
     * atomic column bucketed persistence and co-located joins key on (it is
     * determined by (band, bsig), so including it in a join changes no
     * semantics). */
-  private def bandedSignatures(shingled: DataFrame): DataFrame = {
+  private def bandedSignatures(shingled: DataFrame): DataFrame =
+    sigsToBands(signatures(shingled))
+
+  /** Band split of an existing (doc_id, sig) frame — callers that need both
+    * the signatures and their bands derive the bands from ONE sigs subtree
+    * (identical subplans maximize exchange reuse) instead of re-aggregating
+    * the sketch. */
+  private def sigsToBands(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until numBands).map { b =>
       struct(lit(b).as("band"), slice(col("sig"), b * bandRows + 1, bandRows).as("bsig"))
     }
-    signatures(shingled)
+    sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
       .withColumn("bucket_key", xxhash64(col("band"), col("bsig")))
@@ -140,16 +147,18 @@ object DedupOps {
     * and new files land in the correct buckets: subsequent batch joins stay
     * corpus-stationary (zero corpus-side shuffle — parity with a full
     * rebuild is spec-asserted). Callers own batch-vs-corpus doc_id
-    * uniqueness. */
+    * uniqueness.
+    *
+    * CRASH PROTOCOL (two tables, no cross-table transaction on plain
+    * parquet): shingles are written FIRST, so the only reachable
+    * inconsistency is shingle rows whose band rows never landed. After a
+    * failed append, call [[repairCorpusIndex]] and SKIP re-appending the
+    * same batch — a blind retry duplicates the batch's shingle rows (single
+    * writer assumed, as with [[graft.sources.PartitionedSink]] compaction;
+    * at cluster scale a transactional table format makes this one commit). */
   def appendToCorpusIndex(namePrefix: String, newDocs: DataFrame): Unit = {
     val spark = newDocs.sparkSession
-    val nBuckets = spark.sessionState.catalog
-      .getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(s"${namePrefix}_bands"))
-      .bucketSpec.map(_.numBuckets)
-      .getOrElse(throw new IllegalStateException(
-        s"${namePrefix}_bands exists but carries no bucket spec — not an " +
-          "index written by MinHashCorpusIndex.saveAsTables"))
+    val nBuckets = bucketCountOf(spark, namePrefix)
     val sh = TextOps.withShingles(newDocs).select("doc_id", "sh")
     sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -160,6 +169,40 @@ object DedupOps {
         .saveAsTable(s"${namePrefix}_bands")
     } finally sh.unpersist()
   }
+
+  /** Heal a corpus index after a crashed [[appendToCorpusIndex]]: bands are
+    * a PURE FUNCTION of shingles and appends write shingles first, so
+    * recovery = recompute bands for exactly the doc_ids that have shingle
+    * rows but no band rows and append them into the same bucket layout.
+    * Idempotent (a healthy index repairs zero docs). Returns the number of
+    * repaired doc_ids. */
+  def repairCorpusIndex(spark: SparkSession, namePrefix: String): Long = {
+    val nBuckets = bucketCountOf(spark, namePrefix)
+    val sh = spark.table(s"${namePrefix}_shingles")
+    val missing = sh.select("doc_id").distinct()
+      .join(spark.table(s"${namePrefix}_bands").select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = missing.count()
+      if (n > 0) {
+        bandedSignatures(sh.join(missing, "doc_id"))
+          .write.mode("append").format("parquet")
+          .bucketBy(nBuckets, "bucket_key", "band", "bsig")
+          .saveAsTable(s"${namePrefix}_bands")
+      }
+      n
+    } finally missing.unpersist()
+  }
+
+  private def bucketCountOf(spark: SparkSession, namePrefix: String): Int =
+    spark.sessionState.catalog
+      .getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(s"${namePrefix}_bands"))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"${namePrefix}_bands exists but carries no bucket spec — not an " +
+          "index written by MinHashCorpusIndex.saveAsTables"))
 
   /** Index a (doc_id, text) corpus for incremental dedup. */
   def indexCorpus(corpus: DataFrame): MinHashCorpusIndex = {
@@ -243,15 +286,28 @@ object DedupOps {
     *    maximal df, sort LAST, and fall outside every non-trivial prefix —
     *    the hot key disappears from the join instead of being "capped" with
     *    a recall apology. A length filter (t·na ≤ nb ≤ na/t, necessary for
-    *    jac ≥ t) prunes cross-size candidates in the same join. Candidates
+    *    jac ≥ t) prunes cross-size candidates in the same join; prefix and
+    *    length bounds are computed at a generation threshold slightly BELOW
+    *    t (see the body) so neither 4-decimal output rounding nor binary
+    *    non-representability of t can drop a qualifying pair. Candidates
     *    are then verified with the exact set Jaccard over the shingle
     *    arrays, so the output is identical to the exhaustive mode filtered
     *    at t — hash-checked by the q58/q87 oracles, which replay the
     *    EXHAUSTIVE join in DuckDB. */
   def ngramJaccardPairs(s: SparkSession, d: String,
-                        minJac: Option[Double] = None): DataFrame = {
-    val sh = docShingles(s, d)
-      .join(Tables.load(s, d, "documents").select("doc_id", "n_chars"), "doc_id")
+                        minJac: Option[Double] = None): DataFrame =
+    ngramJaccardPairsImpl(
+      Tables.load(s, d, "documents").select("doc_id", "text", "n_chars"), minJac)
+
+  /** DataFrame-input variant of the thresholded path — same semantics over
+    * any (doc_id, text, n_chars) frame. */
+  def ngramJaccardPairsOf(docs: DataFrame, minJac: Double): DataFrame =
+    ngramJaccardPairsImpl(docs, Some(minJac))
+
+  private def ngramJaccardPairsImpl(docs: DataFrame,
+                                    minJac: Option[Double]): DataFrame = {
+    val sh = TextOps.withShingles(docs.select("doc_id", "text")).select("doc_id", "sh")
+      .join(docs.select("doc_id", "n_chars"), "doc_id")
       .withColumn("blk", (col("n_chars") / 50).cast("bigint"))
       .withColumn("n_sh", size(col("sh")))
     val postings = sh.select(col("doc_id"), col("blk"), col("n_sh"), explode(col("sh")).as("t"))
@@ -270,20 +326,32 @@ object DedupOps {
       case Some(t) =>
         import org.apache.spark.sql.expressions.Window
         require(t > 0 && t <= 1, s"minJac must be in (0, 1]; got $t")
+        // GENERATION threshold, deliberately below the FILTER threshold t:
+        //  - 1e-4 covers the final filter running on round(jac, 4) — a pair
+        //    whose raw Jaccard is t − 0.00005 rounds UP to t and must still
+        //    be generated (the AllPairs lemma only guarantees a shared
+        //    prefix for raw jac ≥ generation threshold);
+        //  - 1e-9 swallows FP products like 0.55·100 = 55.000000000000001,
+        //    where ⌈t·n⌉ would round up and silently shorten the prefix /
+        //    tighten the length band (thresholds such as 0.55 are not
+        //    exactly representable in binary).
+        // Both slacks only ADD candidates; the exact verify keeps output
+        // semantics at t.
+        val tGen = math.max(t - 1e-4 - 1e-9, 1e-9)
         val df = postings.groupBy("blk", "t").agg(count(lit(1)).as("df"))
         val ordered = postings.join(df, Seq("blk", "t"))
           .withColumn("pos", row_number().over(
             Window.partitionBy("blk", "doc_id").orderBy(col("df"), col("t"))))
-        // prefix length: n_sh − ⌈t·n_sh⌉ + 1 (ceil via float-safe bigint arith)
+        // prefix length: n_sh − ⌈tGen·n_sh⌉ + 1
         val prefix = ordered
-          .filter(col("pos") <= col("n_sh") - ceil(lit(t) * col("n_sh")).cast("bigint") + 1)
+          .filter(col("pos") <= col("n_sh") - ceil(lit(tGen) * col("n_sh")).cast("bigint") + 1)
           .select("doc_id", "blk", "n_sh", "t")
         val candidates = prefix.as("x")
           .join(prefix.as("y"),
             col("x.blk") === col("y.blk") && col("x.t") === col("y.t") &&
               col("x.doc_id") < col("y.doc_id") &&
-              col("y.n_sh") >= ceil(lit(t) * col("x.n_sh")) &&
-              col("y.n_sh") * lit(t) <= col("x.n_sh"))
+              col("y.n_sh") >= ceil(lit(tGen) * col("x.n_sh")) &&
+              col("y.n_sh") * lit(tGen) <= col("x.n_sh"))
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .distinct()
         candidates
@@ -456,7 +524,7 @@ object DedupOps {
     "q96_minhash_estimate" -> ((s, d) => {
       val shingled = docShingles(s, d)
       val sigs = signatures(shingled)
-      val banded = bandedSignatures(shingled)
+      val banded = sigsToBands(sigs) // ONE sigs subtree → exchange reuse
       val candidates = banded.as("x")
         .join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
@@ -471,13 +539,34 @@ object DedupOps {
             (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
             .cast("long"))
         .select("a", "b", "n_match")
+      val nh = lit(numHashes.toDouble)
       est.join(verifyJaccard(shingled, candidates), Seq("a", "b"))
         .select(col("a"), col("b"), col("jac"),
-          round(col("n_match") / 32.0, 4).as("jac_est"),
-          round(abs(round(col("n_match") / 32.0, 4) - col("jac")), 4).as("abs_err"))
+          round(col("n_match") / nh, 4).as("jac_est"),
+          round(abs(round(col("n_match") / nh, 4) - col("jac")), 4).as("abs_err"))
         .orderBy(col("jac").desc, col("a"), col("b"))
         .limit(50)
     }))
+
+  /** Ground truth for BOTH cluster queries (q58 full recluster, q87
+    * incremental maintenance): the recursive-CTE transitive closure over
+    * the thresholded pair graph. One string, two map entries — an edit
+    * here reaches both oracles. */
+  private lazy val closureOracleSql: String =
+    s"""WITH RECURSIVE
+       | t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+       | sh AS (SELECT doc_id, CAST(floor(n_chars / 50) AS BIGINT) AS blk,
+       |        ${TextOps.shinglesSql} AS s FROM t),
+       | pr AS (SELECT a.doc_id AS a, b.doc_id AS b
+       |        FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |        WHERE round(len(list_intersect(a.s, b.s))
+       |          / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.5),
+       | und AS (SELECT a AS src, b AS dst FROM pr UNION ALL SELECT b AS src, a AS dst FROM pr),
+       | reach(node, r) AS (
+       |   SELECT src, src FROM und
+       |   UNION
+       |   SELECT re.node, u.dst FROM reach re JOIN und u ON u.src = re.r)
+       |SELECT node, min(r) AS label FROM reach GROUP BY node ORDER BY node""".stripMargin
 
   /** The (i, a_i, b_i) permutation constants as a DuckDB VALUES list —
     * exactly [[MinHashPermAgg.coeffs]], so the oracle replays the sketch. */
@@ -538,41 +627,14 @@ object DedupOps {
 
     // Transitive closure over the same edge set; min reachable id per node
     // is exactly what min-label propagation converges to.
-    "q58_dedup_clusters" ->
-      s"""WITH RECURSIVE
-         | t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
-         | sh AS (SELECT doc_id, CAST(floor(n_chars / 50) AS BIGINT) AS blk,
-         |        ${TextOps.shinglesSql} AS s FROM t),
-         | pr AS (SELECT a.doc_id AS a, b.doc_id AS b
-         |        FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
-         |        WHERE round(len(list_intersect(a.s, b.s))
-         |          / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.5),
-         | und AS (SELECT a AS src, b AS dst FROM pr UNION ALL SELECT b AS src, a AS dst FROM pr),
-         | reach(node, r) AS (
-         |   SELECT src, src FROM und
-         |   UNION
-         |   SELECT re.node, u.dst FROM reach re JOIN und u ON u.src = re.r)
-         |SELECT node, min(r) AS label FROM reach GROUP BY node ORDER BY node""".stripMargin,
+    "q58_dedup_clusters" -> closureOracleSql,
 
     // The incremental path must equal the full recluster BY CONSTRUCTION —
-    // so its oracle IS q58's: the recursive-CTE transitive closure over the
-    // union of old+new edges (= all edges at jac >= 0.5). A green row means
-    // O(batch) maintenance and O(corpus) recluster agree exactly.
-    "q87_incremental_clusters" ->
-      s"""WITH RECURSIVE
-         | t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
-         | sh AS (SELECT doc_id, CAST(floor(n_chars / 50) AS BIGINT) AS blk,
-         |        ${TextOps.shinglesSql} AS s FROM t),
-         | pr AS (SELECT a.doc_id AS a, b.doc_id AS b
-         |        FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
-         |        WHERE round(len(list_intersect(a.s, b.s))
-         |          / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.5),
-         | und AS (SELECT a AS src, b AS dst FROM pr UNION ALL SELECT b AS src, a AS dst FROM pr),
-         | reach(node, r) AS (
-         |   SELECT src, src FROM und
-         |   UNION
-         |   SELECT re.node, u.dst FROM reach re JOIN und u ON u.src = re.r)
-         |SELECT node, min(r) AS label FROM reach GROUP BY node ORDER BY node""".stripMargin,
+    // so its oracle IS q58's (the SAME shared string, so the two can never
+    // silently desynchronize): the recursive-CTE transitive closure over
+    // the union of old+new edges (= all edges at jac >= 0.5). A green row
+    // means O(batch) maintenance and O(corpus) recluster agree exactly.
+    "q87_incremental_clusters" -> closureOracleSql,
 
     // Same sketch/band replay as q51, with the band join restricted to
     // batch × corpus and a per-batch-doc argmax.
@@ -646,8 +708,8 @@ object DedupOps {
          |   round(len(list_intersect(sa.s, sb.s)) / len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jac
          |   FROM cand c JOIN sh sa ON c.a = sa.doc_id JOIN sh sb ON c.b = sb.doc_id)
          |SELECT e.a, e.b, j.jac,
-         | round(e.n_match / 32.0, 4) AS jac_est,
-         | round(abs(round(e.n_match / 32.0, 4) - j.jac), 4) AS abs_err
+         | round(e.n_match / $numHashes.0, 4) AS jac_est,
+         | round(abs(round(e.n_match / $numHashes.0, 4) - j.jac), 4) AS abs_err
          |FROM est e JOIN jac j ON e.a = j.a AND e.b = j.b
          |ORDER BY j.jac DESC, e.a, e.b LIMIT 50""".stripMargin)
 }

@@ -27,8 +27,13 @@ object DedupPipeline {
     * distance <= 3; larger radii are best-effort). */
   final case class SimHash(maxHamming: Int = 3) extends Strategy
 
-  /** Rows of `docs` that survive deduplication (all columns preserved). */
-  def dedup(docs: DataFrame, idCol: String, textCol: String, strategy: Strategy): DataFrame =
+  /** Rows of `docs` that survive deduplication (all columns preserved).
+    * `maxIter`/`strict` govern the cluster pass on the near-dup graph: the
+    * default (100, strict) converges any realistic dup graph and FAILS
+    * rather than silently splitting a deeper one; pass `strict = false` to
+    * accept a conservative over-segmentation instead (more docs kept). */
+  def dedup(docs: DataFrame, idCol: String, textCol: String, strategy: Strategy,
+            maxIter: Int = 100, strict: Boolean = true): DataFrame =
     strategy match {
       case Exact =>
         val norm = TextOps.normTextOf(col(textCol))
@@ -40,12 +45,13 @@ object DedupPipeline {
       case MinHashLsh(threshold) =>
         // cluster the near-dup graph so CHAINS dedup correctly (a~b, b~c
         // keeps only a even when a!~c), then keep each cluster's senior.
-        dropJuniors(docs, idCol, nearDupPairs(docs, idCol, textCol, threshold))
+        dropJuniors(docs, idCol, nearDupPairs(docs, idCol, textCol, threshold),
+          maxIter, strict)
       case SimHash(maxHamming) =>
         val pairs = DedupOps.simHashNearDupPairs(
           docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
           .filter(col("hamming") <= maxHamming)
-        dropJuniors(docs, idCol, pairs)
+        dropJuniors(docs, idCol, pairs, maxIter, strict)
     }
 
   /** Embedding-cosine near-dedup: LSH similar-pairs over `vecCol`
@@ -67,7 +73,7 @@ object DedupPipeline {
       col(vecCol).cast("array<double>").as("emb"))
     val pairs = SimilarityOps.lshSimilarPairs(vecs)
       .filter(col("sim") >= simThreshold)
-    dropJuniors(docs, idCol, pairs.select("a", "b"))
+    dropJuniors(docs, idCol, pairs.select("a", "b"), maxIter = 100, strict = true)
   }
 
   /** Incremental dedup: rows of `newDocs` that are NOT near-duplicates (at
@@ -100,8 +106,9 @@ object DedupPipeline {
   }
 
   /** Cluster the near-dup pair graph, drop every non-representative. */
-  private def dropJuniors(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val labeled = clusters(pairs)
+  private def dropJuniors(docs: DataFrame, idCol: String, pairs: DataFrame,
+                          maxIter: Int, strict: Boolean): DataFrame = {
+    val labeled = clusters(pairs, maxIter, strict)
     val dropped = labeled.filter(col("node") =!= col("label"))
       .select(col("node").as(idCol))
     docs.join(dropped, Seq(idCol), "left_anti")

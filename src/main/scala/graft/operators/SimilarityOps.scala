@@ -242,19 +242,11 @@ object SimilarityOps {
     // since all three sides are SQL-replayable.
     "q67_ann_recall" -> ((s, d) => {
       val brute = queries("q60_knn_brute")(s, d).select("q_id", "n_id")
-      def recallOf(ann: DataFrame, method: String): DataFrame = {
-        val hits = brute.join(ann.select("q_id", "n_id"), Seq("q_id", "n_id"))
-          .groupBy("q_id").agg(count(lit(1)).as("hits"))
-        brute.select("q_id").distinct()
-          .join(hits, Seq("q_id"), "left")
-          .select(
-            lit(method).as("method"),
-            col("q_id"),
-            coalesce(col("hits"), lit(0L)).as("hits"),
-            round(coalesce(col("hits"), lit(0L)) / 5.0, 4).as("recall"))
-      }
-      recallOf(queries("q61_ann_lsh")(s, d), "lsh")
-        .unionByName(recallOf(queries("q65_ann_ivf")(s, d), "ivf"))
+      recallAt5(brute, queries("q61_ann_lsh")(s, d))
+        .withColumn("method", lit("lsh"))
+        .unionByName(recallAt5(brute, queries("q65_ann_ivf")(s, d))
+          .withColumn("method", lit("ivf")))
+        .select("method", "q_id", "hits", "recall")
         .orderBy("method", "q_id")
     }),
 
@@ -339,15 +331,21 @@ object SimilarityOps {
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("vec_id").as("n_id"))
       val brute = queries("q60_knn_brute")(s, d).select("q_id", "n_id")
-      val hits = brute.join(int8Top, Seq("q_id", "n_id"))
-        .groupBy("q_id").agg(count(lit(1)).as("hits"))
-      brute.select("q_id").distinct()
-        .join(hits, Seq("q_id"), "left")
-        .select(col("q_id"),
-          coalesce(col("hits"), lit(0L)).as("hits"),
-          round(coalesce(col("hits"), lit(0L)) / 5.0, 4).as("recall"))
-        .orderBy("q_id")
+      recallAt5(brute, int8Top).orderBy("q_id")
     }))
+
+  /** Per-query recall@5 of `ann` (q_id, n_id) against `brute` ground truth —
+    * the ONE recall-join shape shared by q67 (LSH/IVF) and q95 (int8).
+    * Queries the ANN path missed entirely still appear, with recall 0. */
+  private def recallAt5(brute: DataFrame, ann: DataFrame): DataFrame = {
+    val hits = brute.join(ann.select("q_id", "n_id"), Seq("q_id", "n_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    brute.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / 5.0, 4).as("recall"))
+  }
 
   /** The seeded hyperplanes as a DuckDB VALUES list `(p, [64 doubles])` —
     * the same constants [[signBits]] uses, so the oracle replays bucket

@@ -252,15 +252,31 @@ class DedupSpec extends AnyFunSuite {
 
   test("prefix-filtered ngramJaccardPairs == exhaustive pairs filtered at the threshold") {
     import graft.operators.DedupOps
-    val t = 0.5
-    val exhaustive = DedupOps.ngramJaccardPairs(spark, TestSpark.sf)
-      .filter(col("jac") >= t)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val prefix = DedupOps.ngramJaccardPairs(spark, TestSpark.sf, minJac = Some(t))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(exhaustive.nonEmpty, "test corpus has no pairs at the threshold")
-    assert(prefix == exhaustive,
-      s"missing=${(exhaustive -- prefix).take(5)} extra=${(prefix -- exhaustive).take(5)}")
+    val exhaustiveAll = DedupOps.ngramJaccardPairs(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 0.5 is exactly representable; 0.55 and 0.7 are NOT (0.55·100 =
+    // 55.000000000000001 in IEEE doubles) — the generation-threshold slack
+    // must keep recall exact for them too
+    for (t <- Seq(0.5, 0.55, 0.7)) {
+      val exhaustive = exhaustiveAll.filter(_._3 >= t).toSet
+      val prefix = DedupOps.ngramJaccardPairs(spark, TestSpark.sf, minJac = Some(t))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(exhaustive.nonEmpty, s"test corpus has no pairs at threshold $t")
+      assert(prefix == exhaustive,
+        s"t=$t missing=${(exhaustive -- prefix).take(5)} extra=${(prefix -- exhaustive).take(5)}")
+    }
+    // the FP-hazard shape directly: B's 11 shingles all inside A's 20
+    // (jac = 11/20 = 0.55); ⌈0.55·20⌉ must stay 11, not round to 12.
+    // Fixed-width 3-char tokens keep BOTH docs in 50-char block 1
+    // (A: 22·3+21 = 87 chars, B: 13·3+12 = 51) — the length-band blocking
+    // only pairs docs in the same block.
+    val aTok = (1 to 22).map(i => f"w$i%02d").mkString(" ") // 20 3-gram shingles
+    val bTok = (1 to 13).map(i => f"w$i%02d").mkString(" ") // 11 shingles, all shared
+    val twoDocs = Seq((1L, aTok), (2L, bTok)).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val got = DedupOps.ngramJaccardPairsOf(twoDocs, 0.55)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 0.55)), s"got ${got.toSeq}")
   }
 
   test("appendToCorpusIndex: index(A) + append(B) answers like index(A∪B)") {
@@ -290,6 +306,33 @@ class DedupSpec extends AnyFunSuite {
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_mh_app_shingles")
       spark.sql("DROP TABLE IF EXISTS graft_mh_app_bands")
+    }
+  }
+
+  test("repairCorpusIndex heals a crashed append (shingles landed, bands did not)") {
+    import graft.operators.DedupOps
+    val docs = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val a = docs.filter(col("doc_id") % 10 === 3)
+    val b = docs.filter(col("doc_id") % 10 === 4)
+    try {
+      DedupOps.indexCorpus(a).saveAsTables("graft_mh_rep", nBuckets = 4)
+      // simulate the crash window: the batch's SHINGLES append committed,
+      // the bands append never ran
+      DedupOps.indexCorpus(b).shingles
+        .write.mode("append").format("parquet").saveAsTable("graft_mh_rep_shingles")
+      assert(DedupOps.repairCorpusIndex(spark, "graft_mh_rep") ===
+        b.select("doc_id").distinct().count())
+      // healed index answers like a clean rebuild of A∪B...
+      val healed = DedupOps.minHashCrossDupPairs(
+        batch, DedupOps.loadCorpusIndex(spark, "graft_mh_rep"))
+      val rebuilt = DedupOps.minHashCrossDupPairs(batch, a.unionByName(b))
+      assert(healed.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(healed).isEmpty)
+      // ...and a second repair is a no-op (idempotent on a healthy index)
+      assert(DedupOps.repairCorpusIndex(spark, "graft_mh_rep") === 0L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_mh_rep_shingles")
+      spark.sql("DROP TABLE IF EXISTS graft_mh_rep_bands")
     }
   }
 
