@@ -36,7 +36,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   /** Mismatched lengths yield NULL — DuckDB's list_cosine_similarity errors
     * on them, so silently truncating to the shorter array would return a
-    * plausible-but-wrong number where the oracle aborts. */
+    * plausible-but-wrong number where the oracle aborts. A NULL ELEMENT in
+    * either array also yields NULL: ArrayData.getDouble reads a null slot
+    * as 0.0, which would fabricate a finite similarity where the composed
+    * zip_with/aggregate form this expression replaces propagates NULL. */
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
@@ -46,6 +49,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
+        if (xs.isNullAt(i) || ys.isNullAt(i)) return null
         val x = xs.getDouble(i); val y = ys.getDouble(i)
         dot += x * y; na += x * x; nb += y * y
         i += 1
@@ -70,11 +74,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $x = $a.getDouble($i);
          |    double $y = $b.getDouble($i);
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })
@@ -105,12 +112,19 @@ case class SelfCosine(child: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_self_cosine"
 
+  // nullable even for a non-null child: a NULL element propagates NULL
+  // (graft_cosine's own semantics for the same vector twice)
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
     var norm = 0.0
     var i = 0
     val n = xs.numElements()
-    while (i < n) { val x = xs.getDouble(i); norm += x * x; i += 1 }
+    while (i < n) {
+      if (xs.isNullAt(i)) return null
+      val x = xs.getDouble(i); norm += x * x; i += 1
+    }
     if (java.lang.Double.isFinite(norm) && norm > 0.0) 1.0 else Double.NaN
   }
 
@@ -121,9 +135,12 @@ case class SelfCosine(child: Expression)
       s"""
          |double $norm = 0.0;
          |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double x = $a.getDouble($i); $norm += x * x;
          |}
-         |${ev.value} = (java.lang.Double.isFinite($norm) && $norm > 0.0) ? 1.0 : Double.NaN;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = (java.lang.Double.isFinite($norm) && $norm > 0.0) ? 1.0 : Double.NaN;
+         |}
        """.stripMargin
     })
 

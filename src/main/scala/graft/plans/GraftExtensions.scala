@@ -14,38 +14,54 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
   *    (self-similarity), demonstrating Rule[LogicalPlan] injection.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.arity
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       CosineSimilarity.info,
-      (children: Seq[Expression]) => CosineSimilarity(
-        Cast(children.head, ArrayType(DoubleType)),
-        Cast(children(1), ArrayType(DoubleType)))))
+      (children: Seq[Expression]) => { arity("graft_cosine", children, 2)
+        CosineSimilarity(
+          Cast(children.head, ArrayType(DoubleType)),
+          Cast(children(1), ArrayType(DoubleType))) }))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),
       WordShingles.info,
-      (children: Seq[Expression]) => WordShingles(
-        children.head, GraftExtensions.intLiteral("graft_shingles", children(1)))))
+      (children: Seq[Expression]) => { arity("graft_shingles", children, 2)
+        WordShingles(
+          children.head, GraftExtensions.intLiteral("graft_shingles", children(1))) }))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       MinHashSketchAgg.info,
-      (children: Seq[Expression]) => MinHashSketchAgg(
-        children.head,
-        GraftExtensions.intLiteral("graft_minhash", children(1))).toAggregateExpression()))
+      (children: Seq[Expression]) => { arity("graft_minhash", children, 2)
+        MinHashSketchAgg(
+          children.head,
+          GraftExtensions.intLiteral("graft_minhash", children(1))).toAggregateExpression() }))
     ext.injectFunction((
       new FunctionIdentifier("graft_md5_64"),
       Md5Lower64.info,
-      (children: Seq[Expression]) => Md5Lower64(children.head)))
+      (children: Seq[Expression]) => { arity("graft_md5_64", children, 1)
+        Md5Lower64(children.head) }))
     ext.injectFunction((
       new FunctionIdentifier("graft_jaccard"),
       JaccardSimilarity.info,
-      (children: Seq[Expression]) => JaccardSimilarity(children.head, children(1))))
+      (children: Seq[Expression]) => { arity("graft_jaccard", children, 2)
+        JaccardSimilarity(children.head, children(1)) }))
     ext.injectOptimizerRule(_ => SelfCosineToOne)
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
 
 object GraftExtensions {
+  /** Wrong argument counts must surface as an AnalysisException naming the
+    * function — not the IndexOutOfBoundsException `children(1)` would throw
+    * mid-resolution. */
+  private[plans] def arity(fn: String, children: Seq[Expression], n: Int): Unit =
+    if (children.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3000",
+        messageParameters = Map("message" ->
+          s"$fn expects $n argument(s), got ${children.length}"))
+
   /** Resolve a FOLDABLE integer argument at registration time with a clear
     * analysis-style error: accepts INT and BIGINT literals (CAST(3 AS
     * BIGINT) included), rejects non-foldable or wrong-typed arguments

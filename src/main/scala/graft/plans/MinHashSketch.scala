@@ -131,6 +131,15 @@ case class MinHashPermAgg(
     val v = child.eval(input)
     if (v != null) {
       val x = v.asInstanceOf[Long]
+      // FAIL FAST on the documented domain (non-negative 31-bit): outside
+      // it, as(i)*x overflows Long and Scala's % goes negative — signatures
+      // fill with garbage that only surfaces as an oracle mismatch much
+      // later. The usual cause is feeding graft_md5_64 output directly
+      // instead of shiftrightunsigned(graft_md5_64(x), 33).
+      if (x < 0L || x > Int.MaxValue.toLong)
+        throw new IllegalArgumentException(
+          s"graft_minhash_perm input $x outside [0, 2^31): hash tokens with " +
+            "shiftrightunsigned(graft_md5_64(tok), 33) before sketching")
       var i = 0
       while (i < numHashes) {
         val h = (as(i) * x + bs(i)) % MinHashPermAgg.P

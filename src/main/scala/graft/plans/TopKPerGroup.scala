@@ -79,8 +79,20 @@ case class TopKPerGroupExec(
         spillFiles.foreach(f => if (f.exists()) f.delete())
       }
 
+      // Spill into Spark's configured scratch space, not java.io.tmpdir:
+      // on a provisioned cluster spark.local.dir points at the disks sized
+      // for shuffle/spill, while /tmp may be a small root or tmpfs mount
+      val spillDir: java.io.File = {
+        val env = org.apache.spark.SparkEnv.get
+        val base = Option(env).flatMap(_.conf.getOption("spark.local.dir"))
+          .map(_.split(",").head.trim)
+          .getOrElse(System.getProperty("java.io.tmpdir"))
+        val d = new java.io.File(base)
+        if (d.isDirectory) d else new java.io.File(System.getProperty("java.io.tmpdir"))
+      }
+
       def spill(rows: Iterator[InternalRow]): java.io.File = {
-        val f = java.io.File.createTempFile("graft-topk-spill", ".bin")
+        val f = java.io.File.createTempFile("graft-topk-spill", ".bin", spillDir)
         spillFiles += f
         val out = new java.io.DataOutputStream(
           new java.io.BufferedOutputStream(new java.io.FileOutputStream(f), 1 << 16))
@@ -201,6 +213,10 @@ object TopKPerGroup {
     * recommended for determinism). */
   def apply(df: DataFrame, groupCols: Seq[String], orderCols: Seq[(String, Boolean)], k: Int,
             maxRowsInMemory: Int = DefaultMaxRowsInMemory): DataFrame = {
+    // k=0 would NPE on heap.peek() inside an executor's generated
+    // comparator; negative k fails in the PriorityQueue constructor —
+    // both are caller errors that deserve a driver-side message
+    require(k >= 1, s"TopKPerGroup requires k >= 1, got $k")
     val spark = df.sparkSession
     val analyzed = df.queryExecution.analyzed
     def attr(name: String): Attribute = analyzed.output.find(_.name == name).getOrElse(

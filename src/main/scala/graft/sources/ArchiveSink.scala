@@ -22,10 +22,18 @@ object ArchiveSink {
     * into `destFile`. Overwrites an existing archive (idempotent re-runs). */
   def tarGzDirectory(srcDir: String, destFile: String): Long = {
     val src = Paths.get(srcDir)
-    val files = Files.walk(src).iterator().asScala.filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+    // Files.walk requires explicit close (try-with-resources contract) —
+    // a leaked directory handle per archive run starves a long-lived
+    // driver of fds under daily/retry cadence
+    val walk = Files.walk(src)
+    val files =
+      try walk.iterator().asScala.filter(Files.isRegularFile(_)).toSeq.sortBy(_.toString)
+      finally walk.close()
     val out = new TarArchiveOutputStream(new GZIPOutputStream(
       new BufferedOutputStream(new FileOutputStream(destFile))))
     out.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+    // default BIGNUMBER_ERROR aborts mid-archive on any file >= 8 GiB
+    out.setBigNumberMode(TarArchiveOutputStream.BIGNUMBER_POSIX)
     try {
       files.foreach { f =>
         val entry = new TarArchiveEntry(f.toFile, src.relativize(f).toString)

@@ -29,8 +29,20 @@ object EtlConfig {
   def load(path: String, appName: String): EtlConfig = {
     if (!Files.exists(Paths.get(path)))
       throw new IllegalArgumentException(s"settings file not found: $path")
-    val root = new org.yaml.snakeyaml.Yaml()
-      .load[java.util.Map[String, Object]](Files.readString(Paths.get(path)))
+    // Yaml.load returns null for an empty/comment-only document and a
+    // scalar for non-mapping YAML — both must fail with a CLEAR message,
+    // not an NPE/ClassCastException downstream
+    val loaded: Any = new org.yaml.snakeyaml.Yaml()
+      .load[Object](Files.readString(Paths.get(path)))
+    val root = loaded match {
+      case null =>
+        throw new IllegalArgumentException(s"settings file is empty: $path")
+      case m: java.util.Map[_, _] =>
+        m.asInstanceOf[java.util.Map[String, Object]]
+      case other =>
+        throw new IllegalArgumentException(
+          s"settings file is not a YAML mapping: $path (got ${other.getClass.getSimpleName})")
+    }
     val section = Option(root.get(appName)) match {
       case Some(m: java.util.Map[_, _]) =>
         m.asInstanceOf[java.util.Map[String, Object]].asScala.toMap

@@ -35,6 +35,21 @@ object PrefixCatalog {
     s"${namePrefix}_${new Path(prefixPath).getName}"
       .replaceAll("[^A-Za-z0-9_]", "_").toLowerCase(java.util.Locale.ROOT)
 
+  /** Sanitization is lossy ('logs-a' and 'logs_a' both become 'logs_a'),
+    * so a collision would silently register one prefix and drop — or worse,
+    * repoint — the other. FAIL instead: the operator must rename a prefix,
+    * not discover the wrong dataset downstream. */
+  private def tableNamesFor(namePrefix: String,
+                            targets: Seq[CrawlTarget]): Seq[(String, String)] = {
+    val named = targets.map(t => tableNameFor(namePrefix, t.path) -> t.path)
+    val collisions = named.groupBy(_._1).filter(_._2.distinct.size > 1)
+    require(collisions.isEmpty,
+      "prefix table-name collision after sanitization: " +
+        collisions.map { case (n, ps) => s"$n <- ${ps.map(_._2).mkString(", ")}" }
+          .mkString("; "))
+    named
+  }
+
   /** Register one external table per discovered prefix (the engine-native
     * analog of `glue.update_crawler(Targets=...)`). Table names are derived
     * from the leaf prefix name; registration goes through the typed catalog
@@ -42,10 +57,9 @@ object PrefixCatalog {
     * interpolated into SQL text (a quote in a listed prefix must not become
     * SQL injection). */
   def registerPrefixTables(spark: SparkSession, base: String, namePrefix: String): Seq[String] =
-    listFirstLevelPrefixes(spark, base).map { t =>
-      val table = tableNameFor(namePrefix, t.path)
+    tableNamesFor(namePrefix, listFirstLevelPrefixes(spark, base)).map { case (table, path) =>
       spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      spark.catalog.createTable(table, t.path, "parquet")
+      spark.catalog.createTable(table, path, "parquet")
       table
     }
 
@@ -89,8 +103,7 @@ object PrefixCatalog {
     * (added, removed) target names. */
   def syncPrefixTargets(spark: SparkSession, base: String, namePrefix: String,
                         sync: CatalogSync): (Seq[String], Seq[String]) = {
-    val wanted = listFirstLevelPrefixes(spark, base)
-      .map(t => tableNameFor(namePrefix, t.path) -> t.path).toMap
+    val wanted = tableNamesFor(namePrefix, listFirstLevelPrefixes(spark, base)).toMap
     val existing = sync.existingTargets(namePrefix)
     val added = (wanted.keySet -- existing).toSeq.sorted.map { table =>
       sync.register(table, wanted(table))

@@ -135,14 +135,21 @@ object EventStream {
       .mode("overwrite")
       .parquet(root)
 
+  /** `checkpoint` is REQUIRED for the replay guarantee the batch writer
+    * documents: without a durable checkpoint a restarted query begins at
+    * batchId 0 over re-read source data, and the previous run's
+    * higher-batch_id partitions survive the dynamic overwrite as
+    * duplicates. (Tests may pass `None` for a throwaway query.) */
   def toPartitionedParquet(df: DataFrame, root: String,
-                           tsCol: String = "ts"): org.apache.spark.sql.streaming.StreamingQuery =
-    df.writeStream
+                           checkpoint: Option[String],
+                           tsCol: String = "ts"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = df.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         writePartitionedBatch(batch, batchId, root, tsCol)
       }
-      .start()
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 
   /** Streaming text-quality filter: the TextProfile-based quality score as
     * a STATELESS narrow map over a document stream — the pre-training

@@ -157,4 +157,35 @@ class ExtensionsSpec extends AnyFunSuite {
       Seq((1, 2)).toDF("a", "b").select(expr("graft_cosine(a, b)")).collect()
     }
   }
+
+  test("graft_cosine: a NULL element yields NULL, not a fabricated similarity") {
+    // ArrayData.getDouble reads a null slot as 0.0 — the expression must
+    // propagate NULL like the composed zip_with/aggregate form instead
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0, CAST(NULL AS DOUBLE)), array(1.0, 2.0)) AS c").head()
+    assert(r.isNullAt(0), s"expected NULL, got ${r.get(0)}")
+    // the SelfCosineToOne rewrite target honors the same contract
+    val self = spark.sql(
+      "SELECT graft_cosine(a, a) AS c FROM (SELECT array(1.0, CAST(NULL AS DOUBLE)) AS a)").head()
+    assert(self.isNullAt(0), s"expected NULL from self-cosine, got ${self.get(0)}")
+  }
+
+  test("wrong arity fails analysis with the function named") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(array(1.0))").collect()
+    }
+    assert(err.getMessage.contains("graft_cosine"))
+  }
+
+  test("minhash_perm rejects inputs outside the 31-bit domain") {
+    import graft.plans.MinHashPermAgg
+    val agg = MinHashPermAgg(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.LongType, nullable = false), 4)
+    val err = intercept[IllegalArgumentException] {
+      agg.update(agg.createAggregationBuffer(),
+        org.apache.spark.sql.catalyst.InternalRow(-1L))
+    }
+    assert(err.getMessage.contains("shiftrightunsigned"))
+  }
 }

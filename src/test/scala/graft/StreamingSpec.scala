@@ -188,7 +188,7 @@ class StreamingSpec extends AnyFunSuite {
     val root = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
     val stream = EventStream.fromDirectory(spark, eventsDir)
       .select("event_id", "user_id", "event_type", "value", "ts")
-    val q = EventStream.toPartitionedParquet(stream, root)
+    val q = EventStream.toPartitionedParquet(stream, root, checkpoint = None)
     q.processAllAvailable()
     q.stop()
     val written = spark.read.parquet(root)
