@@ -565,6 +565,32 @@ object TextOps {
         .orderBy("source")
     }),
 
+    // Per-source VOCABULARY overlap matrix — the lexical leg of the
+    // source-similarity triad (q97 = document-level near-dup overlap,
+    // q76 = distributional KL, this = set-level vocab Jaccard), read
+    // together when planning a corpus mixture. Scale: one distinct pass
+    // (source, token), then a token-key equi-join whose per-token fanout
+    // is bounded by |sources|² — O(|vocab|·|sources|²) worst case, fine
+    // for catalog-sized source counts; at thousands of sources switch to
+    // per-source MinHash signatures (q51's sketch over vocab sets).
+    "q100_vocab_overlap" -> ((s, d) => {
+      val vocab = Tables.load(s, d, "documents")
+        .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .distinct()
+      val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n"))
+      vocab.as("x")
+        .join(vocab.as("y"),
+          col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("source_x"), col("y.source").as("source_y"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("source").as("source_x"), col("n").as("vocab_x")), "source_x")
+        .join(sizes.select(col("source").as("source_y"), col("n").as("vocab_y")), "source_y")
+        .withColumn("jac",
+          round(col("inter") / (col("vocab_x") + col("vocab_y") - col("inter")), 4))
+        .select("source_x", "source_y", "vocab_x", "vocab_y", "inter", "jac")
+        .orderBy("source_x", "source_y")
+    }),
+
     // Sequence-length histogram in power-of-2 buckets — the planning input
     // for q79's packing (what fraction of docs land in each length band,
     // how many tokens each band holds). The bucket is the token count's
@@ -848,6 +874,18 @@ object TextOps {
         |SELECT source, n_types, round(slope_d, 6) AS slope,
         | round((syd - slope_d * sxd) / n_types / 1000000, 6) AS intercept
         |FROM s ORDER BY source""".stripMargin,
+
+    "q100_vocab_overlap" ->
+      """WITH v AS (SELECT DISTINCT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |           FROM documents),
+        | sz AS (SELECT source, count(*) AS n FROM v GROUP BY source),
+        | i AS (SELECT x.source AS source_x, y.source AS source_y, count(*) AS inter
+        |       FROM v x JOIN v y ON x.tok = y.tok AND x.source < y.source
+        |       GROUP BY source_x, source_y)
+        |SELECT i.source_x, i.source_y, sx.n AS vocab_x, sy.n AS vocab_y, i.inter,
+        | round(i.inter / (sx.n + sy.n - i.inter), 4) AS jac
+        |FROM i JOIN sz sx ON i.source_x = sx.source JOIN sz sy ON i.source_y = sy.source
+        |ORDER BY source_x, source_y""".stripMargin,
 
     "q99_token_histogram" ->
       """WITH n AS (SELECT len(string_split_regex(text, '\s+')) AS nt FROM documents),

@@ -190,6 +190,32 @@ class AuditSpec extends AnyFunSuite {
       r.getAs[Long]("n_users") <= cohortSize(r.getAs[String]("cohort"))))
   }
 
+  // ---- q100 vocabulary overlap --------------------------------------------
+
+  test("q100: one cell matches a plain-Scala set computation, bounds hold") {
+    val rows = graft.operators.TextOps
+      .queries("q100_vocab_overlap")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (vx, vy, inter, jac) = (r.getAs[Long]("vocab_x"), r.getAs[Long]("vocab_y"),
+        r.getAs[Long]("inter"), r.getAs[Double]("jac"))
+      assert(r.getAs[String]("source_x") < r.getAs[String]("source_y"))
+      assert(inter <= math.min(vx, vy) && jac > 0.0 && jac <= 1.0)
+    }
+    // re-derive the first cell independently with Scala sets
+    val r0 = rows.head
+    val bySource = Tables.load(spark, TestSpark.sf, "documents")
+      .select("source", "text").as[(String, String)].collect()
+      .groupBy(_._1).map { case (src, ds) =>
+        src -> ds.flatMap(d => tok(d._2)).toSet }
+    val (va, vb) = (bySource(r0.getAs[String]("source_x")),
+      bySource(r0.getAs[String]("source_y")))
+    assert(r0.getAs[Long]("vocab_x") == va.size && r0.getAs[Long]("vocab_y") == vb.size)
+    assert(r0.getAs[Long]("inter") == (va & vb).size)
+    val expect = math.rint((va & vb).size.toDouble / (va | vb).size * 1e4) / 1e4
+    assert(math.abs(r0.getAs[Double]("jac") - expect) < 1e-9)
+  }
+
   // ---- q99 token histogram ------------------------------------------------
 
   test("q99: buckets partition the corpus and bound their token counts") {
