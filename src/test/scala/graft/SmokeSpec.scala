@@ -16,6 +16,12 @@ class SmokeSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("every declared query is oracle-checked (no rows-only rows)") {
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked.isEmpty, s"queries without an oracle: $unchecked")
+    assert(SparkEntry.queries.size == 100, s"inventory = ${SparkEntry.queries.size}")
+  }
+
   test("q77 funnel stage counts are monotone non-increasing") {
     val r = SparkEntry.queries("q77_funnel")(spark, TestSpark.sf).collect().head
     val (nu, nv, nc, np) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_view"),
