@@ -119,11 +119,14 @@ object DedupPipeline {
     * (its cluster representative). Returns (node, label).
     *
     * Each iteration is one join + aggregation — the hash-to-min pattern that
-    * scales to billions of edges; iterations are materialized (persist +
-    * count) so the loop adds plan DEPTH not plan WIDTH, and lineage is cut
-    * with localCheckpoint every few rounds (at cluster scale: checkpoint to
-    * reliable storage). Near-dup graphs have tiny diameters (dup clusters
-    * are near-cliques), so convergence is typically 2–3 iterations.
+    * scales to billions of edges; iterations are materialized so the loop
+    * adds plan DEPTH not plan WIDTH, and lineage is cut every round —
+    * localCheckpoint (executor-block storage) by default, or a RELIABLE
+    * checkpoint when `checkpointDir` is set: on a real cluster a lost
+    * executor invalidates localCheckpoint blocks mid-propagation, so
+    * production runs should point `checkpointDir` at durable storage
+    * (HDFS/S3). Near-dup graphs have tiny diameters (dup clusters are
+    * near-cliques), so convergence is typically 2–3 iterations.
     *
     * Non-convergence at `maxIter` (a component wider than maxIter hops)
     * THROWS by default: a partial assignment silently splits components,
@@ -131,7 +134,16 @@ object DedupPipeline {
     * `strict = false` to accept the partial assignment (logged as a WARN)
     * — e.g. when a bounded number of rounds is the point and a coarser
     * over-segmentation is acceptable. */
-  def clusters(pairs: DataFrame, maxIter: Int = 10, strict: Boolean = true): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 10, strict: Boolean = true,
+               checkpointDir: Option[String] = None): DataFrame = {
+    // Lineage cut per iteration: localCheckpoint (executor blocks — fast,
+    // but a lost executor kills the job mid-propagation) by default;
+    // a reliable checkpoint against `checkpointDir` (HDFS/S3/local FS)
+    // when given — the cluster-scale mode for the flagship iterative op.
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -140,6 +152,7 @@ object DedupPipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     labels0.count()
     var labels: DataFrame = labels0
+    var prevCut: DataFrame = null // last iteration's checkpointed frame
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -151,13 +164,17 @@ object DedupPipeline {
       // relabeling AND the changed flag; the convergence probe then reads
       // the checkpointed partitions (no shuffle recompute). The previous
       // persist → isEmpty → re-checkpoint shape paid the propagation twice.
-      val next = labels.join(nbrMin, Seq("node"), "left")
+      val next = cut(labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbrLabel"), col("label"))).as("newLabel"),
           (least(col("label"), coalesce(col("nbrLabel"), col("label"))) =!= col("label"))
-            .as("changed"))
-        .localCheckpoint(eager = true)
+            .as("changed")))
       converged = next.filter(col("changed")).isEmpty
+      // the new cut is materialized and no longer reads the old one: release
+      // the previous iteration's blocks NOW rather than holding maxIter
+      // copies of the label table until GC gets around to them
+      if (prevCut ne null) prevCut.unpersist()
+      prevCut = next
       labels = next.select(col("node"), col("newLabel").as("label"))
       i += 1
     }
@@ -193,7 +210,8 @@ object DedupPipeline {
     * a nightly O(corpus) recluster; the full [[clusters]] pass remains the
     * bootstrap and the periodic self-check. */
   def updateClusters(existing: DataFrame, newPairs: DataFrame, maxIter: Int = 10,
-                     strict: Boolean = true): DataFrame = {
+                     strict: Boolean = true,
+                     checkpointDir: Option[String] = None): DataFrame = {
     val repsA = existing.select(col("node").as("a"), col("label").as("ra"))
     val repsB = existing.select(col("node").as("b"), col("label").as("rb"))
     val contracted = newPairs.select("a", "b")
@@ -203,7 +221,7 @@ object DedupPipeline {
         coalesce(col("ra"), col("a")).as("a"),
         coalesce(col("rb"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
-    val relabel = clusters(contracted, maxIter, strict)
+    val relabel = clusters(contracted, maxIter, strict, checkpointDir)
     // existing nodes: follow their component's rep through the relabeling
     val updatedOld = existing
       .join(relabel.select(col("node").as("label"), col("label").as("nl")), Seq("label"), "left")

@@ -80,11 +80,16 @@ case class TopKPerGroupExec(
       }
 
       // Spill into Spark's configured scratch space, not java.io.tmpdir:
-      // on a provisioned cluster spark.local.dir points at the disks sized
-      // for shuffle/spill, while /tmp may be a small root or tmpfs mount
+      // on a provisioned cluster the shuffle/spill disks are announced via
+      // SPARK_LOCAL_DIRS (standalone) or LOCAL_DIRS (YARN container env) and
+      // spark.local.dir is IGNORED there, so check the env vars first —
+      // mirroring Spark's own Utils.getConfiguredLocalDirs precedence —
+      // then the conf, then /tmp as the last resort.
       val spillDir: java.io.File = {
         val env = org.apache.spark.SparkEnv.get
-        val base = Option(env).flatMap(_.conf.getOption("spark.local.dir"))
+        val base = Seq(sys.env.get("LOCAL_DIRS"), sys.env.get("SPARK_LOCAL_DIRS"),
+            Option(env).flatMap(_.conf.getOption("spark.local.dir")))
+          .flatten.headOption
           .map(_.split(",").head.trim)
           .getOrElse(System.getProperty("java.io.tmpdir"))
         val d = new java.io.File(base)

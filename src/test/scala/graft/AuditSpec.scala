@@ -143,8 +143,14 @@ class AuditSpec extends AnyFunSuite {
   test("q97: pair counts sum to the verified pair total and keys are ordered") {
     val srcOf = Tables.load(spark, TestSpark.sf, "documents")
       .select("doc_id", "source").as[(Long, String)].collect().toMap
+    // the UNLIMITED verified pair set — q51 itself applies .limit(50), so
+    // comparing against it would silently depend on the fixture yielding
+    // fewer than 50 pairs and falsely fail the day the corpus grows
     val pairs = graft.operators.DedupOps
-      .queries("q51_minhash_lsh")(spark, TestSpark.sf) // same pairs, limited
+      .minHashNearDupPairs(Tables.load(spark, TestSpark.sf, "documents")
+        .select("doc_id", "text"))
+      .filter(col("jac") >= 0.5)
+      .orderBy(col("jac").desc, col("a"), col("b"))
       .collect()
     val matrix = graft.operators.DedupOps
       .queries("q97_cross_source_dups")(spark, TestSpark.sf).collect()

@@ -130,6 +130,39 @@ class DedupSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusters with reliable checkpointDir matches the localCheckpoint path") {
+    import graft.operators.DedupPipeline
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    try {
+      val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L))
+        .toDF("a", "b")
+      val local = DedupPipeline.clusters(pairs)
+        .as[(Long, Long)].collect().toMap
+      val reliable = DedupPipeline
+        .clusters(pairs, checkpointDir = Some(ckpt.getAbsolutePath))
+        .as[(Long, Long)].collect().toMap
+      assert(reliable == local)
+      // the reliable path must actually write checkpoint data to the dir
+      def countFiles(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(countFiles).sum
+        else 1
+      assert(countFiles(ckpt) > 0, "reliable checkpoint wrote nothing")
+      // updateClusters threads the same option through its inner propagation
+      val upd = DedupPipeline.updateClusters(
+        DedupPipeline.clusters(Seq((1L, 2L)).toDF("a", "b")),
+        Seq((2L, 3L)).toDF("a", "b"),
+        checkpointDir = Some(ckpt.getAbsolutePath))
+        .as[(Long, Long)].collect().toMap
+      assert(upd == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete()
+      }
+      rm(ckpt)
+    }
+  }
+
   test("incremental dedup matches a planted batch doc against the corpus only") {
     import graft.operators.DedupOps
     val corpus = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")
