@@ -107,12 +107,12 @@ object IvfIndex {
     *
     * Driver-side seeding cost is O(max(sampleSize, k) · k · dim) — fine to
     * k ≈ 5000 (sub-second), tens of seconds by k ≈ 30k (a 10⁹-vector corpus
-    * at k = √n). Past that, seed hierarchically: build(k₁ = √k) first, then
-    * seed each coarse cell's sub-centroids from its own members (k₁ × k₂
-    * cells total) — the executor-side composition of this same API; the
-    * greedy driver loop is deliberately not where that complexity lives. */
+    * at k = √n). Past `hierarchicalThreshold` this overload dispatches to
+    * [[buildHierarchical]], which keeps the driver loop at O(√k) seeds and
+    * pushes the rest of the seeding onto executors. */
   def build(vecs: DataFrame, k: Int, sampleSize: Int = 4096): IvfIndex = {
     require(k >= 1, s"cell count must be >= 1; got $k")
+    if (k > hierarchicalThreshold) return buildHierarchical(vecs, k, sampleSize)
     val sample = vecs.select(col("vec_id"), col("emb").cast("array<double>").as("emb"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(math.max(sampleSize, k))
@@ -121,6 +121,27 @@ object IvfIndex {
       .map(_.getSeq[Double](0).toArray)
     require(sample.length >= k,
       s"corpus has only ${sample.length} vectors for k=$k cells")
+    val seeds = greedySeeds(sample, k)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val centroids = seeds.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toSeq) }
+      .toDF("cell", "centroid")
+    IvfIndex(centroids, assign(vecs.select("vec_id", "emb"), broadcast(centroids)))
+  }
+
+  /** `build(vecs, k)` switches to hierarchical seeding above this k: the
+    * flat greedy loop is O(sample·k·dim) on one driver core — sub-second to
+    * here, minutes-plus by k ≈ 30k. */
+  val hierarchicalThreshold: Int = 4096
+
+  /** Greedy farthest-point traversal under angular distance: first seed =
+    * first candidate, each next seed maximizes the minimum (1 − cosine) to
+    * the seeds chosen so far — the deterministic variant of k-means++ (D²
+    * sampling's argmax limit). Shared by the driver-side flat path and the
+    * executor-side per-cell sub-seeding (it is a plain serializable
+    * function, so closures may ship it). */
+  private[operators] def greedySeeds(sample: Array[Array[Double]], k: Int): Array[Array[Double]] = {
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -141,10 +162,92 @@ object IvfIndex {
         i += 1
       }
     }
+    seeds.toArray
+  }
+
+  /** Hierarchical k-cell seeding — the scale path for large k (a 10⁹-vector
+    * corpus at k = √n ≈ 30k cells). Two levels:
+    *
+    *   1. COARSE: flat greedy seeding of k₁ = ⌈√k⌉ cells from a bounded
+    *      driver-side sample — O(√k) driver work instead of O(k).
+    *   2. SUB-SEED: assign a k-proportional sample to the coarse cells
+    *      (broadcast join, stays distributed), give each coarse cell a
+    *      quota proportional to its sample mass (largest-remainder
+    *      apportionment, capped at its member count, spare redistributed),
+    *      then run the SAME greedy farthest-point per cell ON EXECUTORS via
+    *      `flatMapGroups` — k₁ independent loops in parallel, each
+    *      O(members · quota · dim).
+    *
+    * Total driver cost: O(sample·√k·dim) for the coarse pass plus O(k₁)
+    * bookkeeping — sub-linear in k; the final seeds (k×dim, broadcast-sized
+    * by construction) are the only executor→driver traffic. Deterministic:
+    * samples are xxhash64-ordered and per-cell members are re-sorted before
+    * seeding, so builds reproduce run-to-run like the flat path. */
+  def buildHierarchical(vecs: DataFrame, k: Int, sampleSize: Int = 4096): IvfIndex = {
+    require(k >= 2, s"hierarchical seeding needs k >= 2; got $k")
     val spark = vecs.sparkSession
     import spark.implicits._
-    val centroids = seeds.zipWithIndex.toSeq
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    // one deterministic uniform sample, reused by both levels; 4 candidates
+    // per requested cell gives every quota headroom without the sample
+    // itself approaching corpus size
+    val s = math.max(sampleSize, 4 * k)
+    val sampleDf = vecs
+      .select(col("vec_id"), col("emb").cast("array<double>").as("emb"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(s)
+      .persist()
+    val sampleN = sampleDf.count()
+    require(sampleN >= k, s"corpus has only $sampleN vectors for k=$k cells")
+    // level 1: coarse greedy on the driver — k1 seeds only
+    val coarseSample = sampleDf
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")) // limit alone has no order contract
+      .limit(math.min(sampleN, math.max(1024L, 8L * k1)).toInt)
+      .select("emb").collect().map(_.getSeq[Double](0).toArray)
+    val coarse = greedySeeds(coarseSample, math.min(k1, coarseSample.length))
+    val coarseDf = coarse.zipWithIndex.toSeq
       .map { case (c, i) => (i.toLong, c.toSeq) }
+      .toDF("cell", "centroid")
+    val members = assign(sampleDf, coarseDf)
+      .select(col("cell"), col("vec_id"), col("emb"))
+    // quotas: largest-remainder apportionment of k over coarse cells by
+    // sample mass, capped at member count; spare spread where capacity is
+    val counts = members.groupBy("cell").count()
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val quota = scala.collection.mutable.LinkedHashMap.from(
+      counts.iterator.map { case (c, n) =>
+        c -> math.min(n, (k.toDouble * n / sampleN).toLong)
+      })
+    val remainders = counts
+      .map { case (c, n) => (c, n, k.toDouble * n / sampleN - (k.toDouble * n / sampleN).toLong) }
+      .sortBy { case (_, _, r) => -r }
+    var deficit = k - quota.values.sum
+    var ri = 0
+    while (deficit > 0) { // first pass by remainder, then round-robin spare
+      val (c, n, _) = remainders(ri % remainders.length)
+      if (quota(c) < n) { quota(c) += 1; deficit -= 1 }
+      ri += 1
+      if (ri > remainders.length * (k + 1)) // every cell saturated
+        throw new IllegalStateException(s"cannot place $deficit of $k seeds")
+    }
+    val quotaMap = quota.toMap
+    // level 2: per-cell greedy sub-seeding on executors — k1 parallel loops
+    val seeds = members.as[(Long, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val q = quotaMap.getOrElse(cell, 0L).toInt
+        if (q == 0) Iterator.empty
+        else {
+          // re-sort: shuffle delivery order is not deterministic
+          val m = it.toArray.sortBy(_._2).map(_._3.toArray)
+          greedySeeds(m, math.min(q, m.length)).iterator.map(sd => (cell, sd.toSeq))
+        }
+      }
+      .collect() // k×dim — broadcast-sized by construction
+      .sortBy(_._1)
+    sampleDf.unpersist()
+    val centroids = seeds.zipWithIndex.toSeq
+      .map { case ((_, c), i) => (i.toLong, c) }
       .toDF("cell", "centroid")
     IvfIndex(centroids, assign(vecs.select("vec_id", "emb"), broadcast(centroids)))
   }

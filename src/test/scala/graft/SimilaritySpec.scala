@@ -165,6 +165,49 @@ class SimilaritySpec extends AnyFunSuite {
     small.unpersist(); big.unpersist()
   }
 
+  test("buildHierarchical: k >= 4096 cells with O(sqrt(k)) driver seeding") {
+    import graft.operators.IvfIndex
+    val rnd = new scala.util.Random(4242)
+    val n = 20000
+    val dim = 8
+    val corpus = (0 until n)
+      .map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+      .toDF("vec_id", "emb").cache()
+    val k = 4096
+    // driver-side greedy work: flat seeding touches k seeds on one core;
+    // hierarchical touches only ceil(sqrt(k)) = 64 before fanning out to
+    // executors. Time the SEEDING (centroid construction), not the corpus
+    // assignment both paths share.
+    val t0 = System.nanoTime()
+    val idx = IvfIndex.buildHierarchical(corpus, k)
+    val centroids = idx.centroids.collect()
+    val seedSec = (System.nanoTime() - t0) / 1e9
+    // exactly k distinct, well-formed centroids
+    assert(centroids.length == k, s"expected $k cells, got ${centroids.length}")
+    assert(centroids.map(_.getLong(0)).toSet.size == k, "cell ids not distinct")
+    assert(centroids.forall(_.getSeq[Double](1).length == dim))
+    // distinct seed VECTORS — the greedy traversal must not emit repeats
+    assert(centroids.map(_.getSeq[Double](1)).toSet.size == k,
+      "duplicate seed vectors emitted")
+    // every corpus vector lands in exactly one cell
+    assert(idx.assigned.count() == n)
+    assert(idx.assigned.select("vec_id").distinct().count() == n)
+    // no degenerate mega-cell: sub-seeded cells stay balanced
+    val maxCell = idx.assigned.groupBy("cell").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxCell < n / 16, s"largest of $k cells holds $maxCell of $n vectors")
+    // the flat greedy loop at this k would be O(sample*k*dim) on one driver
+    // core; the hierarchical path must finish its whole build well inside
+    // any such budget (loose wall bound so CI noise can't flake it, but
+    // tight enough to catch an accidental O(k) driver regression)
+    assert(seedSec < 120.0, s"hierarchical seeding took $seedSec s")
+    // build(vecs, k) dispatches to the hierarchical path above the
+    // threshold — same cell count, no exception from the flat require
+    val viaBuild = IvfIndex.build(corpus, IvfIndex.hierarchicalThreshold + 1)
+    assert(viaBuild.centroids.count() == IvfIndex.hierarchicalThreshold + 1)
+    corpus.unpersist()
+  }
+
   test("semanticDedup flags a planted duplicate pair under default k") {
     import graft.operators.SimilarityOps
     val v = Tables.load(spark, TestSpark.sf, "embeddings")
