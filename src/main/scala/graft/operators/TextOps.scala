@@ -70,6 +70,78 @@ object TextOps {
     """list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       | for i in range(1, len(w) - 1)])""".stripMargin
 
+  /** Exact per-source vocabulary-overlap matrix (q100's body): one distinct
+    * (source, token) pass, then a token-key equi-join whose per-token fanout
+    * is |sources that contain it|² — O(|vocab|·|sources|²) worst case. The
+    * right tier for catalog-sized source counts; [[vocabOverlapSketch]] is
+    * the scale tier. */
+  def vocabOverlapExact(docs: DataFrame): DataFrame = {
+    val vocab = docs
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .distinct()
+    val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n"))
+    vocab.as("x")
+      .join(vocab.as("y"),
+        col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_x"), col("y.source").as("source_y"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("source").as("source_x"), col("n").as("vocab_x")), "source_x")
+      .join(sizes.select(col("source").as("source_y"), col("n").as("vocab_y")), "source_y")
+      .withColumn("jac",
+        round(col("inter") / (col("vocab_x") + col("vocab_y") - col("inter")), 4))
+      .select("source_x", "source_y", "vocab_x", "vocab_y", "inter", "jac")
+      .orderBy("source_x", "source_y")
+  }
+
+  /** MinHash hash count for the vocab sketch: sigma of the Jaccard estimate
+    * is sqrt(j(1-j)/n) <= 0.031 at n = 256. */
+  val vocabSketchHashes: Int = 256
+
+  /** Per-source vocabulary MinHash signature: (source, sig array<long>).
+    * No distinct pass — the min of a permuted hash over a MULTISET equals
+    * the min over its set, so duplicate tokens cost nothing and the whole
+    * signature is one narrow map + one map-side-combined aggregation over
+    * the token stream. Tokens hash through the engine-neutral
+    * [[graft.plans.Md5Lower64]], permutations are
+    * [[graft.plans.MinHashPermAgg.coeffs]] — both oracle-replayable. */
+  def vocabSignatures(docs: DataFrame, numHashes: Int = vocabSketchHashes): DataFrame =
+    docs
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .select(col("source"),
+        shiftrightunsigned(graft.plans.Md5Lower64.of(col("tok")), 33).as("x"))
+      .groupBy("source")
+      .agg(graft.plans.MinHashPermAgg.sketch(col("x"), numHashes).as("sig"))
+
+  /** SKETCHED vocabulary-overlap matrix — (source_x, source_y, jac_est).
+    * The pair phase compares k-long signatures, so its cost is
+    * |sources|²·k regardless of vocabulary size: at 1000 sources that is
+    * ~500k signature comparisons (seconds), where the exact join's
+    * O(|vocab|·|sources|²) would be billions of token-pair rows. Estimate
+    * error is the standard MinHash bound (sigma <= 0.031 at the default
+    * 256 hashes), contract-checked by q101. */
+  def vocabOverlapSketch(docs: DataFrame, numHashes: Int = vocabSketchHashes): DataFrame = {
+    val sigs = vocabSignatures(docs, numHashes)
+    sigs.as("x")
+      .join(sigs.as("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_x"), col("y.source").as("source_y"),
+        round(
+          aggregate(zip_with(col("x.sig"), col("y.sig"),
+            (a, b) => when(a === b, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+            .cast("double") / numHashes, 4).as("jac_est"))
+  }
+
+  /** Dispatching vocab-overlap entry point: exact matrix (vocab sizes,
+    * intersection, true Jaccard) up to `maxExactSources` distinct sources,
+    * signature-estimated Jaccard above it. The eager source count is one
+    * tiny aggregate; schemas differ (`jac` + counts vs `jac_est`) because
+    * pretending a sketch produced exact intersection counts would be a
+    * lie callers act on. */
+  def vocabOverlap(docs: DataFrame, maxExactSources: Int = 64): DataFrame = {
+    val nSources = docs.select("source").distinct().count()
+    if (nSources <= maxExactSources) vocabOverlapExact(docs)
+    else vocabOverlapSketch(docs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token counting: whitespace tokenization + distinct counts + average
@@ -568,26 +640,29 @@ object TextOps {
     // Per-source VOCABULARY overlap matrix — the lexical leg of the
     // source-similarity triad (q97 = document-level near-dup overlap,
     // q76 = distributional KL, this = set-level vocab Jaccard), read
-    // together when planning a corpus mixture. Scale: one distinct pass
-    // (source, token), then a token-key equi-join whose per-token fanout
-    // is bounded by |sources|² — O(|vocab|·|sources|²) worst case, fine
-    // for catalog-sized source counts; at thousands of sources switch to
-    // per-source MinHash signatures (q51's sketch over vocab sets).
-    "q100_vocab_overlap" -> ((s, d) => {
-      val vocab = Tables.load(s, d, "documents")
-        .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("tok"))
-        .distinct()
-      val sizes = vocab.groupBy("source").agg(count(lit(1)).as("n"))
-      vocab.as("x")
-        .join(vocab.as("y"),
-          col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
-        .groupBy(col("x.source").as("source_x"), col("y.source").as("source_y"))
-        .agg(count(lit(1)).as("inter"))
-        .join(sizes.select(col("source").as("source_x"), col("n").as("vocab_x")), "source_x")
-        .join(sizes.select(col("source").as("source_y"), col("n").as("vocab_y")), "source_y")
-        .withColumn("jac",
-          round(col("inter") / (col("vocab_x") + col("vocab_y") - col("inter")), 4))
-        .select("source_x", "source_y", "vocab_x", "vocab_y", "inter", "jac")
+    // together when planning a corpus mixture. This is the EXACT tier —
+    // O(|vocab|·|sources|²) via a token-key equi-join, right for
+    // catalog-sized source counts; its sketch twin is q101 /
+    // [[vocabOverlapSketch]] (per-source MinHash signatures, cost
+    // independent of |vocab| in the pair phase), and [[vocabOverlap]]
+    // dispatches between them on source count.
+    "q100_vocab_overlap" -> ((s, d) =>
+      vocabOverlapExact(Tables.load(s, d, "documents"))),
+
+    // Estimator contract for the q100 sketch tier, q47-style: the exact
+    // matrix carries the hashable values; `est_ok` asserts the 256-hash
+    // MinHash estimate landed within 0.15 absolute of true Jaccard
+    // (sigma = sqrt(j(1-j)/256) <= 0.031, so the bound is ~5 sigma — a
+    // deterministic-constants estimator either clears it always or the
+    // sketch is broken). This row is what licenses signature-only vocab
+    // comparison at hundreds-of-sources scale.
+    "q101_vocab_overlap_sketch" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      vocabOverlapExact(docs)
+        .join(vocabOverlapSketch(docs), Seq("source_x", "source_y"))
+        .select(col("source_x"), col("source_y"),
+          col("vocab_x"), col("vocab_y"), col("inter"), col("jac"),
+          (abs(col("jac_est") - col("jac")) <= 0.15).as("est_ok"))
         .orderBy("source_x", "source_y")
     }),
 
@@ -884,6 +959,23 @@ object TextOps {
         |       GROUP BY source_x, source_y)
         |SELECT i.source_x, i.source_y, sx.n AS vocab_x, sy.n AS vocab_y, i.inter,
         | round(i.inter / (sx.n + sy.n - i.inter), 4) AS jac
+        |FROM i JOIN sz sx ON i.source_x = sx.source JOIN sz sy ON i.source_y = sy.source
+        |ORDER BY source_x, source_y""".stripMargin,
+
+    // q47-style estimator contract: exact values replayed, the sketch's
+    // within-bound boolean asserted TRUE (the Spark side computes it from
+    // deterministic constants, so it either always holds or the sketch is
+    // broken — there is no flaky middle).
+    "q101_vocab_overlap_sketch" ->
+      """WITH v AS (SELECT DISTINCT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |           FROM documents),
+        | sz AS (SELECT source, count(*) AS n FROM v GROUP BY source),
+        | i AS (SELECT x.source AS source_x, y.source AS source_y, count(*) AS inter
+        |       FROM v x JOIN v y ON x.tok = y.tok AND x.source < y.source
+        |       GROUP BY source_x, source_y)
+        |SELECT i.source_x, i.source_y, sx.n AS vocab_x, sy.n AS vocab_y, i.inter,
+        | round(i.inter / (sx.n + sy.n - i.inter), 4) AS jac,
+        | TRUE AS est_ok
         |FROM i JOIN sz sx ON i.source_x = sx.source JOIN sz sy ON i.source_y = sy.source
         |ORDER BY source_x, source_y""".stripMargin,
 

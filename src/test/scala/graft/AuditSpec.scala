@@ -222,6 +222,30 @@ class AuditSpec extends AnyFunSuite {
     assert(math.abs(r0.getAs[Double]("jac") - expect) < 1e-9)
   }
 
+  test("q101: vocab sketch estimates track exact Jaccard; dispatcher switches tiers") {
+    import graft.operators.TextOps
+    val rows = TextOps
+      .queries("q101_vocab_overlap_sketch")(spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("est_ok")),
+      "a MinHash vocab estimate fell outside the 0.15 contract bound")
+    // the estimates themselves (not just the boolean): mean |err| over the
+    // matrix should be well inside the per-pair bound
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val est = TextOps.vocabOverlapSketch(docs)
+      .as[(String, String, Double)].collect()
+      .map { case (x, y, e) => (x, y) -> e }.toMap
+    val errs = rows.map(r => math.abs(
+      est(r.getAs[String]("source_x") -> r.getAs[String]("source_y"))
+        - r.getAs[Double]("jac")))
+    assert(errs.sum / errs.length < 0.06,
+      s"mean |est - exact| = ${errs.sum / errs.length}")
+    // dispatcher: few sources -> exact schema; forced low bound -> sketch
+    assert(TextOps.vocabOverlap(docs).columns.contains("jac"))
+    assert(TextOps.vocabOverlap(docs, maxExactSources = 1)
+      .columns.contains("jac_est"))
+  }
+
   // ---- q99 token histogram ------------------------------------------------
 
   test("q99: buckets partition the corpus and bound their token counts") {
