@@ -327,7 +327,12 @@ object Relational {
         .orderBy("c_custkey")
     }),
 
-    // Exact + distinct counting per group.
+    // Exact + distinct counting per group — the EXACT tier of the
+    // distinct-counting pair (q47 is the sketch tier, contract-checked
+    // against exact answers of this shape). Two exact countDistinct
+    // columns make the planner Expand the scan 3x: acceptable here by
+    // design, and the reason q47's sketches aggregate separately. At
+    // 100 TB run the q47 shape; this stays as its oracle-replayable twin.
     "q23_count_distinct" -> ((s, d) => {
       t(s, d, "lineitem")
         .groupBy("l_suppkey")

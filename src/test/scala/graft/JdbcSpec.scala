@@ -54,4 +54,41 @@ class JdbcSpec extends AnyFunSuite {
     val m = result.as[(String, String)].collect().toMap
     assert(m("user7") == h("user7@example.org"))
   }
+
+  test("filter predicates are pushed into the JDBC scan, not applied post-scan") {
+    System.setProperty("derby.system.home", Files.createTempDirectory("graft-derby-home").toString)
+    val dbDir = Files.createTempDirectory("graft-derby-f").toString + "/userdb"
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE users (id INT PRIMARY KEY, username VARCHAR(64), email VARCHAR(128))")
+      val ps = conn.prepareStatement("INSERT INTO users VALUES (?, ?, ?)")
+      for (i <- 1 to 30) {
+        ps.setInt(1, i); ps.setString(2, s"user$i"); ps.setString(3, s"user$i@example.org")
+        ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally conn.close()
+
+    val cfg = EtlConfig("app", url, "users", "bucket", "pepper", None, None)
+    val extracted = EmailMapping.extractJdbc(spark, cfg,
+      partitionColumn = "id", lower = 1, upper = 30, numPartitions = 2)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val filtered = extracted.filter(col("email") === "user7@example.org")
+    // the reference does this pushdown BY HAND (its SQL string carries the
+    // WHERE); here Catalyst must push the predicate into the generated JDBC
+    // query — visible as PushedFilters on the scan node, with no lingering
+    // post-scan Filter over the full table
+    val scans = filtered.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no JDBC scan node in the physical plan")
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.toLowerCase.contains("equalto(email,user7@example.org)"),
+      s"equality predicate not pushed into the JDBC scan: PushedFilters=$pushed")
+    assert(filtered.count() == 1)
+    assert(filtered.select("username").as[String].head() == "user7")
+  }
 }

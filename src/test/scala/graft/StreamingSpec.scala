@@ -111,6 +111,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(sinkRoot).count() == 2 * n)
   }
 
+  test("drainToParquet output matches the committed DuckDB golden file") {
+    // EXTERNAL oracle for the drain family: the fixture was computed by
+    // DuckDB from the same events.parquet (tools/make_golden.py), so this
+    // is not Spark checked against itself — it closes the one operator
+    // family the SQL oracle gate can't reach (drains run a streaming
+    // lifecycle, not a SQL statement). Exact typed multiset compare.
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-golden-src")
+    val sinkRoot = java.nio.file.Files.createTempDirectory("graft-golden-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-golden-ckpt").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+      srcDir.resolve("part-0.parquet"))
+    EventStream.drainToParquet(
+      EventStream.fromDirectory(spark, srcDir.toString), sinkRoot, ckpt)
+    val goldenPath = getClass.getResource("/golden/events_drain_sf0001.parquet")
+    assert(goldenPath != null, "golden fixture missing from test resources")
+    val golden = spark.read.parquet(goldenPath.toString)
+    val cols = golden.columns.sorted.toSeq
+    // partition-read types differ from written strings (load_date comes
+    // back via partition inference); cast both sides to the golden schema
+    val drained = spark.read.parquet(sinkRoot)
+      .select(cols.map(c => col(c).cast(golden.schema(c).dataType)): _*)
+    val g = golden.select(cols.map(col): _*)
+    assert(drained.count() == g.count(),
+      s"drained ${drained.count()} rows, golden has ${g.count()}")
+    assert(drained.exceptAll(g).isEmpty && g.exceptAll(drained).isEmpty,
+      "drained parquet differs from the DuckDB-computed golden file")
+  }
+
   test("drainToTable lands in the catalog, incremental on one checkpoint") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-tbl-src")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-tbl-ckpt").toString
