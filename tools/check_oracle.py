@@ -35,12 +35,22 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver layout = single file; ScaleUp layout = Spark directory
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"read_parquet('{p}/*.parquet')" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
     results = {}
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
+    # optional 3rd arg: comma-separated query subset — lets a wrapper fan the
+    # (embarrassingly parallel) per-query compares across processes; the
+    # heavy sf1 oracles are single-thread-bound in DuckDB's row-wise list
+    # comprehensions, so one serial pass wastes 30 idle cores
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        names = [n for n in names if n in only]
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
