@@ -61,18 +61,54 @@ object SimilarityOps {
   private def signBits(emb: Column, planes: Seq[Seq[Double]]): Seq[Column] =
     planes.map(p => when(cosine(emb, typedlit(p)) >= 0, lit(1L)).otherwise(lit(0L)))
 
+  /** Max bits/table the ORACLE can replay (48 plane constants in the SQL);
+    * 2^12 = 4096 buckets covers corpora to ~256k vectors at the target
+    * bucket size. The operator API accepts larger b (API-only territory —
+    * plane stride grows with b, leaving the SQL-replayable prefix). */
+  private[graft] val LshMaxSqlBits = 12
+  private[graft] val LshTables = 4
+  private[graft] val LshTargetBucket = 64L
+
+  /** Bits/table so the EXPECTED bucket size stays ~[[LshTargetBucket]]:
+    * the smallest b with 2^b ≥ ⌈n/64⌉, integer-exact (no float log2 — the
+    * oracle computes the identical value as `LENGTH(BIN(⌈n/64⌉ − 1))`, and
+    * `ln(n)/ln(2)` lands on 5.0000000000000009-style off-by-one ulps at
+    * exact powers). Clamped to [4, maxBits]. */
+  private[graft] def lshAdaptiveBits(n: Long, maxBits: Int = LshMaxSqlBits): Int = {
+    val m = (n + LshTargetBucket - 1) / LshTargetBucket
+    val b = 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    b.max(4).min(maxBits)
+  }
+
   /** All-similar-pairs over a (vec_id, emb: array<double>) frame via
-    * multi-table sign-LSH (4 tables × 4 hyperplane bits, OR-amplified).
-    * Candidate pairs are deduped on IDs ONLY, then vectors re-attach via
-    * broadcast — the shuffle carries (a, b) longs, never embeddings.
-    * Returns (a, b, sim) with a < b; feeds q66 and
-    * [[DedupPipeline.dedupByEmbedding]]. */
-  private[graft] def lshSimilarPairs(vecs: DataFrame): DataFrame = {
-    val tables = 4; val bitsPerTable = 4
-    val bits = signBits(col("emb"), hyperplanes(tables * bitsPerTable, 64))
+    * multi-table sign-LSH (4 tables, OR-amplified). Candidate pairs are
+    * deduped on IDs ONLY, then vectors re-attach — the shuffle carries
+    * (a, b) longs, never embeddings. Returns (a, b, sim) with a < b; feeds
+    * q66 and [[DedupPipeline.dedupByEmbedding]].
+    *
+    * `bitsPerTable` ≤ 0 (the default) sizes buckets to the corpus: a FIXED
+    * bit width is quadratic in disguise — at 4 bits a random pair collides
+    * in some table with p ≈ 4/16, so candidates grow as n²/4 no matter how
+    * sparse the true-pair set is (measured: 2k vecs → 0.5M candidates fine,
+    * 20k → 50M candidates pinned one core for 10+ min). Adaptive b keeps
+    * E[bucket] ≈ 64 and candidate count ≈ n·64·4/2 — linear in n — at a
+    * recall cost only for pairs far below the dedup band (sign-LSH
+    * collision odds rise with cosine; extra bits prune the noise floor
+    * first). Plane indexing is strided so the first [[LshMaxSqlBits]] bits
+    * of each table are the same plane constants at every b — the oracle
+    * replays any b in [4, 12] from one 48-plane VALUES list. */
+  private[graft] def lshSimilarPairs(vecs: DataFrame,
+                                     tables: Int = LshTables,
+                                     bitsPerTable: Int = 0): DataFrame = {
+    val b = if (bitsPerTable > 0) bitsPerTable
+            else lshAdaptiveBits(vecs.count()) // one count() — an
+            // index-build-time parameter, same discipline as IvfIndex's k
+    val stride = b.max(LshMaxSqlBits)
+    val planes = hyperplanes(tables * stride, 64)
     val tableStructs = (0 until tables).map { t =>
-      val code = (0 until bitsPerTable)
-        .map(b => bits(t * bitsPerTable + b) * (1L << b)).reduce(_ + _)
+      val code = (0 until b)
+        .map(i => signBits(col("emb"), Seq(planes(t * stride + i))).head * (1L << i))
+        .reduce(_ + _)
       struct(lit(t).as("t"), code.as("code"))
     }
     val v = vecs
@@ -225,11 +261,12 @@ object SimilarityOps {
     // narrow pass; the probe join touches nprobe/k of the corpus.
     "q65_ann_ivf" -> ((s, d) => ivfTopK(s, d, nprobe = 3)),
 
-    // Similarity SELF-join via multi-table sign-LSH: 4 independent tables of
-    // 4 hyperplane bits each; a pair is a candidate if it collides in ANY
-    // table (OR-amplification), then exact cosine re-ranks. This is the
-    // corpus×corpus "all similar pairs" operator — the quadratic-free path
-    // at 100 TB since only same-bucket pairs materialize.
+    // Similarity SELF-join via multi-table sign-LSH: 4 independent tables,
+    // corpus-adaptive bits per table (E[bucket] ≈ 64); a pair is a
+    // candidate if it collides in ANY table (OR-amplification), then exact
+    // cosine re-ranks. This is the corpus×corpus "all similar pairs"
+    // operator — linear-candidate at 100 TB since only same-bucket pairs
+    // materialize and bucket count tracks corpus size.
     "q66_sim_join_lsh" -> ((s, d) => {
       lshSimilarPairs(vectors(s, d).select("vec_id", "emb"))
         .orderBy(col("sim").desc, col("a"), col("b"))
@@ -434,17 +471,25 @@ object SimilarityOps {
          | round(list_cosine_similarity(x.centroid, y.centroid), 6) AS sim
          |FROM c x JOIN c y ON x.cell < y.cell ORDER BY la, lb""".stripMargin,
 
+    // Adaptive bits/table b = max(4, min(12, ceil(log2(ceil(n/64))))) —
+    // INTEGER-exact via binary-digit count, mirroring lshAdaptiveBits
+    // (LENGTH(BIN(m-1)) = 64 - numberOfLeadingZeros(m-1) for m > 1).
+    // Plane p belongs to table p // 12, bit position p % 12; only
+    // positions < b participate — the same strided indexing the Spark
+    // side uses, so one 48-plane list replays every b in [4, 12].
     "q66_sim_join_lsh" ->
       s"""WITH v AS ($vCte),
-         | planes(p, pl) AS (VALUES ${planesValuesSql(16)}),
+         | planes(p, pl) AS (VALUES ${planesValuesSql(4 * 12)}),
+         | params AS (SELECT GREATEST(4, LEAST(12,
+         |   LENGTH(BIN((count(*) + 63) // 64 - 1)))) AS b FROM v),
          | bits AS (SELECT vec_id, p,
          |   CASE WHEN list_dot_product(emb, pl) >= 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-         |   FROM v CROSS JOIN planes),
+         |   FROM v CROSS JOIN planes, params WHERE p % 12 < b),
          | codes AS (SELECT vec_id,
-         |   CAST(sum(CASE WHEN p // 4 = 0 THEN bit * (1::BIGINT << (p % 4)) ELSE 0 END) AS BIGINT) AS c0,
-         |   CAST(sum(CASE WHEN p // 4 = 1 THEN bit * (1::BIGINT << (p % 4)) ELSE 0 END) AS BIGINT) AS c1,
-         |   CAST(sum(CASE WHEN p // 4 = 2 THEN bit * (1::BIGINT << (p % 4)) ELSE 0 END) AS BIGINT) AS c2,
-         |   CAST(sum(CASE WHEN p // 4 = 3 THEN bit * (1::BIGINT << (p % 4)) ELSE 0 END) AS BIGINT) AS c3
+         |   CAST(sum(CASE WHEN p // 12 = 0 THEN bit * (1::BIGINT << (p % 12)) ELSE 0 END) AS BIGINT) AS c0,
+         |   CAST(sum(CASE WHEN p // 12 = 1 THEN bit * (1::BIGINT << (p % 12)) ELSE 0 END) AS BIGINT) AS c1,
+         |   CAST(sum(CASE WHEN p // 12 = 2 THEN bit * (1::BIGINT << (p % 12)) ELSE 0 END) AS BIGINT) AS c2,
+         |   CAST(sum(CASE WHEN p // 12 = 3 THEN bit * (1::BIGINT << (p % 12)) ELSE 0 END) AS BIGINT) AS c3
          |   FROM bits GROUP BY vec_id),
          | cand AS (SELECT x.vec_id AS a, y.vec_id AS b FROM codes x JOIN codes y
          |   ON x.vec_id < y.vec_id AND

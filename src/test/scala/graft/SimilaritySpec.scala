@@ -222,4 +222,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("nn_id") == 3L && out.head.getAs[Long]("is_dup") == 1L,
       s"clone row ${out.head} should point at vec 3 with is_dup=1")
   }
+
+  test("lshAdaptiveBits: integer-exact ceil-log2 of expected bucket count, clamped") {
+    // fixed points the oracle's LENGTH(BIN(...)) formula must also hit
+    assert(SimilarityOps.lshAdaptiveBits(200) == 4)    // tiny corpus → floor
+    assert(SimilarityOps.lshAdaptiveBits(2000) == 5)   // ⌈2000/64⌉=32 → 2^5
+    assert(SimilarityOps.lshAdaptiveBits(20000) == 9)  // ⌈/64⌉=313 → 2^9
+    assert(SimilarityOps.lshAdaptiveBits(1 << 20) == 12) // clamp at SQL max
+    assert(SimilarityOps.lshAdaptiveBits(1L << 40, maxBits = 24) == 24)
+    // exact power boundary: m = 32 exactly must give 5, not 6 (the float
+    // log2 failure mode this formula exists to avoid)
+    assert(SimilarityOps.lshAdaptiveBits(32 * 64) == 5)
+    assert(SimilarityOps.lshAdaptiveBits(32 * 64 + 1) == 6)
+  }
+
+  test("lshSimilarPairs: adaptive bits keep candidate work linear-ish in corpus size") {
+    // 4× the corpus must NOT cost ~16× the candidate pairs (the fixed-bit
+    // quadratic signature); adaptive bucketing holds the ratio near 4×.
+    // Both sizes sit ABOVE the b=4 clamp floor (n > 64·2⁴) so the bit
+    // width actually adapts between them.
+    val v = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val n = v.count()
+    // per-replica deterministic sign flip (orthogonal transform): replicas
+    // are NOT near-duplicates of each other, so added pairs are purely the
+    // random-collision noise the bucket sizing is supposed to bound —
+    // byte-identical replicas would collide in every table by right
+    def times(k: Int) = (0 until k).map { r =>
+      val emb = if (r == 0) col("emb") else zip_with(col("emb"),
+        transform(sequence(lit(0), size(col("emb")) - 1),
+          i => when(pmod(xxhash64(lit(r), i), lit(2)) === 0, lit(1.0))
+            .otherwise(lit(-1.0))),
+        (x, f) => x * f)
+      v.select((col("vec_id") + lit(r * n)).as("vec_id"), emb.as("emb"))
+    }.reduce(_ unionByName _)
+    val small = SimilarityOps.lshSimilarPairs(times(8)).count()
+    val big = SimilarityOps.lshSimilarPairs(times(32)).count()
+    assert(big.toDouble / small < 8.0,
+      s"4x corpus grew candidates ${big.toDouble / small}x (quadratic regime)")
+  }
 }
