@@ -187,9 +187,15 @@ object Bench {
       s"\"" + name + "\":[" + samples(name).map(ms).mkString(",") + "]"
     }.mkString("{", ",", "}")
     // a SPARK_GRAFT_ONLY-restricted profiling run must not clobber the
-    // committed full-sweep record
-    val outFile = if (onlyPrefixes.isDefined) "/root/repo/BENCH_PROFILE.json"
-      else "/root/repo/BENCH_LOCAL.json"
+    // committed full-sweep record. SPARK_GRAFT_OUT overrides the path
+    // entirely — the chunked/resumable sweep mode (r6 verdict item 2): run
+    // several SPARK_GRAFT_ONLY subsets, each to its own chunk file, then
+    // merge with tools/merge_bench.py into one record with per-chunk
+    // telemetry. A contention window then costs one chunk's re-run, not
+    // the whole sweep (the r6 sf1 attempt died whole after 348 s on q01).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT",
+      if (onlyPrefixes.isDefined) "/root/repo/BENCH_PROFILE.json"
+      else "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile),
       line(qsFull).dropRight(1) + s""","samples":$samplesJson}""" + "\n")

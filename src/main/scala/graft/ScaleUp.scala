@@ -65,9 +65,29 @@ object ScaleUp {
       * shared by the PK table and every FK that references it. */
     def span(t: String, c: String): Long =
       load(t).agg(max(col(c))).head().get(0).asInstanceOf[Number].longValue + 1
+    /** Largest value a shifted key column reaches: replica k−1 of the max
+      * source key = (k−1)·span + (span−1) = k·span − 1. The shift runs in
+      * long arithmetic and casts BACK to the column's source type, so a
+      * value past that type's range would wrap silently and corrupt
+      * referential integrity — fail fast instead. */
+    def requireFits(dt: org.apache.spark.sql.types.DataType, c: String, s: Long): Unit = {
+      require(s <= Long.MaxValue / k,
+        s"replicate(): span $s x k=$k overflows long for '$c'")
+      val maxShifted = k * s - 1
+      val limit: Long = dt match {
+        case org.apache.spark.sql.types.ByteType    => Byte.MaxValue
+        case org.apache.spark.sql.types.ShortType   => Short.MaxValue
+        case org.apache.spark.sql.types.IntegerType => Int.MaxValue
+        case _                                      => Long.MaxValue
+      }
+      require(maxShifted <= limit,
+        s"replicate(): shifted '$c' reaches $maxShifted which overflows $dt; " +
+          "widen the column to long in the source or lower k")
+    }
     /** k replicas with each listed key column shifted by rep × its span;
       * non-key columns pass through. Column order and types preserved. */
     def replicate(df: DataFrame, shifts: (String, Long)*): DataFrame = {
+      shifts.foreach { case (c, s) => requireFits(df.schema(c).dataType, c, s) }
       val shifted = df.crossJoin(spark.range(k).toDF("__rep"))
       val out = shifts.foldLeft(shifted) { case (d, (c, s)) =>
         d.withColumn(c, (col(c).cast("long") + col("__rep") * s)
@@ -116,6 +136,7 @@ object ScaleUp {
     val emb = load("embeddings")
     val vecSpan = span("embeddings", "vec_id")
     val labelSpan = span("embeddings", "label")
+    requireFits(emb.schema("label").dataType, "label", labelSpan)
     val embK = emb.crossJoin(spark.range(k).toDF("__rep"))
       .withColumn("vec_id", col("vec_id") + col("__rep") * vecSpan)
       .withColumn("label",

@@ -140,10 +140,40 @@ object DedupPipeline {
     // but a lost executor kills the job mid-propagation) by default;
     // a reliable checkpoint against `checkpointDir` (HDFS/S3/local FS)
     // when given — the cluster-scale mode for the flagship iterative op.
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // setCheckpointDir mutates GLOBAL SparkContext state, so only install
+    // the caller's dir when the application has not configured one; an
+    // already-configured dir wins (clobbering it would silently redirect
+    // every OTHER checkpoint in the app and outlive this call).
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach { d =>
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+      else org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"clusters(): checkpoint dir already configured " +
+          s"(${sc.getCheckpointDir.get}); caller's '$d' not installed")
+    }
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
+    // Reliable-mode bookkeeping: resolve the checkpoint files backing a cut
+    // so a SUPERSEDED iteration's files are deleted as soon as the next cut
+    // stops reading them. Without this, maxIter full copies of the label
+    // table accumulate on durable storage per call —
+    // spark.cleaner.referenceTracking.cleanCheckpoints is off by default
+    // and only fires on driver GC. The LAST cut's files are kept: they back
+    // the returned DataFrame.
+    def ckptPath(df: DataFrame): Option[org.apache.hadoop.fs.Path] =
+      if (checkpointDir.isEmpty) None
+      else df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.getCheckpointFile.map(new org.apache.hadoop.fs.Path(_))
+        case _ => None
+      }
+    def dropCkpt(p: org.apache.hadoop.fs.Path): Unit =
+      try { p.getFileSystem(sc.hadoopConfiguration).delete(p, true); () }
+      catch { case e: Throwable =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"clusters(): failed to clean superseded checkpoint $p", e)
+      }
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -153,6 +183,7 @@ object DedupPipeline {
     labels0.count()
     var labels: DataFrame = labels0
     var prevCut: DataFrame = null // last iteration's checkpointed frame
+    var prevCkpt: Option[org.apache.hadoop.fs.Path] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -171,10 +202,13 @@ object DedupPipeline {
             .as("changed")))
       converged = next.filter(col("changed")).isEmpty
       // the new cut is materialized and no longer reads the old one: release
-      // the previous iteration's blocks NOW rather than holding maxIter
-      // copies of the label table until GC gets around to them
+      // the previous iteration's blocks (and reliable-checkpoint files) NOW
+      // rather than holding maxIter copies of the label table until GC gets
+      // around to them
       if (prevCut ne null) prevCut.unpersist()
+      prevCkpt.foreach(dropCkpt)
       prevCut = next
+      prevCkpt = ckptPath(next)
       labels = next.select(col("node"), col("newLabel").as("label"))
       i += 1
     }

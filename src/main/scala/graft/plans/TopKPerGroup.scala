@@ -81,13 +81,18 @@ case class TopKPerGroupExec(
 
       // Spill into Spark's configured scratch space, not java.io.tmpdir:
       // on a provisioned cluster the shuffle/spill disks are announced via
-      // SPARK_LOCAL_DIRS (standalone) or LOCAL_DIRS (YARN container env) and
-      // spark.local.dir is IGNORED there, so check the env vars first —
-      // mirroring Spark's own Utils.getConfiguredLocalDirs precedence —
-      // then the conf, then /tmp as the last resort.
+      // env vars and spark.local.dir is IGNORED there. Mirror Spark's own
+      // Utils.getConfiguredLocalDirs precedence exactly: LOCAL_DIRS is a
+      // YARN-container variable, honored ONLY when CONTAINER_ID marks this
+      // JVM as a YARN container (a stray LOCAL_DIRS on any other host must
+      // not redirect spills); then SPARK_EXECUTOR_DIRS, then
+      // SPARK_LOCAL_DIRS (standalone), then the conf, then /tmp.
       val spillDir: java.io.File = {
         val env = org.apache.spark.SparkEnv.get
-        val base = Seq(sys.env.get("LOCAL_DIRS"), sys.env.get("SPARK_LOCAL_DIRS"),
+        val yarnLocalDirs =
+          if (sys.env.contains("CONTAINER_ID")) sys.env.get("LOCAL_DIRS") else None
+        val base = Seq(yarnLocalDirs, sys.env.get("SPARK_EXECUTOR_DIRS"),
+            sys.env.get("SPARK_LOCAL_DIRS"),
             Option(env).flatMap(_.conf.getOption("spark.local.dir")))
           .flatten.headOption
           .map(_.split(",").head.trim)
