@@ -182,9 +182,24 @@ object IvfIndex {
     * bookkeeping — sub-linear in k; the final seeds (k×dim, broadcast-sized
     * by construction) are the only executor→driver traffic. Deterministic:
     * samples are xxhash64-ordered and per-cell members are re-sorted before
-    * seeding, so builds reproduce run-to-run like the flat path. */
+    * seeding, so builds reproduce run-to-run like the flat path.
+    *
+    * Known bound — the 4·k sample floor: the shared sample is
+    * `max(sampleSize, 4·k)` rows, taken with a global order-by + `limit`.
+    * The sample itself stays on executors (only the O(√k)-sized coarse
+    * subsample is collected), but Spark materializes a global limit
+    * through a SINGLE task, so that one task's frame grows linearly in k —
+    * k·dim·32 bytes ≈ 3 GB at k = 100k, dim = 768. Fine through k ≈ 30k
+    * (the 10⁹-vector regime at k = √n); past ~100k replace the
+    * order-by-limit with a distributed threshold sample (filter on
+    * `xxhash64(vec_id) < cutoff`, no single-task collect point) before
+    * trusting this path. A warning logs when k crosses that line. */
   def buildHierarchical(vecs: DataFrame, k: Int, sampleSize: Int = 4096): IvfIndex = {
     require(k >= 2, s"hierarchical seeding needs k >= 2; got $k")
+    if (k > 100000) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"buildHierarchical(k=$k): the 4*k sample floor funnels ~${4L * k} rows " +
+        "through one global-limit task — see scaladoc; consider a distributed " +
+        "threshold sample at this k")
     val spark = vecs.sparkSession
     import spark.implicits._
     val k1 = math.ceil(math.sqrt(k.toDouble)).toInt

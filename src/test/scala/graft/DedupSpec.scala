@@ -163,6 +163,46 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("reliable checkpoint end-to-end: q58 pipeline at sf0.1 matches the " +
+    "localCheckpoint path and cleans superseded iteration files") {
+    import graft.operators.{DedupOps, DedupPipeline}
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-e2e").toFile
+    // the real q58 edge graph on real fixture data at the bench SF — not a
+    // toy graph: prefix-filtered n-gram-Jaccard pairs over 50k documents
+    val edges = DedupOps.ngramJaccardPairs(spark, "/root/testdata/sf0.1",
+        minJac = Some(0.5)).select("a", "b")
+      .persist()
+    try {
+      val local = DedupPipeline.clusters(edges, maxIter = 100)
+        .as[(Long, Long)].collect().toMap
+      val reliable = DedupPipeline
+        .clusters(edges, maxIter = 100, checkpointDir = Some(ckpt.getAbsolutePath))
+        .as[(Long, Long)].collect().toMap
+      assert(reliable == local,
+        "reliable-checkpoint propagation diverged from localCheckpoint at sf0.1")
+      assert(local.nonEmpty, "sf0.1 near-dup graph unexpectedly empty")
+      // superseded-iteration cleanup (r6 advice): after one clusters() call
+      // only the FINAL cut's rdd-* directory may remain in the resolved
+      // checkpoint dir — earlier iterations' copies are deleted eagerly
+      val resolved = new org.apache.hadoop.fs.Path(
+        spark.sparkContext.getCheckpointDir.get)
+      val fs = resolved.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rddDirs =
+        if (fs.exists(resolved))
+          fs.listStatus(resolved).map(_.getPath.getName).filter(_.startsWith("rdd-"))
+        else Array.empty[String]
+      assert(rddDirs.length <= 1,
+        s"superseded iteration checkpoints not cleaned: ${rddDirs.mkString(",")}")
+    } finally {
+      edges.unpersist()
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete()
+      }
+      rm(ckpt)
+    }
+  }
+
   test("incremental dedup matches a planted batch doc against the corpus only") {
     import graft.operators.DedupOps
     val corpus = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")

@@ -208,6 +208,50 @@ class SimilaritySpec extends AnyFunSuite {
     corpus.unpersist()
   }
 
+  test("hierarchical seeding preserves search recall vs the flat build") {
+    // Structure specs (cell counts, balance, dispatch) can't catch seed
+    // QUALITY silently degrading — e.g. a sub-seeding bug that clumps seeds
+    // would keep every structural invariant while recall collapses. Same
+    // corpus, same k, same nprobe: recall@5 of a hierarchical build must
+    // track the flat build against exact brute-force ground truth.
+    import graft.operators.IvfIndex
+    val rnd = new scala.util.Random(1717)
+    val n = 4000
+    val dim = 8
+    val vecs = Array.fill(n)(Array.fill(dim)(rnd.nextGaussian()))
+    val corpus = vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      .toDF("vec_id", "emb").cache()
+    val k = 64
+    val nprobe = 8
+    val queries = corpus.limit(20)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    // exact ground truth on the driver — 4000x20 cosines, trivially sized
+    val exact: Map[Long, Set[Long]] = (0 until 20).map { q =>
+      q.toLong -> vecs.indices
+        .sortBy(i => (-cos(vecs(q), vecs(i)), i))
+        .take(5).map(_.toLong).toSet
+    }.toMap
+    def recall(idx: IvfIndex): Double = {
+      val got = idx.search(queries, k = 5, nprobe = nprobe)
+        .select("q_id", "n_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (q, truth) =>
+        got.getOrElse(q, Set.empty).count(truth).toDouble / truth.size
+      }.sum / exact.size
+    }
+    val flat = recall(IvfIndex.build(corpus, k))
+    val hier = recall(IvfIndex.buildHierarchical(corpus, k))
+    assert(hier >= flat - 0.1,
+      s"hierarchical recall@5 $hier fell below flat build $flat by > 0.1")
+    corpus.unpersist()
+  }
+
   test("semanticDedup flags a planted duplicate pair under default k") {
     import graft.operators.SimilarityOps
     val v = Tables.load(spark, TestSpark.sf, "embeddings")

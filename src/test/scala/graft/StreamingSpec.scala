@@ -162,6 +162,59 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS events_drained")
   }
 
+  /** Exact typed multiset compare against a DuckDB-computed fixture (see
+    * tools/make_golden.py) — both sides cast to the golden schema first. */
+  private def assertMatchesGolden(actual: org.apache.spark.sql.DataFrame,
+                                  fixture: String): Unit = {
+    val goldenPath = getClass.getResource(s"/golden/$fixture")
+    assert(goldenPath != null, s"golden fixture $fixture missing from test resources")
+    val golden = spark.read.parquet(goldenPath.toString)
+    val cols = golden.columns.sorted.toSeq
+    val a = actual.select(cols.map(c => col(c).cast(golden.schema(c).dataType)): _*)
+    val g = golden.select(cols.map(col): _*)
+    assert(a.count() == g.count(),
+      s"got ${a.count()} rows, golden $fixture has ${g.count()}")
+    assert(a.exceptAll(g).isEmpty && g.exceptAll(a).isEmpty,
+      s"output differs from DuckDB-computed $fixture")
+  }
+
+  test("drainToTable contents match the committed DuckDB golden file") {
+    // external-oracle coverage for the CATALOG drain: same lifecycle as the
+    // incrementality test above, but the landed rows are compared against
+    // DuckDB's answer rather than Spark's own batch read
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-tblg-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tblg-ckpt").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+      srcDir.resolve("part-0.parquet"))
+    spark.sql("DROP TABLE IF EXISTS events_drained_golden")
+    EventStream.drainToTable(
+      EventStream.fromDirectory(spark, srcDir.toString),
+      "events_drained_golden", ckpt)
+    assertMatchesGolden(spark.table("events_drained_golden"),
+      "events_table_drain_sf0001.parquet")
+    spark.sql("DROP TABLE IF EXISTS events_drained_golden")
+  }
+
+  test("dropDuplicatesWithinWatermark drain matches the DuckDB golden file") {
+    // source = TWO byte-identical copies of the events file; the streaming
+    // dedup must collapse every event_id to one row — compared against
+    // DuckDB's DISTINCT over the doubled union, not Spark against itself
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-dedupg-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedupg-ckpt").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+      srcDir.resolve("part-0.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/events.parquet"),
+      srcDir.resolve("part-1.parquet"))
+    EventStream.drainAvailableNow(
+      EventStream.dedupedEvents(EventStream.fromDirectory(spark, srcDir.toString)),
+      "deduped_golden", ckpt)
+    assertMatchesGolden(spark.table("deduped_golden"),
+      "events_dedup_drain_sf0001.parquet")
+  }
+
   test("stream-static enrichment joins dim attributes onto a stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

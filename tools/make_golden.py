@@ -35,3 +35,32 @@ COPY (
 ) TO '{OUT}/events_drain_sf0001.parquet' (FORMAT PARQUET)
 """)
 print(f"wrote {OUT}/events_drain_sf0001.parquet")
+
+# Expected content of the managed table after
+# EventStream.drainToTable(fromDirectory(events)): the stream applies only
+# the nanos->micros ts normalization — no load_date/batch_id (those belong
+# to the partitioned parquet drain above).
+duckdb.sql(f"""
+COPY (
+  SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value, props
+  FROM '{SF}/events.parquet'
+  ORDER BY event_id
+) TO '{OUT}/events_table_drain_sf0001.parquet' (FORMAT PARQUET)
+""")
+print(f"wrote {OUT}/events_table_drain_sf0001.parquet")
+
+# Expected output of EventStream.dedupedEvents (dropDuplicatesWithinWatermark
+# on event_id) over a source holding TWO byte-identical copies of the events
+# file: the duplicates land inside the watermark window, so each event_id
+# survives exactly once — DuckDB's DISTINCT over the doubled union is the
+# engine-neutral ground truth.
+duckdb.sql(f"""
+COPY (
+  SELECT DISTINCT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value, props
+  FROM (SELECT * FROM '{SF}/events.parquet'
+        UNION ALL
+        SELECT * FROM '{SF}/events.parquet')
+  ORDER BY event_id
+) TO '{OUT}/events_dedup_drain_sf0001.parquet' (FORMAT PARQUET)
+""")
+print(f"wrote {OUT}/events_dedup_drain_sf0001.parquet")
