@@ -32,6 +32,29 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // q66 candidate-count probe (r6 verdict item 3): SPARK_GRAFT_Q66_DIRS=
+    // <dirA,dirB,...> audits the adaptive-LSH candidate count on REAL
+    // corpora (e.g. sf0.1's 20k vs scratch/sf1's 200k vectors) instead of
+    // synthetic replicas. Candidates = Σ per-(t,code)-bucket C(m,2) —
+    // computed from the signature histogram, no pair join. The q66 spec
+    // proves candidates ∝ n at 4×; this measures it at sweep scale, where
+    // the old fixed-4-bit width produced n²/16 (50M pairs at 20k vectors).
+    sys.env.get("SPARK_GRAFT_Q66_DIRS").foreach { dirs =>
+      for (dir <- dirs.split(",")) {
+        val vecs = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        val n = vecs.count()
+        val cand = time(s"q66 candidate audit $dir")(
+          graft.operators.SimilarityOps.lshSignatures(vecs)
+            .groupBy("t", "code").count()
+            .agg(sum(expr("count * (count - 1) / 2")).cast("long"))
+            .head().getLong(0))
+        println(f"[probe] q66 $dir: n=$n candidates=$cand cand/n=${cand.toDouble / n}%.1f")
+      }
+      spark.stop()
+      return
+    }
+
     def replicate(df: DataFrame, idCol: String, n: Int): DataFrame = {
       val span = df.agg(max(col(idCol))).head().getLong(0) + 1
       df.crossJoin(spark.range(n).toDF("__rep"))

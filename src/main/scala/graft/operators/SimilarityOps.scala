@@ -97,9 +97,14 @@ object SimilarityOps {
     * first). Plane indexing is strided so the first [[LshMaxSqlBits]] bits
     * of each table are the same plane constants at every b — the oracle
     * replays any b in [4, 12] from one 48-plane VALUES list. */
-  private[graft] def lshSimilarPairs(vecs: DataFrame,
-                                     tables: Int = LshTables,
-                                     bitsPerTable: Int = 0): DataFrame = {
+  /** Per-table sign-LSH bucket signatures: (vec_id, t, code) with adaptive
+    * bit width (see [[lshSimilarPairs]]). Factored out so ScaleProbe can
+    * audit the candidate count (Σ per-bucket C(m,2)) WITHOUT paying the
+    * candidate join itself — the direct measurement that the adaptive width
+    * holds candidates ∝ n at sweep scale. */
+  private[graft] def lshSignatures(vecs: DataFrame,
+                                   tables: Int = LshTables,
+                                   bitsPerTable: Int = 0): DataFrame = {
     val b = if (bitsPerTable > 0) bitsPerTable
             else lshAdaptiveBits(vecs.count()) // one count() — an
             // index-build-time parameter, same discipline as IvfIndex's k
@@ -111,9 +116,15 @@ object SimilarityOps {
         .reduce(_ + _)
       struct(lit(t).as("t"), code.as("code"))
     }
-    val v = vecs
+    vecs
       .withColumn("tbl", explode(array(tableStructs: _*)))
       .select(col("vec_id"), col("tbl.t").as("t"), col("tbl.code").as("code"))
+  }
+
+  private[graft] def lshSimilarPairs(vecs: DataFrame,
+                                     tables: Int = LshTables,
+                                     bitsPerTable: Int = 0): DataFrame = {
+    val v = lshSignatures(vecs, tables, bitsPerTable)
     val candidates = v.as("x")
       .join(v.as("y"),
         col("x.t") === col("y.t") && col("x.code") === col("y.code") &&
