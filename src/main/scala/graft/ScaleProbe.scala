@@ -43,13 +43,17 @@ object ScaleProbe {
       for (dir <- dirs.split(",")) {
         val vecs = Tables.load(spark, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+          .persist() // scanned twice: n below + the adaptive-bits count inside lshSignatures
         val n = vecs.count()
+        // coalesce: sum over zero groups is null (empty/typo'd dir), which
+        // should report 0 candidates, not NPE
         val cand = time(s"q66 candidate audit $dir")(
           graft.operators.SimilarityOps.lshSignatures(vecs)
             .groupBy("t", "code").count()
-            .agg(sum(expr("count * (count - 1) / 2")).cast("long"))
+            .agg(coalesce(sum(expr("count * (count - 1) / 2")), lit(0)).cast("long"))
             .head().getLong(0))
-        println(f"[probe] q66 $dir: n=$n candidates=$cand cand/n=${cand.toDouble / n}%.1f")
+        println(f"[probe] q66 $dir: n=$n candidates=$cand cand/n=${cand.toDouble / math.max(n, 1)}%.1f")
+        vecs.unpersist()
       }
       spark.stop()
       return

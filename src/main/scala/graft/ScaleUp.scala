@@ -136,11 +136,15 @@ object ScaleUp {
     val emb = load("embeddings")
     val vecSpan = span("embeddings", "vec_id")
     val labelSpan = span("embeddings", "label")
-    requireFits(emb.schema("label").dataType, "label", labelSpan)
+    // validate against the CAST TARGET (the column's own type, which the
+    // shift casts back to) — checking the source type alone would pass a
+    // long column while the int cast below wrapped
+    val labelType = emb.schema("label").dataType
+    requireFits(labelType, "label", labelSpan)
     val embK = emb.crossJoin(spark.range(k).toDF("__rep"))
       .withColumn("vec_id", col("vec_id") + col("__rep") * vecSpan)
       .withColumn("label",
-        (col("label").cast("long") + col("__rep") * labelSpan).cast("int"))
+        (col("label").cast("long") + col("__rep") * labelSpan).cast(labelType))
       .withColumn("embedding",
         when(col("__rep") === 0, col("embedding"))
           .otherwise(zip_with(

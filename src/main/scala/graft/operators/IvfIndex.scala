@@ -184,22 +184,17 @@ object IvfIndex {
     * samples are xxhash64-ordered and per-cell members are re-sorted before
     * seeding, so builds reproduce run-to-run like the flat path.
     *
-    * Known bound — the 4·k sample floor: the shared sample is
-    * `max(sampleSize, 4·k)` rows, taken with a global order-by + `limit`.
-    * The sample itself stays on executors (only the O(√k)-sized coarse
-    * subsample is collected), but Spark materializes a global limit
-    * through a SINGLE task, so that one task's frame grows linearly in k —
-    * k·dim·32 bytes ≈ 3 GB at k = 100k, dim = 768. Fine through k ≈ 30k
-    * (the 10⁹-vector regime at k = √n); past ~100k replace the
-    * order-by-limit with a distributed threshold sample (filter on
-    * `xxhash64(vec_id) < cutoff`, no single-task collect point) before
-    * trusting this path. A warning logs when k crosses that line. */
+    * The 4·k shared sample (`max(sampleSize, 4·k)` rows) is taken with a
+    * DISTRIBUTED hash-threshold filter, not a global order-by-limit: a
+    * global limit funnels its whole result through one task, which would
+    * re-grow a linear-in-k single-task frame (≈3 GB at k = 100k,
+    * dim = 768) precisely where this path exists to avoid driver-shaped
+    * bottlenecks. The threshold cut keeps the sample on executors end to
+    * end; only the O(√k) coarse subsample and the k seed vectors
+    * (broadcast-sized by definition) ever leave them — so the build holds
+    * at k ≈ 100k+ (10¹⁰-vector regime at k = √n). */
   def buildHierarchical(vecs: DataFrame, k: Int, sampleSize: Int = 4096): IvfIndex = {
     require(k >= 2, s"hierarchical seeding needs k >= 2; got $k")
-    if (k > 100000) org.slf4j.LoggerFactory.getLogger(getClass).warn(
-      s"buildHierarchical(k=$k): the 4*k sample floor funnels ~${4L * k} rows " +
-        "through one global-limit task — see scaladoc; consider a distributed " +
-        "threshold sample at this k")
     val spark = vecs.sparkSession
     import spark.implicits._
     val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
@@ -207,14 +202,28 @@ object IvfIndex {
     // per requested cell gives every quota headroom without the sample
     // itself approaching corpus size
     val s = math.max(sampleSize, 4 * k)
-    val sampleDf = vecs
+    val projected = vecs
       .select(col("vec_id"), col("emb").cast("array<double>").as("emb"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(s)
-      .persist()
+    // DISTRIBUTED threshold sample — not order-by + global limit: Spark
+    // funnels a global limit through ONE task, whose frame would grow
+    // linearly in k (~3 GB at k = 100k, dim = 768). A deterministic hash
+    // cut (keep rows whose xxhash64 bucket falls under ceil(1.25·s/n) of
+    // the hash space) is a narrow filter on every partition — no sort, no
+    // shuffle, no single-task collect point — and the 25 % headroom puts
+    // the binomial sample size below s only with negligible probability
+    // (caught by the sampleN require below if the corpus is tiny anyway).
+    val total = projected.count()
+    val sampleDf = (if (total <= 2L * s) projected
+      else {
+        val buckets = 1000000L
+        val cut = math.min(buckets, math.ceil(buckets * 1.25 * s / total).toLong)
+        projected.filter(pmod(xxhash64(col("vec_id")), lit(buckets)) < lit(cut))
+      }).persist()
     val sampleN = sampleDf.count()
-    require(sampleN >= k, s"corpus has only $sampleN vectors for k=$k cells")
-    // level 1: coarse greedy on the driver — k1 seeds only
+    require(sampleN >= k, s"corpus has only $sampleN sampled vectors for k=$k cells")
+    // level 1: coarse greedy on the driver — k1 seeds only; the order-by +
+    // limit here runs over the ALREADY-SAMPLED frame (≈1.25·s rows), so the
+    // single-task materialization is bounded by the coarse subsample size
     val coarseSample = sampleDf
       .orderBy(xxhash64(col("vec_id")), col("vec_id")) // limit alone has no order contract
       .limit(math.min(sampleN, math.max(1024L, 8L * k1)).toInt)

@@ -80,11 +80,11 @@ object SimilarityOps {
     b.max(4).min(maxBits)
   }
 
-  /** All-similar-pairs over a (vec_id, emb: array<double>) frame via
-    * multi-table sign-LSH (4 tables, OR-amplified). Candidate pairs are
-    * deduped on IDs ONLY, then vectors re-attach — the shuffle carries
-    * (a, b) longs, never embeddings. Returns (a, b, sim) with a < b; feeds
-    * q66 and [[DedupPipeline.dedupByEmbedding]].
+  /** Per-table sign-LSH bucket signatures: (vec_id, t, code) with adaptive
+    * bit width (see [[lshSimilarPairs]]). Factored out so ScaleProbe can
+    * audit the candidate count (Σ per-bucket C(m,2)) WITHOUT paying the
+    * candidate join itself — the direct measurement that the adaptive width
+    * holds candidates ∝ n at sweep scale.
     *
     * `bitsPerTable` ≤ 0 (the default) sizes buckets to the corpus: a FIXED
     * bit width is quadratic in disguise — at 4 bits a random pair collides
@@ -97,11 +97,6 @@ object SimilarityOps {
     * first). Plane indexing is strided so the first [[LshMaxSqlBits]] bits
     * of each table are the same plane constants at every b — the oracle
     * replays any b in [4, 12] from one 48-plane VALUES list. */
-  /** Per-table sign-LSH bucket signatures: (vec_id, t, code) with adaptive
-    * bit width (see [[lshSimilarPairs]]). Factored out so ScaleProbe can
-    * audit the candidate count (Σ per-bucket C(m,2)) WITHOUT paying the
-    * candidate join itself — the direct measurement that the adaptive width
-    * holds candidates ∝ n at sweep scale. */
   private[graft] def lshSignatures(vecs: DataFrame,
                                    tables: Int = LshTables,
                                    bitsPerTable: Int = 0): DataFrame = {
@@ -121,6 +116,12 @@ object SimilarityOps {
       .select(col("vec_id"), col("tbl.t").as("t"), col("tbl.code").as("code"))
   }
 
+  /** All-similar-pairs over a (vec_id, emb: array<double>) frame via
+    * multi-table sign-LSH (4 tables, OR-amplified, [[lshSignatures]]
+    * buckets). Candidate pairs are deduped on IDs ONLY, then vectors
+    * re-attach — the shuffle carries (a, b) longs, never embeddings.
+    * Returns (a, b, sim) with a < b; feeds q66 and
+    * [[DedupPipeline.dedupByEmbedding]]. */
   private[graft] def lshSimilarPairs(vecs: DataFrame,
                                      tables: Int = LshTables,
                                      bitsPerTable: Int = 0): DataFrame = {

@@ -172,27 +172,41 @@ class DedupSpec extends AnyFunSuite {
     val edges = DedupOps.ngramJaccardPairs(spark, "/root/testdata/sf0.1",
         minJac = Some(0.5)).select("a", "b")
       .persist()
+    // The resolved dir may be one a PREVIOUS test installed (the no-clobber
+    // rule keeps the first configured dir for the shared context), so the
+    // cleanup assertion diffs rdd-* dirs around THIS call rather than
+    // assuming our ckpt dir is the one in use — order-independent.
+    def rddDirsIn(): Set[String] =
+      spark.sparkContext.getCheckpointDir.toSet.flatMap { (d: String) =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p))
+          fs.listStatus(p).map(_.getPath.getName).filter(_.startsWith("rdd-")).toSet
+        else Set.empty[String]
+      }
     try {
       val local = DedupPipeline.clusters(edges, maxIter = 100)
         .as[(Long, Long)].collect().toMap
+      val before = rddDirsIn()
       val reliable = DedupPipeline
         .clusters(edges, maxIter = 100, checkpointDir = Some(ckpt.getAbsolutePath))
         .as[(Long, Long)].collect().toMap
       assert(reliable == local,
         "reliable-checkpoint propagation diverged from localCheckpoint at sf0.1")
       assert(local.nonEmpty, "sf0.1 near-dup graph unexpectedly empty")
-      // superseded-iteration cleanup (r6 advice): after one clusters() call
-      // only the FINAL cut's rdd-* directory may remain in the resolved
-      // checkpoint dir — earlier iterations' copies are deleted eagerly
-      val resolved = new org.apache.hadoop.fs.Path(
-        spark.sparkContext.getCheckpointDir.get)
-      val fs = resolved.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val rddDirs =
-        if (fs.exists(resolved))
-          fs.listStatus(resolved).map(_.getPath.getName).filter(_.startsWith("rdd-"))
-        else Array.empty[String]
-      assert(rddDirs.length <= 1,
-        s"superseded iteration checkpoints not cleaned: ${rddDirs.mkString(",")}")
+      // superseded-iteration cleanup (r6 advice): one clusters() call may
+      // leave at most the FINAL cut's rdd-* directory behind — earlier
+      // iterations' copies are deleted eagerly
+      val fresh = rddDirsIn() -- before
+      assert(fresh.size <= 1,
+        s"superseded iteration checkpoints not cleaned: ${fresh.mkString(",")}")
+      // drop the final cut's files too so the shared-context dir does not
+      // accumulate one leaked dir per suite run
+      spark.sparkContext.getCheckpointDir.foreach { d =>
+        val base = new org.apache.hadoop.fs.Path(d)
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fresh.foreach(name => fs.delete(new org.apache.hadoop.fs.Path(base, name), true))
+      }
     } finally {
       edges.unpersist()
       def rm(f: java.io.File): Unit = {

@@ -224,16 +224,21 @@ class SimilaritySpec extends AnyFunSuite {
       .toDF("vec_id", "emb").cache()
     val k = 64
     val nprobe = 8
-    val queries = corpus.limit(20)
+    // select queries BY ID (limit has no ordering contract) so the driver
+    // ground truth below is keyed to the same vectors
+    val queries = corpus.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       d / math.sqrt(na * nb)
     }
-    // exact ground truth on the driver — 4000x20 cosines, trivially sized
+    // exact ground truth on the driver — 4000x20 cosines, trivially sized;
+    // the query vector itself is EXCLUDED (search never returns self, so a
+    // truth set containing it would deflate both recalls by 0.2 and shrink
+    // the comparison to 4 actionable slots)
     val exact: Map[Long, Set[Long]] = (0 until 20).map { q =>
-      q.toLong -> vecs.indices
+      q.toLong -> vecs.indices.filter(_ != q)
         .sortBy(i => (-cos(vecs(q), vecs(i)), i))
         .take(5).map(_.toLong).toSet
     }.toMap
@@ -249,6 +254,25 @@ class SimilaritySpec extends AnyFunSuite {
     val hier = recall(IvfIndex.buildHierarchical(corpus, k))
     assert(hier >= flat - 0.1,
       s"hierarchical recall@5 $hier fell below flat build $flat by > 0.1")
+    corpus.unpersist()
+  }
+
+  test("buildHierarchical: distributed threshold sample on a large corpus") {
+    // n > 2·max(sampleSize, 4·k) exercises the hash-cut sampling branch —
+    // the path with NO global-limit task — which the other hierarchical
+    // specs never reach (their corpora fit the small-corpus passthrough)
+    import graft.operators.IvfIndex
+    val rnd = new scala.util.Random(5150)
+    val n = 40000
+    val corpus = (0 until n)
+      .map(i => (i.toLong, Seq.fill(4)(rnd.nextGaussian())))
+      .toDF("vec_id", "emb").cache()
+    val k = 64 // s = max(4096, 256) = 4096; 2s = 8192 < 40000 -> threshold cut
+    val idx = IvfIndex.buildHierarchical(corpus, k)
+    assert(idx.centroids.count() == k)
+    // the sample is only for seeding: EVERY corpus vector is still assigned
+    assert(idx.assigned.count() == n)
+    assert(idx.assigned.select("vec_id").distinct().count() == n)
     corpus.unpersist()
   }
 

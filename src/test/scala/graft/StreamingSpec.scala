@@ -169,6 +169,11 @@ class StreamingSpec extends AnyFunSuite {
     val goldenPath = getClass.getResource(s"/golden/$fixture")
     assert(goldenPath != null, s"golden fixture $fixture missing from test resources")
     val golden = spark.read.parquet(goldenPath.toString)
+    // column SETS must match exactly before the projected compare — a
+    // regression that adds columns would otherwise be silently projected away
+    assert(actual.columns.sorted.toSeq == golden.columns.sorted.toSeq,
+      s"schema drift vs $fixture: got ${actual.columns.sorted.mkString(",")}, " +
+        s"golden has ${golden.columns.sorted.mkString(",")}")
     val cols = golden.columns.sorted.toSeq
     val a = actual.select(cols.map(c => col(c).cast(golden.schema(c).dataType)): _*)
     val g = golden.select(cols.map(col): _*)

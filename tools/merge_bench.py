@@ -37,8 +37,11 @@ def main():
         failed.update(rec.get("failed", []))
         for name, tmin in rec.get("queries_min", rec["queries"]).items():
             prev = queries_min.get(name)
-            if prev is not None and 0 < prev <= tmin:
-                continue  # keep the faster (lower-contention) chunk's run
+            # keep the faster chunk's run; a valid prior measurement always
+            # beats a later FAILED (-1) one — otherwise a failed re-run
+            # chunk would poison a query another chunk already measured
+            if prev is not None and prev > 0 and (tmin < 0 or prev <= tmin):
+                continue
             queries_min[name] = tmin
             queries[name] = rec["queries"][name]
             if "samples" in rec:
