@@ -174,33 +174,45 @@ object DedupPipeline {
         org.slf4j.LoggerFactory.getLogger(getClass)
           .warn(s"clusters(): failed to clean superseded checkpoint $p", e)
       }
+    require(maxIter >= 1, s"clusters(): maxIter must be >= 1 (got $maxIter)")
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val labels0 = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels0.count()
-    var labels: DataFrame = labels0
+    // Hop 1 fused into the seed: with every label initialized to its node
+    // id, the first propagation's neighbor-min is simply min(src) per dst —
+    // no label join, and no separate distinct over endpoints (symmetric
+    // edges make every node a dst). The seed is NOT materialized on its
+    // own: hop 2's checkpoint job computes it in the same stage chain, so
+    // fusing removes one shuffle and one job versus seeding with identity
+    // labels. Counts toward maxIter as iteration 1.
+    val labels1 = edges.groupBy(col("dst").as("node"))
+      .agg(min("src").as("m"))
+      .select(col("node"), least(col("node"), col("m")).as("label"))
+    var labels: DataFrame = labels1
     var prevCut: DataFrame = null // last iteration's checkpointed frame
     var prevCkpt: Option[org.apache.hadoop.fs.Path] = None
     var converged = false
-    var i = 0
+    var i = 1
     while (!converged && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("node").as("src"), col("label").as("srcLabel")), "src")
         .groupBy(col("dst").as("node"))
         .agg(min("srcLabel").as("nbrLabel"))
-      // ONE materialization per iteration: the checkpoint job computes the
-      // relabeling AND the changed flag; the convergence probe then reads
-      // the checkpointed partitions (no shuffle recompute). The previous
-      // persist → isEmpty → re-checkpoint shape paid the propagation twice.
+      // ONE job per iteration: the eager checkpoint materializes the
+      // relabeling, and an observe() metric rides the SAME job to count
+      // changed rows — checkpoint/localCheckpoint go through the action
+      // path, so CollectMetrics fires and Observation.get returns without
+      // a second scan. (The previous shape ran a separate isEmpty probe
+      // per iteration; on small graphs fixed per-job overhead dominated,
+      // and on a real cluster it's one fewer driver round-trip per hop.)
+      val obs = org.apache.spark.sql.Observation(s"graft_cc_conv_$i")
       val next = cut(labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbrLabel"), col("label"))).as("newLabel"),
           (least(col("label"), coalesce(col("nbrLabel"), col("label"))) =!= col("label"))
-            .as("changed")))
-      converged = next.filter(col("changed")).isEmpty
+            .as("changed"))
+        .observe(obs, count(when(col("changed"), lit(1))).as("n_changed")))
+      converged = obs.get("n_changed").asInstanceOf[Long] == 0L
       // the new cut is materialized and no longer reads the old one: release
       // the previous iteration's blocks (and reliable-checkpoint files) NOW
       // rather than holding maxIter copies of the label table until GC gets
@@ -213,7 +225,10 @@ object DedupPipeline {
       i += 1
     }
     edges.unpersist()
-    if (labels ne labels0) labels0.unpersist()
+    // An empty graph is vacuously converged (no components to mislabel);
+    // only reachable when the loop ran out of rounds, so the extra probe
+    // never taxes the normal path.
+    if (!converged && labels.isEmpty) converged = true
     if (!converged) {
       val msg = s"clusters(): label propagation did not converge within $maxIter " +
         "iterations — components wider than maxIter hops carry multiple " +
