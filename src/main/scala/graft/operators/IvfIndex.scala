@@ -44,6 +44,38 @@ final case class IvfIndex(centroids: DataFrame, assigned: DataFrame) {
       .orderBy("q_id", "rank")
   }
 
+  /** Absorb a batch of new (vec_id, emb) vectors WITHOUT rebuilding: each
+    * new vector is assigned to its nearest EXISTING centroid (one broadcast
+    * join over the batch — O(batch), the corpus assignment is untouched)
+    * and the result is unioned in. Centroids do not move, so search
+    * mechanics and every previous assignment stay bit-identical — the
+    * nightly-ingest twin of [[graft.operators.DedupPipeline.updateClusters]].
+    *
+    * The cost of never moving centroids is DRIFT: a batch stream whose
+    * distribution shifts piles vectors into few cells, degrading the
+    * probe-fraction guarantee (a probe touches ~occupancy/n of the corpus,
+    * not ~1/k, when cells are skewed). Monitor [[occupancy]] /
+    * [[imbalanceFactor]] and rebuild or [[IvfIndex.refine]] when the factor
+    * crosses the pipeline's threshold (2–4 is a common range). */
+  def append(newVecs: DataFrame): IvfIndex =
+    IvfIndex(centroids,
+      assigned.unionByName(IvfIndex.assignTo(newVecs.select("vec_id", "emb"), centroids)))
+
+  /** Per-cell occupancy — the drift signal an appending pipeline watches.
+    * One row per NON-EMPTY cell: (cell, n_vectors). */
+  def occupancy: DataFrame =
+    assigned.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+
+  /** max/mean cell occupancy (>= 1.0; 1.0 = perfectly balanced). Driver
+    * scalar from a one-row aggregate — the re-seed trigger for [[append]]
+    * pipelines. */
+  def imbalanceFactor: Double = {
+    val row = occupancy.agg(
+      max(col("n_vectors")).cast("double").as("mx"),
+      avg(col("n_vectors")).as("mean")).head()
+    if (row.isNullAt(0)) 1.0 else row.getDouble(0) / row.getDouble(1)
+  }
+
   /** Persist both index tables (overwrite). */
   def save(root: String): Unit = {
     centroids.write.mode("overwrite").parquet(s"$root/centroids")
@@ -68,7 +100,11 @@ object IvfIndex {
       .select(outKey, "centroid")
 
   /** Nearest-centroid cell for every (vec_id, emb) row (ties broken on the
-    * smaller cell id). One broadcast join — centroids are always tiny. */
+    * smaller cell id). One broadcast join — centroids are always tiny.
+    * Graft-visible as [[assignTo]] for [[IvfIndex.append]]. */
+  private[graft] def assignTo(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    assign(vecs, centroids)
+
   private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist").desc, col("cell"))
     vecs.join(broadcast(centroids))

@@ -273,6 +273,28 @@ object SimilarityOps {
     // narrow pass; the probe join touches nprobe/k of the corpus.
     "q65_ann_ivf" -> ((s, d) => ivfTopK(s, d, nprobe = 3)),
 
+    // Incremental index ingest — build the IVF index on the 90% corpus,
+    // append() the 10% batch against FROZEN centroids (O(batch): one
+    // broadcast join, corpus assignment untouched), then report per-cell
+    // occupancy split by origin: the drift audit an appending pipeline
+    // runs after every batch to decide when to re-seed. The oracle replays
+    // corpus-only centroids + nearest-centroid assignment of ALL vectors,
+    // so a green row proves append() lands every batch vector exactly
+    // where a full rebuild with the same centroids would.
+    "q102_ivf_append" -> ((s, d) => {
+      val v = vectors(s, d)
+      val idx = IvfIndex.build(v.filter(col("vec_id") % 10 =!= 0))
+        .append(v.filter(col("vec_id") % 10 === 0))
+      idx.assigned
+        .withColumn("is_new", (col("vec_id") % 10 === 0).cast("long"))
+        .groupBy("cell")
+        .agg(
+          sum(lit(1L) - col("is_new")).as("n_corpus"),
+          sum(col("is_new")).as("n_new"),
+          count(lit(1)).as("n_total"))
+        .orderBy("cell")
+    }),
+
     // Similarity SELF-join via multi-table sign-LSH: 4 independent tables,
     // corpus-adaptive bits per table (E[bucket] ≈ 64); a pair is a
     // candidate if it collides in ANY table (OR-amplification), then exact
@@ -475,6 +497,23 @@ object SimilarityOps {
     "q61_ann_lsh" -> annLshSql,
 
     "q65_ann_ivf" -> annIvfSql,
+
+    "q102_ivf_append" ->
+      s"""WITH v AS ($vCte),
+         | corpus AS (SELECT * FROM v WHERE vec_id % 10 <> 0),
+         | cents AS (SELECT label AS cell, list(cx ORDER BY pos) AS centroid FROM (
+         |   SELECT label, i AS pos, avg(emb[i+1]) AS cx
+         |   FROM corpus CROSS JOIN range(64) t(i) GROUP BY label, i) GROUP BY cell),
+         | assigned AS (SELECT vec_id, cell FROM (
+         |   SELECT v.vec_id, c.cell,
+         |     row_number() OVER (PARTITION BY v.vec_id
+         |       ORDER BY list_cosine_similarity(v.emb, c.centroid) DESC, c.cell) AS rk
+         |   FROM v CROSS JOIN cents c) WHERE rk = 1)
+         |SELECT cell,
+         |  CAST(sum(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus,
+         |  CAST(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         |  count(*) AS n_total
+         |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin,
 
     "q64_label_centroids" ->
       s"""WITH v AS ($vCte),

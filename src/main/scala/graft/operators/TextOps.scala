@@ -573,9 +573,13 @@ object TextOps {
     // and the duplicated fraction — the audit that sizes a span-removal
     // pass before running it. Docs shorter than the window emit nothing
     // and are excluded (documented; the rule cannot apply to them).
-    // Scale: the span stream is |tokens|-sized (one row per position) —
-    // the same footprint as the token-frequency queries; one shuffle on
-    // the hash, a single-distinct two-phase count, one join back. This is
+    // Scale: the span stream is |tokens|-sized (one row per position) but
+    // pays its ONE wide shuffle immediately into a (sh, doc_id) count —
+    // every later hop (the ndocs roll-up, the join back, the per-doc
+    // totals) rides that deduplicated frame, which is bounded by distinct
+    // (window, doc) pairs, not positions. Tokenize/explode/md5 run once;
+    // the naive shape (self-join of the raw span stream against its own
+    // aggregate) scans and shuffles the position stream twice. This is
     // the practical distributed approximation of the paper's suffix-array
     // pass (which is inherently single-machine).
     "q93_dup_span_audit" -> ((s, d) => {
@@ -586,12 +590,15 @@ object TextOps {
         .withColumn("start", explode(sequence(lit(0), size(col("tk")) - C)))
         .select(col("doc_id"),
           md5(concat_ws(" ", slice(col("tk"), col("start") + 1, lit(C)))).as("sh"))
-      val shared = spans.groupBy("sh").agg(countDistinct(col("doc_id")).as("ndocs"))
-      spans.join(shared, "sh")
+      // one row per (window, doc): c = how often this doc repeats the span
+      val perDoc = spans.groupBy("sh", "doc_id").agg(count(lit(1)).as("c"))
+      // rows per sh in perDoc ARE its distinct docs — count(*) = ndocs
+      val shared = perDoc.groupBy("sh").agg(count(lit(1)).as("ndocs"))
+      perDoc.join(shared, "sh")
         .groupBy("doc_id")
         .agg(
-          count(lit(1)).as("n_spans"),
-          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+          sum(col("c")).as("n_spans"),
+          sum(when(col("ndocs") >= 2, col("c")).otherwise(0L)).as("n_dup_spans"))
         .withColumn("dup_ratio", round(col("n_dup_spans") / col("n_spans"), 4))
         .orderBy("doc_id")
     }),

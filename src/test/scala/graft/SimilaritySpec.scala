@@ -94,6 +94,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(q65.exceptAll(direct).isEmpty && direct.exceptAll(q65).isEmpty)
   }
 
+  test("IvfIndex.append: rebuild parity, frozen corpus rows, drift telemetry") {
+    import graft.operators.IvfIndex
+    val v = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
+    val corpus = v.filter(col("vec_id") % 10 =!= 0)
+    val batch = v.filter(col("vec_id") % 10 === 0)
+    val base = IvfIndex.build(corpus)
+    val appended = base.append(batch)
+    // corpus rows are untouched — append must not move anything already in
+    val before = base.assigned.select("vec_id", "cell")
+    val after = appended.assigned
+      .join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select("vec_id", "cell")
+    assert(before.exceptAll(after).isEmpty && after.exceptAll(before).isEmpty)
+    // rebuild parity: batch rows land exactly where assigning the union
+    // against the SAME centroids would put them (no centroid drift)
+    val rebuilt = IvfIndex(base.centroids,
+      IvfIndex.assignTo(v.select("vec_id", "emb"), base.centroids))
+    assert(appended.assigned.select("vec_id", "cell")
+      .exceptAll(rebuilt.assigned.select("vec_id", "cell")).isEmpty)
+    // occupancy accounts for every row, corpus and batch alike
+    val k = appended.centroids.count().toInt
+    assert(appended.occupancy.agg(sum("n_vectors")).head().getLong(0) == v.count())
+    // drift telemetry: imbalance is defined, >= 1, and stable under append
+    // of a distribution-matched batch (same generator → no blow-up)
+    val f0 = base.imbalanceFactor
+    val f1 = appended.imbalanceFactor
+    assert(f0 >= 1.0 && f1 >= 1.0, s"imbalance must be >= 1: $f0, $f1")
+    assert(f1 < f0 * 2, s"matched-distribution append doubled imbalance: $f0 -> $f1")
+    // save/load round-trips the appended index
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    appended.save(root)
+    val reloaded = IvfIndex.load(spark, root)
+    assert(reloaded.assigned.count() == v.count() && reloaded.centroids.count() == k)
+  }
+
   test("IvfIndex.refine recovers true clusters from scrambled seeds") {
     import graft.operators.IvfIndex
     // three tight clusters around orthogonal axes in 8-dim; 30% of the
