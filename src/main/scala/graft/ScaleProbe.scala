@@ -200,6 +200,38 @@ object ScaleProbe {
         graft.operators.SimilarityOps.queries("q61_ann_lsh")(spark, dir).count())
       println(s"[probe] ann $lbl: brute rows $n1, lsh rows $n2")
     }
+
+    // IVF APPEND at scale (r7): a FIXED 1x batch absorbed into indexes
+    // built over growing corpora. append() is one broadcast assignment
+    // join over the batch — its cost must stay ~flat as the indexed corpus
+    // grows kx, while the full rebuild (the thing append avoids) grows
+    // with the corpus. Occupancy/imbalance telemetry is read after each
+    // append (part of the production loop, so it is timed with it).
+    {
+      import graft.operators.IvfIndex
+      def vecsOf(dir: String): DataFrame =
+        Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
+      val batch = vecsOf(dir1).select(
+        (col("vec_id") + 300000000L).as("vec_id"), col("emb"))
+      for ((lbl, dir) <- Seq("1x" -> dir1, s"${k}x" -> dirK)) {
+        val built = time(s"ivf build $lbl")(
+          { val i = IvfIndex.build(vecsOf(dir)); i.assigned.count(); i })
+        // loaded-index stand-in: both tables materialized, as after load()
+        val idx = IvfIndex(built.centroids.localCheckpoint(eager = true),
+          built.assigned.localCheckpoint(eager = true))
+        // the append MARGINAL: one broadcast assignment join over the batch
+        // — the only new work append() does; must stay flat as the corpus
+        // (and the build above) grows kx
+        time(s"ivf append marginal batch=1x vs $lbl")(
+          IvfIndex.assignTo(batch, idx.centroids).count())
+        // the full production step: append + drift telemetry (occupancy
+        // reads the corpus-sized assignment — a scan, not a rebuild)
+        val imb = time(s"ivf append+imbalance $lbl")(
+          idx.append(batch).imbalanceFactor)
+        println(f"[probe] ivf append $lbl: imbalance=$imb%.2f")
+      }
+    }
     spark.stop()
   }
 }
