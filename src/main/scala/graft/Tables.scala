@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver test tables (TESTDATA.md / FIXTURES.md §B).
   *
@@ -18,15 +18,30 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val df = normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"))
     if (name == "events") normalizeEventTs(df) else df
   }
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark has no native type
-    * for. With `spark.sql.legacy.parquet.nanosAsLong=true` (set in the
-    * Verify/Bench/test session builders) it surfaces as LongType nanos; we
-    * truncate to microseconds — the same truncation DuckDB/pandas apply when
-    * downcasting — so both engines see identical timestamp values. */
+  /** Driver testdata has shipped two timestamp encodings across rounds:
+    * TIMESTAMP(NANOS) (no native Spark type; surfaces as LongType nanos
+    * under `spark.sql.legacy.parquet.nanosAsLong=true`, handled by
+    * [[normalizeEventTs]]) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (surfaces as TIMESTAMP_NTZ). Normalize NTZ columns to the session-zone
+    * TIMESTAMP — the session is pinned to UTC everywhere in this repo, so
+    * the cast reinterprets the same wall-clock instant and every operator
+    * (incl. `unix_micros`, which rejects NTZ) sees ONE timestamp type
+    * regardless of which writer produced the input. The DuckDB oracle reads
+    * the same parquet as naive timestamps, so canonical values agree. */
+  def normalizeTimestamps(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }
+    ntz.foldLeft(df)((acc, c) => acc.withColumn(c, col(c).cast(TimestampType)))
+  }
+
+  /** events.ts as TIMESTAMP(NANOS) parquet surfaces as LongType nanos (see
+    * above); truncate to microseconds — the same truncation DuckDB/pandas
+    * apply when downcasting — so both engines see identical values. */
   private def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

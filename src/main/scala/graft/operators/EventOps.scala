@@ -35,6 +35,38 @@ object EventOps {
       .count()
       .na.fill(0, eventTypes)
 
+  /** Backward AS-OF JOIN: for each `left` row, the greatest `right` `ts`
+    * with right.ts <= left.ts for the same `key`, as a new column `out`
+    * (NULL when no right row precedes). Equal timestamps match (right
+    * sorts before left on ties).
+    *
+    * Shape: tag both sides, union, and take `last(out, ignoreNulls)` over
+    * a per-key (ts, side)-ordered unbounded-preceding row frame — ONE
+    * shuffle on `key`, each key's timeline streamed once, per-key work
+    * linear. The per-key range-join + argmax alternative is quadratic in
+    * rows-per-key, and a driver-side merge_asof doesn't distribute at all;
+    * this is the 100 TB-safe formulation. `left` keeps all its columns;
+    * `right` contributes only (key, ts).
+    */
+  def asofBackward(left: DataFrame, right: DataFrame,
+                   key: String, ts: String, out: String): DataFrame = {
+    val tsType = left.schema(ts).dataType
+    val l = left.withColumn("__side", lit(1))
+      .withColumn(out, lit(null).cast(tsType))
+    val extras = left.columns.filterNot(c => c == key || c == ts)
+    val r = extras.foldLeft(
+        right.select(col(key), col(ts).cast(tsType).as(ts))
+          .withColumn("__side", lit(0)).withColumn(out, col(ts))) {
+      (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val timeline = Window.partitionBy(key).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r.select(l.columns.map(col).toIndexedSeq: _*))
+      .withColumn(out, last(col(out), ignoreNulls = true).over(timeline))
+      .filter(col("__side") === 1)
+      .drop("__side")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Tumbling-window aggregation (hourly) by event type.
@@ -214,6 +246,35 @@ object EventOps {
     // exchange is reused, and the cell aggregate is |days|²-sized. The
     // exact count-distinct per cell is the semantics (a HLL sketch
     // variant is q47's territory).
+    // AS-OF JOIN (backward) between two relations: every purchase is
+    // attributed to the same user's most recent click at-or-before the
+    // purchase timestamp. Generalizes q45 (prior-value lookup WITHIN one
+    // stream) to the two-sided join API ([[asofBackward]]) a feature
+    // pipeline needs for point-in-time-correct joins against a separate
+    // table.
+    // Implemented as the UNION + running-last pattern — tag both sides,
+    // sort within user by (ts, side) with clicks first on ties, and take
+    // `last(click_ts, ignoreNulls)` over an unbounded-preceding row frame —
+    // which costs ONE shuffle on user_id and streams each user's timeline
+    // once. The naive per-user range join (clicks × purchases, then
+    // argmax) is quadratic in events-per-user and is exactly what a
+    // single-node merge_asof cannot distribute; this shape holds at 100 TB
+    // because per-key work is linear and keys are independent. The oracle
+    // replays the semantics with DuckDB's native ASOF LEFT JOIN — an
+    // independent implementation, not the same algorithm.
+    "q104_asof_attribution" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      asofBackward(
+        left = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts"),
+        right = ev.filter(col("event_type") === "click").select("user_id", "ts"),
+        key = "user_id", ts = "ts", out = "click_ts")
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("purchase_ts"), col("click_ts"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     "q98_retention_cohorts" -> ((s, d) => {
       val ev = Tables.load(s, d, "events")
         .select(col("user_id"), to_date(col("ts")).as("day"))
@@ -233,6 +294,15 @@ object EventOps {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_type,
         | count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY hr, event_type ORDER BY hr, event_type""".stripMargin,
+
+    "q104_asof_attribution" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+        | CAST(c.cts AS TIMESTAMP) AS click_ts,
+        | epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.cts AS TIMESTAMP)) AS gap_us
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id AS cuid, ts AS cts FROM events WHERE event_type = 'click') c
+        | ON p.user_id = c.cuid AND CAST(c.cts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |ORDER BY p.event_id""".stripMargin,
 
     "q41_sessionize" ->
       """WITH x AS (

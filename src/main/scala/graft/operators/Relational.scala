@@ -72,6 +72,31 @@ object Relational {
     Num.money(col("l_extendedprice")) * (Num.one - Num.money(col("l_discount")))
   private val chargeDec: Column = discPriceDec * (Num.one + Num.money(col("l_tax")))
 
+  /** SCD type-2 history build (gaps-and-islands): each row of `df` is an
+    * observation of `attr` for `key` at `time` (ties broken by the unique
+    * `tieBreak` column); consecutive runs of the same value collapse into
+    * one versioned dimension row `(key, priority, valid_from, valid_to,
+    * n_orders)` with `valid_to` = the next segment's `valid_from` and NULL
+    * for the current segment. Island id = running count of lag-detected
+    * change points — the O(1)-state formulation. Scale: both windows and
+    * the segment groupBy hash on `key`-prefixed keys, so this is one
+    * shuffle by key plus narrow passes; no self-join, no driver state.
+    * Complements q92's SCD type-1 MERGE. */
+  def scd2History(df: DataFrame, key: String, time: String,
+                  tieBreak: String, attr: String): DataFrame = {
+    val byTime = Window.partitionBy(key).orderBy(time, tieBreak)
+    val prev = lag(col(attr), 1).over(byTime)
+    df.select(key, tieBreak, time, attr)
+      .withColumn("chg", when(prev.isNull || prev =!= col(attr), lit(1)).otherwise(lit(0)))
+      .withColumn("island", sum(col("chg")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(key), col("island"), col(attr).as("priority"))
+      .agg(min(col(time)).as("valid_from"), count(lit(1)).as("n_orders"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        Window.partitionBy(key).orderBy("island")))
+      .select(key, "priority", "valid_from", "valid_to", "n_orders")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-H Q1-shaped pricing summary: full-scan hash aggregation with
@@ -537,6 +562,22 @@ object Relational {
         .orderBy("o_custkey", "order_seq")
     }),
 
+    // SCD type-2 history build (gaps-and-islands): each order observes its
+    // customer's o_orderpriority; consecutive runs of the same value
+    // collapse into one versioned dimension row with [valid_from, valid_to)
+    // — valid_to = next segment's valid_from, NULL for the current segment.
+    // Complements q92's type-1 MERGE: together they cover both SCD flavors
+    // an ETL warehouse load needs. Island id = running count of change
+    // points (lag-based), the standard O(1)-state formulation — both
+    // windows and the segment groupBy hash on o_custkey-prefixed keys, so
+    // at 100 TB this is one shuffle by customer plus narrow passes; no
+    // self-join, no driver state.
+    "q103_scd2_history" -> ((s, d) =>
+      scd2History(t(s, d, "orders"),
+          key = "o_custkey", time = "o_orderdate", tieBreak = "o_orderkey",
+          attr = "o_orderpriority")
+        .orderBy("o_custkey", "valid_from")),
+
     // Correlated-style aggregation pushed through a join: supplier activity.
     "q26_supplier_activity" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -844,6 +885,25 @@ object Relational {
          |             o_totalprice FROM orders) o
          |JOIN customer c ON c.c_custkey = o.ck
          |GROUP BY o.ck, c.c_name ORDER BY c_custkey""".stripMargin,
+
+    "q103_scd2_history" ->
+      """WITH ob AS (
+        | SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |  CASE WHEN lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |       IS DISTINCT FROM o_orderpriority THEN 1 ELSE 0 END AS chg
+        | FROM orders),
+        |isl AS (
+        | SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                          ROWS UNBOUNDED PRECEDING) AS island
+        | FROM ob),
+        |seg AS (
+        | SELECT o_custkey, island, o_orderpriority AS priority,
+        |  min(o_orderdate) AS valid_from, count(*) AS n_orders
+        | FROM isl GROUP BY 1, 2, 3)
+        |SELECT o_custkey, priority, valid_from,
+        | lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island) AS valid_to,
+        | n_orders
+        |FROM seg ORDER BY o_custkey, valid_from""".stripMargin,
 
     "q26_supplier_activity" ->
       """SELECT s_suppkey, s_name, n_name,

@@ -26,10 +26,12 @@ object EventStream {
   def fromDirectory(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema
     val raw = spark.readStream.schema(schema).parquet(dir)
-    // nanos-normalization mirror of Tables.normalizeEventTs
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    // timestamp-normalization mirror of Tables.load (nanos-as-long AND
+    // NTZ-micros testdata encodings both collapse to session-UTC TIMESTAMP)
+    val ntzFixed = graft.Tables.normalizeTimestamps(raw)
+    if (ntzFixed.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      ntzFixed.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else ntzFixed
   }
 
   /** Hourly tumbling-window counts by type (streaming q40). */

@@ -263,4 +263,66 @@ class AuditSpec extends AnyFunSuite {
     val shareSum = rows.map(_.getAs[Double]("share")).sum
     assert(math.abs(shareSum - 1.0) < 0.001, s"shares sum to $shareSum")
   }
+
+  // ---- q104 backward as-of join -------------------------------------------
+
+  test("asofBackward: equal-ts match, no-prior null, latest wins, key isolation") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val left = Seq(
+      (1L, 10L, ts(100)), // click at exactly 100 → equal ts matches
+      (2L, 10L, ts(250)), // clicks at 100 and 200 → latest (200) wins
+      (3L, 10L, ts(50)),  // before any click → NULL
+      (4L, 20L, ts(500))  // key 20 never clicks; key 30's clicks must not leak
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, ts(100)), (10L, ts(200)), (30L, ts(400)))
+      .toDF("user_id", "ts")
+    val got = EventOps.asofBackward(left, right, "user_id", "ts", "click_ts")
+      .select("event_id", "click_ts")
+      .as[(Long, Option[Timestamp])].collect().toMap
+    assert(got.size == 4) // every left row survives exactly once
+    assert(got(1L).contains(ts(100)))
+    assert(got(2L).contains(ts(200)))
+    assert(got(3L).isEmpty)
+    assert(got(4L).isEmpty)
+  }
+
+  // ---- q103 SCD type-2 history --------------------------------------------
+
+  test("scd2History: runs collapse, value recurrence reopens, boundaries link") {
+    import java.sql.Timestamp
+    def d(n: Long) = new Timestamp(n * 86400000L)
+    val orders = Seq(
+      (100L, 1L, d(1), "A"),
+      (100L, 2L, d(2), "A"), // same run → one segment of 2
+      (100L, 3L, d(3), "B"), // change point
+      (100L, 4L, d(4), "A"), // A again → a NEW segment, never merged back
+      (200L, 5L, d(1), "C")  // single-observation customer
+    ).toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+    val segs = graft.operators.Relational
+      .scd2History(orders, "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+      .orderBy("o_custkey", "valid_from")
+      .collect().map(r => (r.getAs[Long]("o_custkey"), r.getAs[String]("priority"),
+        r.getAs[Timestamp]("valid_from"), Option(r.getAs[Timestamp]("valid_to")),
+        r.getAs[Long]("n_orders")))
+    assert(segs.toSeq == Seq(
+      (100L, "A", d(1), Some(d(3)), 2L),
+      (100L, "B", d(3), Some(d(4)), 1L),
+      (100L, "A", d(4), None, 1L),
+      (200L, "C", d(1), None, 1L)))
+  }
+
+  test("scd2History: same-time tie is broken by the unique key, deterministically") {
+    import java.sql.Timestamp
+    def d(n: Long) = new Timestamp(n * 86400000L)
+    val tied = Seq((1L, 1L, d(1), "X"), (1L, 2L, d(1), "Y"))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+    val segs = graft.operators.Relational
+      .scd2History(tied, "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+      .orderBy("priority")
+      .collect().map(r => (r.getAs[String]("priority"),
+        Option(r.getAs[Timestamp]("valid_to"))))
+    // o_orderkey 1 ("X") observes first: closed by "Y" at the same instant
+    assert(segs.toSeq == Seq(("X", Some(d(1))), ("Y", None)))
+  }
 }

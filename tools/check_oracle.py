@@ -82,4 +82,5 @@ def main():
     print(f"\n{n_ok}/{len(results)} pass")
     sys.exit(0 if n_ok == len(results) else 1)
 
-main()
+if __name__ == "__main__":
+    main()
