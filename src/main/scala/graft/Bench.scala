@@ -193,8 +193,12 @@ object Bench {
     // merge with tools/merge_bench.py into one record with per-chunk
     // telemetry. A contention window then costs one chunk's re-run, not
     // the whole sweep (the r6 sf1 attempt died whole after 348 s on q01).
+    // ...and a full sweep against a NON-default scale dir (an sf0.01 smoke
+    // or an sf1 sweep) must not clobber the committed sf0.1 record either —
+    // only the canonical full sweep lands in BENCH_LOCAL.json.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT",
-      if (onlyPrefixes.isDefined) "/root/repo/BENCH_PROFILE.json"
+      if (onlyPrefixes.isDefined || sfDir != "/root/testdata/sf0.1")
+        "/root/repo/BENCH_PROFILE.json"
       else "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile),
