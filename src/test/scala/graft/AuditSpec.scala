@@ -312,6 +312,61 @@ class AuditSpec extends AnyFunSuite {
       (200L, "C", d(1), None, 1L)))
   }
 
+  test("asofBackward: agrees with a naive per-row reference on random timelines") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // small key/time domains force collisions: equal-ts ties, multi-click
+    // users, clickless users all occur across 60 generated cases
+    val genCase = for {
+      nL <- Gen.choose(0, 12); nR <- Gen.choose(0, 12)
+      lks <- Gen.listOfN(nL, Gen.choose(1L, 4L))
+      lts <- Gen.listOfN(nL, Gen.choose(0L, 20L))
+      rks <- Gen.listOfN(nR, Gen.choose(1L, 4L))
+      rts <- Gen.listOfN(nR, Gen.choose(0L, 20L))
+    } yield (lks.zip(lts).zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+             rks.zip(rts))
+    val prop = Prop.forAll(genCase) { case (lrows, rrows) =>
+      val left = lrows.map { case (id, k, t) => (id, k, ts(t)) }
+        .toDF("event_id", "user_id", "ts")
+      val right = rrows.map { case (k, t) => (k, ts(t)) }.toDF("user_id", "ts")
+      val got = EventOps.asofBackward(left, right, "user_id", "ts", "click_ts")
+        .select("event_id", "click_ts")
+        .as[(Long, Option[Timestamp])].collect().toMap
+      // reference: per left row, max right ts <= left ts for the key
+      lrows.forall { case (id, k, t) =>
+        val expect = rrows.filter(r => r._1 == k && r._2 <= t)
+          .map(_._2).maxOption.map(ts)
+        got.get(id).contains(expect)
+      } && got.size == lrows.size
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("asofBackward/scd2History plans: ONE hash exchange, keyed on the grouping key") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val left = Seq((1L, 10L, ts(100))).toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, ts(50))).toDF("user_id", "ts")
+    val asofPlan = EventOps.asofBackward(left, right, "user_id", "ts", "click_ts")
+      .queryExecution.executedPlan.toString
+    // the one-shuffle claim in the q104 scaladoc, held by the planner:
+    // a single hashpartitioning exchange on user_id, no join operator
+    assert("hashpartitioning".r.findAllIn(asofPlan).size == 1, asofPlan)
+    assert(!asofPlan.contains("Join"), asofPlan)
+    val scd = Seq((1L, 1L, ts(1), "A")).toDF(
+      "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+    val scdPlan = graft.operators.Relational
+      .scd2History(scd, "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+      .queryExecution.executedPlan.toString
+    // windows + segment agg all hash on o_custkey-prefixed keys; nothing
+    // may shuffle on a non-key column
+    val parts = "hashpartitioning\\(([a-z_#0-9L]+)".r
+      .findAllMatchIn(scdPlan).map(_.group(1)).toSeq
+    assert(parts.nonEmpty && parts.forall(_.startsWith("o_custkey")), scdPlan)
+  }
+
   test("scd2History: same-time tie is broken by the unique key, deterministically") {
     import java.sql.Timestamp
     def d(n: Long) = new Timestamp(n * 86400000L)
