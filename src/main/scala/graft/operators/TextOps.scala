@@ -297,6 +297,36 @@ object TextOps {
         .select("n_docs", "total_tokens", "p50_tokens", "p90_tokens", "p99_tokens")
     }),
 
+    // Repetition REMOVAL transform (closes q39's measure→fix loop): within
+    // each document, collapse runs of consecutive identical tokens to one
+    // occurrence — the run-length normalizer a cleaning pipeline applies
+    // after q39 flags repetitive docs. posexplode + per-doc lag marks run
+    // heads; the cleaned text reassembles order-exactly via
+    // array_sort(collect_list(struct(pos,…))) (collect_list alone has NO
+    // ordering guarantee after a shuffle). One shuffle on doc_id for the
+    // window, aggregation reuses the same partitioning; per-doc state is
+    // one token array — bounded by max doc length, independent of corpus
+    // size.
+    "q105_collapse_runs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.load(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      toks
+        .withColumn("keep",
+          when(lag("tok", 1).over(byDoc).isNull ||
+               lag("tok", 1).over(byDoc) =!= col("tok"), lit(1)).otherwise(lit(0)))
+        .groupBy("doc_id")
+        .agg(
+          concat_ws(" ", transform(
+            filter(array_sort(collect_list(struct(col("pos"), col("keep"), col("tok")))),
+              x => x.getField("keep") === 1),
+            x => x.getField("tok"))).as("clean_text"),
+          sum("keep").as("n_kept"),
+          (count(lit(1)) - sum("keep")).as("n_removed"))
+        .orderBy("doc_id")
+    }),
+
     // Repetition metrics (the Gopher/RefinedWeb "repetitive content" quality
     // rules): per document, the share of the most-repeated word bigram and
     // the fraction of duplicated bigrams. Bigrams come from posexplode +
@@ -784,6 +814,18 @@ object TextOps {
         | round(quantile_cont(len(string_split_regex(text, '\s+')), 0.9), 4) AS p90_tokens,
         | round(quantile_cont(len(string_split_regex(text, '\s+')), 0.99), 4) AS p99_tokens
         |FROM documents""".stripMargin,
+
+    "q105_collapse_runs" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | t AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM s),
+        | m AS (SELECT doc_id, pos, tok,
+        |        CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+        |             IS DISTINCT FROM tok THEN 1 ELSE 0 END AS keep FROM t)
+        |SELECT doc_id,
+        | string_agg(CASE WHEN keep = 1 THEN tok END, ' ' ORDER BY pos) AS clean_text,
+        | CAST(sum(keep) AS BIGINT) AS n_kept,
+        | CAST(count(*) - sum(keep) AS BIGINT) AS n_removed
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q39_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

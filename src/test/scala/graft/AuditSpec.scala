@@ -264,6 +264,25 @@ class AuditSpec extends AnyFunSuite {
     assert(math.abs(shareSum - 1.0) < 0.001, s"shares sum to $shareSum")
   }
 
+  // ---- q105 run-collapse transform ----------------------------------------
+
+  test("q105: cleaned text matches a plain-Scala run-length collapse") {
+    val got = graft.operators.TextOps.queries("q105_collapse_runs")(spark, TestSpark.sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_removed")))
+      .toMap
+    assert(got.size == docs.size)
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1) // -1 keeps trailing empties like the engine
+      val kept = toks.headOption.toSeq ++
+        toks.sliding(2).collect { case Array(a, b) if a != b => b }
+      val expect = (kept.mkString(" "), kept.length.toLong, (toks.length - kept.length).toLong)
+      assert(got(id) == expect, s"doc $id")
+    }
+    // the transform must DO something on this corpus, not be vacuous
+    assert(got.values.map(_._3).sum > 0)
+  }
+
   // ---- q104 backward as-of join -------------------------------------------
 
   test("asofBackward: equal-ts match, no-prior null, latest wins, key isolation") {
