@@ -196,8 +196,14 @@ object Bench {
     // ...and a full sweep against a NON-default scale dir (an sf0.01 smoke
     // or an sf1 sweep) must not clobber the committed sf0.1 record either —
     // only the canonical full sweep lands in BENCH_LOCAL.json.
+    // canonical-path compare, so a trailing slash / relative / symlinked
+    // spelling of the sf0.1 dir still refreshes the canonical record
+    val isCanonicalSf = try {
+      java.nio.file.Paths.get(sfDir).toRealPath() ==
+        java.nio.file.Paths.get("/root/testdata/sf0.1").toRealPath()
+    } catch { case _: java.io.IOException => false }
     val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT",
-      if (onlyPrefixes.isDefined || sfDir != "/root/testdata/sf0.1")
+      if (onlyPrefixes.isDefined || !isCanonicalSf)
         "/root/repo/BENCH_PROFILE.json"
       else "/root/repo/BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(

@@ -86,8 +86,12 @@ object Relational {
                   tieBreak: String, attr: String): DataFrame = {
     val byTime = Window.partitionBy(key).orderBy(time, tieBreak)
     val prev = lag(col(attr), 1).over(byTime)
+    // null-SAFE inequality (<=>): a NULL attr observation must count as a
+    // change point exactly like the oracle's IS DISTINCT FROM — the
+    // null-unsafe =!= would yield chg=0 there, fusing island ids and making
+    // the valid_to linkage nondeterministic for nullable attributes
     df.select(key, tieBreak, time, attr)
-      .withColumn("chg", when(prev.isNull || prev =!= col(attr), lit(1)).otherwise(lit(0)))
+      .withColumn("chg", when(!(prev <=> col(attr)), lit(1)).otherwise(lit(0)))
       .withColumn("island", sum(col("chg")).over(
         byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(key), col("island"), col(attr).as("priority"))

@@ -386,6 +386,26 @@ class AuditSpec extends AnyFunSuite {
     assert(parts.nonEmpty && parts.forall(_.startsWith("o_custkey")), scdPlan)
   }
 
+  test("scd2History: NULL attr observations are change points (IS DISTINCT FROM parity)") {
+    import java.sql.Timestamp
+    def d(n: Long) = new Timestamp(n * 86400000L)
+    // A, NULL, A: the NULL row must open its own island exactly like the
+    // oracle's IS DISTINCT FROM — a null-unsafe compare would fuse islands
+    // and make the segment linkage nondeterministic
+    val rows = Seq((1L, 1L, d(1), Some("A")), (1L, 2L, d(2), None),
+                   (1L, 3L, d(3), Some("A")))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+    val segs = graft.operators.Relational
+      .scd2History(rows, "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+      .orderBy("valid_from")
+      .collect().map(r => (Option(r.getAs[String]("priority")),
+        r.getAs[Timestamp]("valid_from"), Option(r.getAs[Timestamp]("valid_to"))))
+    assert(segs.toSeq == Seq(
+      (Some("A"), d(1), Some(d(2))),
+      (None, d(2), Some(d(3))),
+      (Some("A"), d(3), None)))
+  }
+
   test("scd2History: same-time tie is broken by the unique key, deterministically") {
     import java.sql.Timestamp
     def d(n: Long) = new Timestamp(n * 86400000L)

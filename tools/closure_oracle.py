@@ -38,11 +38,11 @@ def edge_sql(oracle_sql: str, nshards: int, shard: int) -> str:
     edges, with a shard predicate pushed into pr's WHERE clause.  Both sides
     get the predicate explicitly (a.blk = b.blk makes them equivalent) so
     DuckDB prunes each join input before the expensive Jaccard evaluation."""
-    cut = oracle_sql.index(" und AS")
-    prefix = oracle_sql[:cut].rstrip().rstrip(",")
+    cut = oracle_sql.find(" und AS")
     marker = "WHERE round(len(list_intersect"
-    if marker not in prefix:
+    if cut < 0 or marker not in oracle_sql[:cut]:
         raise SystemExit("q58 oracle SQL shape changed; update closure_oracle.py")
+    prefix = oracle_sql[:cut].rstrip().rstrip(",")
     shard_pred = f"WHERE a.blk % {nshards} = {shard} AND b.blk % {nshards} = {shard} AND round(len(list_intersect"
     prefix = prefix.replace(marker, shard_pred)
     return prefix + "\nSELECT a, b FROM pr"
@@ -101,8 +101,11 @@ def main():
                   f"(total {len(edges)})", flush=True)
 
     labels = union_find_labels(edges)
+    # explicit int64 dtypes so a zero-edge run compares cleanly against the
+    # engine's (possibly empty) long-typed parquet instead of object-vs-int64
     truth = pd.DataFrame(
-        {"node": list(labels.keys()), "label": list(labels.values())})
+        {"node": pd.array(list(labels.keys()), dtype="int64"),
+         "label": pd.array(list(labels.values()), dtype="int64")})
     print(f"[closure_oracle] {len(edges)} edges, {len(truth)} labelled nodes, "
           f"{truth['label'].nunique()} components", flush=True)
 
@@ -120,7 +123,7 @@ def main():
         elif len(a) != len(b):
             print(f"{name}: ROWCOUNT_MISMATCH spark={len(a)} truth={len(b)}")
             ok = False
-        elif not a.equals(b):
+        elif len(a) > 0 and not a.equals(b):
             neq = (a != b) & ~(a.isna() & b.isna())
             idx = neq.any(axis=1).idxmax()
             print(f"{name}: VALUE_MISMATCH firstrow={idx} "

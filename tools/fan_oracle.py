@@ -53,8 +53,8 @@ def main():
                 npass += 1
             else:
                 nfail += 1
-    print(f"\n{npass}/{npass + nfail} pass "
-          f"(+ q58/q87 via closure_oracle.py)" if CLOSURE - names else "")
+    print(f"\n{npass}/{npass + nfail} pass"
+          + (" (+ q58/q87 via closure_oracle.py)" if CLOSURE - names else ""))
     sys.exit(1 if nfail else 0)
 
 

@@ -56,8 +56,10 @@ def main():
             rows.extend(part)
             print(f"[topk_pair_oracle] shard {i}: top-{len(part)} "
                   f"(pool {len(rows)})", flush=True)
-    # the committed oracle's global order + limit, replayed over the pool
-    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    # the committed oracle's global order + limit, replayed over the pool.
+    # NULL jac (degenerate sub-3-token docs: 0/0 -> NULL in DuckDB) sorts
+    # LAST like DuckDB's default NULLS LAST, instead of crashing unary minus
+    rows.sort(key=lambda r: (r[2] is None, -(r[2] or 0.0), r[0], r[1]))
     truth = pd.DataFrame(rows[:20], columns=["a", "b", "jac"])
 
     files = glob.glob(os.path.join(out_dir, QUERY, "*.parquet"))
