@@ -35,36 +35,74 @@ object EventOps {
       .count()
       .na.fill(0, eventTypes)
 
-  /** Backward AS-OF JOIN: for each `left` row, the greatest `right` `ts`
-    * with right.ts <= left.ts for the same `key`, as a new column `out`
-    * (NULL when no right row precedes). Equal timestamps match (right
-    * sorts before left on ties).
+  /** Backward AS-OF JOIN: for each `left` row, the matching `right` row is
+    * the one with the greatest right.`ts` <= left.`ts` for the same `key`;
+    * the matched timestamp lands in a new column `out` and every column
+    * named in `payload` is carried over from the matched right ROW (all
+    * NULL when no right row precedes) — the point-in-time feature join
+    * ("which campaign/price/version was in effect at event time"), not
+    * just a timestamp lookup. Equal timestamps match (right sorts before
+    * left on ties).
     *
-    * Shape: tag both sides, union, and take `last(out, ignoreNulls)` over
-    * a per-key (ts, side)-ordered unbounded-preceding row frame — ONE
-    * shuffle on `key`, each key's timeline streamed once, per-key work
-    * linear. The per-key range-join + argmax alternative is quadratic in
-    * rows-per-key, and a driver-side merge_asof doesn't distribute at all;
-    * this is the 100 TB-safe formulation. `left` keeps all its columns;
-    * `right` contributes only (key, ts).
+    * Shape: tag both sides, union, pack `(ts, payload…)` into ONE struct
+    * column and take `last(struct, ignoreNulls)` over a per-key
+    * (ts, side)-ordered unbounded-preceding row frame, then unpack after
+    * the side filter — ONE shuffle on `key`, each key's timeline streamed
+    * once, per-key work linear regardless of payload width. The per-key
+    * range-join + argmax alternative is quadratic in rows-per-key, and a
+    * driver-side merge_asof doesn't distribute at all; this is the
+    * 100 TB-safe formulation. `left` keeps all its columns.
+    *
+    * NULL semantics match an SQL equi-ASOF join (`ON l.key = r.key AND
+    * r.ts <= l.ts`): right rows with a NULL key or NULL ts can never
+    * match (they are filtered before the union — Window.partitionBy would
+    * otherwise group NULL keys into one partition and "match" them), and
+    * a left row with NULL key or NULL ts gets NULL outputs (with the NULL
+    * right rows gone, its frame holds only left rows, whose packed value
+    * is NULL).
+    *
+    * Determinism caveat: if `right` holds several rows with the SAME
+    * (key, ts), which one wins is tie-broken arbitrarily — pre-aggregate
+    * the right side to one row per (key, ts) (e.g. `max_by` on a unique
+    * id, as q106 does) when payload determinism matters.
     */
   def asofBackward(left: DataFrame, right: DataFrame,
-                   key: String, ts: String, out: String): DataFrame = {
+                   key: String, ts: String, out: String,
+                   payload: Seq[String] = Nil): DataFrame = {
+    Seq("__side", "__asof", out).foreach { c =>
+      require(!left.columns.contains(c),
+        s"asofBackward: left already has a column '$c' (reserved/output name) — rename it first")
+    }
+    payload.foreach { p =>
+      require(!left.columns.contains(p),
+        s"asofBackward: payload column '$p' collides with a left column — alias it on the right side first")
+      require(right.columns.contains(p),
+        s"asofBackward: payload column '$p' not found on the right side")
+    }
     val tsType = left.schema(ts).dataType
+    // SQL ASOF parity: NULL-key / NULL-ts right rows can never satisfy the
+    // equi+range predicate, so they must not enter the timeline
+    val rMatchable = right.filter(col(key).isNotNull && col(ts).isNotNull)
+    val packed = struct(
+      (col(ts).cast(tsType).as("__t") +: payload.map(col)).toIndexedSeq: _*)
+    val rBase = rMatchable.select(
+      (col(key) +: col(ts).cast(tsType).as(ts) +: packed.as("__asof") +:
+        lit(0).as("__side") +: Nil).toIndexedSeq: _*)
+    val asofType = rBase.schema("__asof").dataType
     val l = left.withColumn("__side", lit(1))
-      .withColumn(out, lit(null).cast(tsType))
+      .withColumn("__asof", lit(null).cast(asofType))
     val extras = left.columns.filterNot(c => c == key || c == ts)
-    val r = extras.foldLeft(
-        right.select(col(key), col(ts).cast(tsType).as(ts))
-          .withColumn("__side", lit(0)).withColumn(out, col(ts))) {
+    val r = extras.foldLeft(rBase) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val timeline = Window.partitionBy(key).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r.select(l.columns.map(col).toIndexedSeq: _*))
-      .withColumn(out, last(col(out), ignoreNulls = true).over(timeline))
+    val matched = l.unionByName(r.select(l.columns.map(col).toIndexedSeq: _*))
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(timeline))
       .filter(col("__side") === 1)
-      .drop("__side")
+      .withColumn(out, col("__asof.__t"))
+    payload.foldLeft(matched) { (df, p) => df.withColumn(p, col(s"__asof.$p")) }
+      .drop("__side", "__asof")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -275,6 +313,36 @@ object EventOps {
         .orderBy("event_id")
     }),
 
+    // AS-OF JOIN with right-side PAYLOAD: q104 returns only the matched
+    // click's timestamp; the join a feature pipeline actually needs
+    // returns the matched right ROW — here each purchase is enriched with
+    // the preceding click's event_id, value and props (the "which
+    // campaign was in effect" point-in-time lookup). Same ONE-shuffle
+    // union + running-last shape: the payload rides the timeline packed
+    // in a single struct, so cost is independent of payload width. The
+    // right side is pre-aggregated to one row per (user_id, ts)
+    // (shuffle-safe max_by on the unique event_id) so the tie-break is
+    // deterministic in BOTH engines — DuckDB's ASOF picks an arbitrary
+    // row among equal timestamps, exactly like our window would.
+    "q106_asof_enrich" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("click_event_id"),
+          max_by(col("value"), col("event_id")).as("click_value"),
+          max_by(col("props"), col("event_id")).as("click_props"))
+      asofBackward(
+        left = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts"),
+        right = clicks,
+        key = "user_id", ts = "ts", out = "click_ts",
+        payload = Seq("click_event_id", "click_value", "click_props"))
+        .select(col("event_id"), col("user_id"),
+          col("ts").as("purchase_ts"), col("click_ts"),
+          col("click_event_id"), col("click_value"), col("click_props"))
+        .orderBy("event_id")
+    }),
+
     "q98_retention_cohorts" -> ((s, d) => {
       val ev = Tables.load(s, d, "events")
         .select(col("user_id"), to_date(col("ts")).as("day"))
@@ -302,6 +370,20 @@ object EventOps {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id AS cuid, ts AS cts FROM events WHERE event_type = 'click') c
         | ON p.user_id = c.cuid AND CAST(c.cts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q106_asof_enrich" ->
+      """WITH c AS (
+        | SELECT user_id AS cuid, CAST(ts AS TIMESTAMP) AS cts,
+        |  max(event_id) AS click_event_id,
+        |  arg_max(value, event_id) AS click_value,
+        |  arg_max(props, event_id) AS click_props
+        | FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+        | c.cts AS click_ts, c.click_event_id, c.click_value, c.click_props
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN c
+        | ON p.user_id = c.cuid AND c.cts <= CAST(p.ts AS TIMESTAMP)
         |ORDER BY p.event_id""".stripMargin,
 
     "q41_sessionize" ->

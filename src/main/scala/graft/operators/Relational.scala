@@ -83,22 +83,43 @@ object Relational {
     * shuffle by key plus narrow passes; no self-join, no driver state.
     * Complements q92's SCD type-1 MERGE. */
   def scd2History(df: DataFrame, key: String, time: String,
-                  tieBreak: String, attr: String): DataFrame = {
+                  tieBreak: String, attr: String): DataFrame =
+    scd2History(df, key, time, tieBreak, Seq(attr))
+      .withColumnRenamed(attr, "priority")
+      .drop("version")
+
+  /** Multi-attribute SCD type-2: track a STRUCT of columns — the common
+    * warehouse case where a dimension row versions on several fields at
+    * once (e.g. priority AND status). A new segment opens when ANY tracked
+    * field changes; change detection is the null-safe struct compare
+    * `lag(struct(attrs)) <=> struct(attrs)` (field-wise, both-NULL equal —
+    * exactly the oracle's row-value IS DISTINCT FROM). Output carries one
+    * row per (key, composite-value run): `(key, version, attrs…,
+    * valid_from, valid_to, n_orders)` with `version` = 1-based segment
+    * ordinal per key (makes the output deterministically orderable even
+    * when two consecutive segments share a valid_from date). Same
+    * gaps-and-islands plan as the single-attr form: one shuffle on `key`,
+    * O(1) per-row state, no self-join. */
+  def scd2History(df: DataFrame, key: String, time: String,
+                  tieBreak: String, attrs: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty, "scd2History: need at least one tracked attribute")
     val byTime = Window.partitionBy(key).orderBy(time, tieBreak)
-    val prev = lag(col(attr), 1).over(byTime)
+    val cur = struct(attrs.map(col).toIndexedSeq: _*)
+    val prev = lag(cur, 1).over(byTime)
     // null-SAFE inequality (<=>): a NULL attr observation must count as a
     // change point exactly like the oracle's IS DISTINCT FROM — the
     // null-unsafe =!= would yield chg=0 there, fusing island ids and making
     // the valid_to linkage nondeterministic for nullable attributes
-    df.select(key, tieBreak, time, attr)
-      .withColumn("chg", when(!(prev <=> col(attr)), lit(1)).otherwise(lit(0)))
+    df.select((Seq(key, tieBreak, time) ++ attrs).map(col).toIndexedSeq: _*)
+      .withColumn("chg", when(!(prev <=> cur), lit(1)).otherwise(lit(0)))
       .withColumn("island", sum(col("chg")).over(
         byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col(key), col("island"), col(attr).as("priority"))
+      .groupBy((col(key) +: col("island") +: attrs.map(col)).toIndexedSeq: _*)
       .agg(min(col(time)).as("valid_from"), count(lit(1)).as("n_orders"))
       .withColumn("valid_to", lead(col("valid_from"), 1).over(
         Window.partitionBy(key).orderBy("island")))
-      .select(key, "priority", "valid_from", "valid_to", "n_orders")
+      .select((col(key) +: col("island").cast("bigint").as("version") +:
+        attrs.map(col)) ++ Seq(col("valid_from"), col("valid_to"), col("n_orders")): _*)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -582,6 +603,19 @@ object Relational {
           attr = "o_orderpriority")
         .orderBy("o_custkey", "valid_from")),
 
+    // MULTI-attribute SCD-2: the dimension versions on (priority, status)
+    // jointly — a new segment opens when EITHER field changes, detected by
+    // the null-safe struct compare (field-wise IS DISTINCT FROM). The
+    // composite runs are shorter than q103's single-attr runs (more change
+    // points), and `version` (the per-key segment ordinal) makes the
+    // output deterministic even when consecutive segments share a
+    // valid_from date. Same one-shuffle gaps-and-islands plan.
+    "q107_scd2_multi" -> ((s, d) =>
+      scd2History(t(s, d, "orders"),
+          key = "o_custkey", time = "o_orderdate", tieBreak = "o_orderkey",
+          attrs = Seq("o_orderpriority", "o_orderstatus"))
+        .orderBy("o_custkey", "version")),
+
     // Correlated-style aggregation pushed through a join: supplier activity.
     "q26_supplier_activity" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -908,6 +942,29 @@ object Relational {
         | lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island) AS valid_to,
         | n_orders
         |FROM seg ORDER BY o_custkey, valid_from""".stripMargin,
+
+    "q107_scd2_multi" ->
+      """WITH ob AS (
+        | SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority, o_orderstatus,
+        |  CASE WHEN lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |         IS DISTINCT FROM o_orderpriority
+        |       OR lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |         IS DISTINCT FROM o_orderstatus
+        |       THEN 1 ELSE 0 END AS chg
+        | FROM orders),
+        |isl AS (
+        | SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                          ROWS UNBOUNDED PRECEDING) AS island
+        | FROM ob),
+        |seg AS (
+        | SELECT o_custkey, island, o_orderpriority, o_orderstatus,
+        |  min(o_orderdate) AS valid_from, count(*) AS n_orders
+        | FROM isl GROUP BY 1, 2, 3, 4)
+        |SELECT o_custkey, CAST(island AS BIGINT) AS version, o_orderpriority, o_orderstatus,
+        | valid_from,
+        | lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island) AS valid_to,
+        | n_orders
+        |FROM seg ORDER BY o_custkey, version""".stripMargin,
 
     "q26_supplier_activity" ->
       """SELECT s_suppkey, s_name, n_name,

@@ -419,4 +419,165 @@ class AuditSpec extends AnyFunSuite {
     // o_orderkey 1 ("X") observes first: closed by "Y" at the same instant
     assert(segs.toSeq == Seq(("X", Some(d(1))), ("Y", None)))
   }
+
+  // ---- q106 as-of join with payload ---------------------------------------
+
+  test("asofBackward payload: matched right ROW's columns ride along; no-match rows all-NULL") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val left = Seq(
+      (1L, 10L, ts(100)), // equal-ts click matches, payload comes with it
+      (2L, 10L, ts(250)), // latest click (200, payload "b") wins
+      (3L, 10L, ts(50)),  // no prior click → ts AND payload NULL
+      (4L, 20L, ts(500))  // clickless key → all NULL
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, ts(100), 7L, "a"), (10L, ts(200), 8L, "b"),
+        (30L, ts(400), 9L, "c"))
+      .toDF("user_id", "ts", "rid", "tag")
+    val got = EventOps.asofBackward(left, right, "user_id", "ts", "click_ts",
+        payload = Seq("rid", "tag"))
+      .select("event_id", "click_ts", "rid", "tag")
+      .as[(Long, Option[Timestamp], Option[Long], Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.size == 4)
+    assert(got(1L) == ((Some(ts(100)), Some(7L), Some("a"))))
+    assert(got(2L) == ((Some(ts(200)), Some(8L), Some("b"))))
+    assert(got(3L) == ((None, None, None)))
+    assert(got(4L) == ((None, None, None)))
+  }
+
+  test("asofBackward: NULL-key/NULL-ts rows never match (SQL equi-ASOF parity)") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val left = Seq(
+      (1L, Some(10L), Some(ts(100))), // normal match
+      (2L, None, Some(ts(100))),      // NULL-key left: oracle equi-join → no match
+      (3L, Some(10L), None)           // NULL-ts left: range predicate never true
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Some(10L), Some(ts(50)), 1L),
+      (None, Some(ts(10)), 2L),  // NULL-key right must not land on NULL-key left
+      (Some(10L), None, 3L)      // NULL-ts right must never win (sorts first raw)
+    ).toDF("user_id", "ts", "rid")
+    val got = EventOps.asofBackward(left, right, "user_id", "ts", "m_ts",
+        payload = Seq("rid"))
+      .select("event_id", "m_ts", "rid")
+      .as[(Long, Option[Timestamp], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 3)
+    assert(got(1L) == ((Some(ts(50)), Some(1L))))
+    assert(got(2L) == ((None, None)))
+    assert(got(3L) == ((None, None)))
+  }
+
+  test("asofBackward: reserved/colliding column names fail fast") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val right = Seq((10L, ts(50), 1L)).toDF("user_id", "ts", "rid")
+    val withSide = Seq((1L, 10L, ts(100), 0)).toDF("event_id", "user_id", "ts", "__side")
+    intercept[IllegalArgumentException] {
+      EventOps.asofBackward(withSide, right, "user_id", "ts", "m_ts")
+    }
+    val withOut = Seq((1L, 10L, ts(100), ts(0))).toDF("event_id", "user_id", "ts", "m_ts")
+    intercept[IllegalArgumentException] {
+      EventOps.asofBackward(withOut, right, "user_id", "ts", "m_ts")
+    }
+    val withRid = Seq((1L, 10L, ts(100), 5L)).toDF("event_id", "user_id", "ts", "rid")
+    intercept[IllegalArgumentException] {
+      EventOps.asofBackward(withRid, right, "user_id", "ts", "m_ts", payload = Seq("rid"))
+    }
+    val noSuchPayload = Seq((1L, 10L, ts(100))).toDF("event_id", "user_id", "ts")
+    intercept[IllegalArgumentException] {
+      EventOps.asofBackward(noSuchPayload, right, "user_id", "ts", "m_ts", payload = Seq("nope"))
+    }
+  }
+
+  test("asofBackward payload: agrees with a naive per-row reference on random timelines") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // right rows deduped to one per (key, ts) — the determinism contract —
+    // keeping the max payload id, mirroring q106's max_by pre-aggregation
+    val genCase = for {
+      nL <- Gen.choose(0, 12); nR <- Gen.choose(0, 12)
+      lks <- Gen.listOfN(nL, Gen.choose(1L, 4L))
+      lts <- Gen.listOfN(nL, Gen.choose(0L, 20L))
+      rks <- Gen.listOfN(nR, Gen.choose(1L, 4L))
+      rts <- Gen.listOfN(nR, Gen.choose(0L, 20L))
+    } yield (lks.zip(lts).zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+             rks.zip(rts).zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+               .groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toList)
+    val prop = Prop.forAll(genCase) { case (lrows, rrows) =>
+      val left = lrows.map { case (id, k, t) => (id, k, ts(t)) }
+        .toDF("event_id", "user_id", "ts")
+      val right = rrows.map { case (k, t, rid) => (k, ts(t), rid) }
+        .toDF("user_id", "ts", "rid")
+      val got = EventOps.asofBackward(left, right, "user_id", "ts", "click_ts",
+          payload = Seq("rid"))
+        .select("event_id", "click_ts", "rid")
+        .as[(Long, Option[Timestamp], Option[Long])]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      lrows.forall { case (id, k, t) =>
+        val expect = rrows.filter(r => r._1 == k && r._2 <= t)
+          .maxByOption(_._2).map(r => (ts(r._2), r._3))
+        got.get(id).contains((expect.map(_._1), expect.map(_._2)))
+      } && got.size == lrows.size
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ---- q107 multi-attribute SCD-2 -----------------------------------------
+
+  test("scd2History multi-attr: either field flipping opens a segment; versions are ordinals") {
+    import java.sql.Timestamp
+    def d(n: Long) = new Timestamp(n * 86400000L)
+    val orders = Seq(
+      (100L, 1L, d(1), "A", "O"), // v1 opens
+      (100L, 2L, d(2), "A", "O"), // same composite → still v1
+      (100L, 3L, d(3), "A", "F"), // STATUS flips alone → v2
+      (100L, 4L, d(4), "B", "F"), // PRIORITY flips alone → v3
+      (100L, 5L, d(5), "A", "O")  // both flip back → v4, never merged with v1
+    ).toDF("o_custkey", "o_orderkey", "o_orderdate", "p", "st")
+    val segs = graft.operators.Relational
+      .scd2History(orders, "o_custkey", "o_orderdate", "o_orderkey", Seq("p", "st"))
+      .orderBy("version")
+      .collect().map(r => (r.getAs[Long]("version"), r.getAs[String]("p"),
+        r.getAs[String]("st"), r.getAs[Timestamp]("valid_from"),
+        Option(r.getAs[Timestamp]("valid_to")), r.getAs[Long]("n_orders")))
+    assert(segs.toSeq == Seq(
+      (1L, "A", "O", d(1), Some(d(3)), 2L),
+      (2L, "A", "F", d(3), Some(d(4)), 1L),
+      (3L, "B", "F", d(4), Some(d(5)), 1L),
+      (4L, "A", "O", d(5), None, 1L)))
+  }
+
+  test("scd2History multi-attr: NULL fields compare null-safely (IS DISTINCT FROM parity)") {
+    import java.sql.Timestamp
+    def d(n: Long) = new Timestamp(n * 86400000L)
+    // (NULL,"O") → (NULL,"O") is NOT a change; (NULL,"O") → ("A","O") is
+    val rows = Seq(
+      (1L, 1L, d(1), Option.empty[String], "O"),
+      (1L, 2L, d(2), Option.empty[String], "O"),
+      (1L, 3L, d(3), Some("A"), "O"))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "p", "st")
+    val segs = graft.operators.Relational
+      .scd2History(rows, "o_custkey", "o_orderdate", "o_orderkey", Seq("p", "st"))
+      .orderBy("version")
+      .collect().map(r => (Option(r.getAs[String]("p")), r.getAs[Long]("n_orders")))
+    assert(segs.toSeq == Seq((None, 2L), (Some("A"), 1L)))
+  }
+
+  test("scd2History multi-attr plan: every exchange hashes on the key") {
+    import java.sql.Timestamp
+    def d(n: Long) = new Timestamp(n * 86400000L)
+    val rows = Seq((1L, 1L, d(1), "A", "O"))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "p", "st")
+    val plan = graft.operators.Relational
+      .scd2History(rows, "o_custkey", "o_orderdate", "o_orderkey", Seq("p", "st"))
+      .queryExecution.executedPlan.toString
+    val parts = "hashpartitioning\\(([a-z_#0-9L]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(parts.nonEmpty && parts.forall(_.startsWith("o_custkey")), plan)
+  }
 }
