@@ -61,17 +61,25 @@ object EventOps {
     * right rows gone, its frame holds only left rows, whose packed value
     * is NULL).
     *
-    * Determinism caveat: if `right` holds several rows with the SAME
-    * (key, ts), which one wins is tie-broken arbitrarily — pre-aggregate
-    * the right side to one row per (key, ts) (e.g. `max_by` on a unique
-    * id, as q106 does) when payload determinism matters.
+    * Determinism: if `right` holds several rows with the SAME (key, ts),
+    * which one wins is tie-broken arbitrarily — pass `tieBreak` (a right
+    * column, typically a unique id) and the row with the HIGHEST tie-break
+    * value wins deterministically (arg-max semantics, matching an
+    * `arg_max(·, id)` pre-dedup) WITHOUT the extra shuffle a groupBy
+    * pre-aggregation would cost: the tie column just extends the ordering
+    * of the one timeline sort.
     */
   def asofBackward(left: DataFrame, right: DataFrame,
                    key: String, ts: String, out: String,
-                   payload: Seq[String] = Nil): DataFrame = {
-    Seq("__side", "__asof", out).foreach { c =>
+                   payload: Seq[String] = Nil,
+                   tieBreak: Option[String] = None): DataFrame = {
+    Seq("__side", "__asof", "__tie", out).foreach { c =>
       require(!left.columns.contains(c),
         s"asofBackward: left already has a column '$c' (reserved/output name) — rename it first")
+    }
+    tieBreak.foreach { tb =>
+      require(right.columns.contains(tb),
+        s"asofBackward: tieBreak column '$tb' not found on the right side")
     }
     payload.foreach { p =>
       require(!left.columns.contains(p),
@@ -87,22 +95,29 @@ object EventOps {
       (col(ts).cast(tsType).as("__t") +: payload.map(col)).toIndexedSeq: _*)
     val rBase = rMatchable.select(
       (col(key) +: col(ts).cast(tsType).as(ts) +: packed.as("__asof") +:
-        lit(0).as("__side") +: Nil).toIndexedSeq: _*)
+        lit(0).as("__side") +:
+        tieBreak.map(tb => col(tb).as("__tie")).toSeq).toIndexedSeq: _*)
     val asofType = rBase.schema("__asof").dataType
-    val l = left.withColumn("__side", lit(1))
+    val l0 = left.withColumn("__side", lit(1))
       .withColumn("__asof", lit(null).cast(asofType))
+    val l = tieBreak.fold(l0)(_ => l0.withColumn("__tie",
+      lit(null).cast(rBase.schema("__tie").dataType)))
     val extras = left.columns.filterNot(c => c == key || c == ts)
     val r = extras.foldLeft(rBase) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
-    val timeline = Window.partitionBy(key).orderBy(col(ts), col("__side"))
+    // ties among same-(key, ts) right rows: ascending __tie puts the
+    // max-tie row physically last, so running last() picks it (arg-max)
+    val order = Seq(col(ts), col("__side")) ++
+      tieBreak.map(_ => col("__tie").asc_nulls_first)
+    val timeline = Window.partitionBy(key).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(r.select(l.columns.map(col).toIndexedSeq: _*))
       .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(timeline))
       .filter(col("__side") === 1)
       .withColumn(out, col("__asof.__t"))
     payload.foldLeft(matched) { (df, p) => df.withColumn(p, col(s"__asof.$p")) }
-      .drop("__side", "__asof")
+      .drop("__side", "__asof", "__tie")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -319,24 +334,26 @@ object EventOps {
     // the preceding click's event_id, value and props (the "which
     // campaign was in effect" point-in-time lookup). Same ONE-shuffle
     // union + running-last shape: the payload rides the timeline packed
-    // in a single struct, so cost is independent of payload width. The
-    // right side is pre-aggregated to one row per (user_id, ts)
-    // (shuffle-safe max_by on the unique event_id) so the tie-break is
-    // deterministic in BOTH engines — DuckDB's ASOF picks an arbitrary
-    // row among equal timestamps, exactly like our window would.
+    // in a single struct, so cost is independent of payload width, and
+    // same-(user, ts) click ties are broken INSIDE the window ordering
+    // (tieBreak = the unique event_id: highest wins, arg-max semantics) —
+    // no pre-aggregation shuffle. The oracle dedups with arg_max over
+    // (user_id, ts) before its ASOF join (DuckDB's ASOF is arbitrary on
+    // ties), which is exactly the row our tie-break selects.
     "q106_asof_enrich" -> ((s, d) => {
       val ev = Tables.load(s, d, "events")
       val clicks = ev.filter(col("event_type") === "click")
-        .groupBy("user_id", "ts")
-        .agg(max("event_id").as("click_event_id"),
-          max_by(col("value"), col("event_id")).as("click_value"),
-          max_by(col("props"), col("event_id")).as("click_props"))
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_event_id"),
+          col("value").as("click_value"),
+          col("props").as("click_props"))
       asofBackward(
         left = ev.filter(col("event_type") === "purchase")
           .select("event_id", "user_id", "ts"),
         right = clicks,
         key = "user_id", ts = "ts", out = "click_ts",
-        payload = Seq("click_event_id", "click_value", "click_props"))
+        payload = Seq("click_event_id", "click_value", "click_props"),
+        tieBreak = Some("click_event_id"))
         .select(col("event_id"), col("user_id"),
           col("ts").as("purchase_ts"), col("click_ts"),
           col("click_event_id"), col("click_value"), col("click_props"))

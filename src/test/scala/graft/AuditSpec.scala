@@ -446,6 +446,26 @@ class AuditSpec extends AnyFunSuite {
     assert(got(4L) == ((None, None, None)))
   }
 
+  test("asofBackward tieBreak: same-(key,ts) right ties resolve to max tie id, in ONE shuffle") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val left = Seq((1L, 10L, ts(200))).toDF("event_id", "user_id", "ts")
+    // three clicks at the SAME (user, ts) — rid 9 must win, its payload too
+    val right = Seq((10L, ts(100), 3L, "lo"), (10L, ts(100), 9L, "hi"),
+        (10L, ts(100), 5L, "mid"))
+      .toDF("user_id", "ts", "rid", "tag")
+    val df = EventOps.asofBackward(left, right, "user_id", "ts", "m_ts",
+      payload = Seq("rid", "tag"), tieBreak = Some("rid"))
+    val got = df.select("event_id", "rid", "tag")
+      .as[(Long, Option[Long], Option[String])].collect().toSeq
+    assert(got == Seq((1L, Some(9L), Some("hi"))))
+    // the tie-break must NOT cost a pre-aggregation shuffle: still one
+    // hashpartitioning exchange, keyed on user_id, no join
+    val plan = df.queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("asofBackward: NULL-key/NULL-ts rows never match (SQL equi-ASOF parity)") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000L)

@@ -19,7 +19,19 @@ class SmokeSpec extends AnyFunSuite {
   test("every declared query is oracle-checked (no rows-only rows)") {
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked.isEmpty, s"queries without an oracle: $unchecked")
-    assert(SparkEntry.queries.size == 105, s"inventory = ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 107, s"inventory = ${SparkEntry.queries.size}")
+  }
+
+  test("PlanDump headline list stays in sync with the query inventory") {
+    // no stale names (a renamed query must not silently drop its plan dump)
+    val stale = PlanDump.headline.toSet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"PlanDump names not in inventory: $stale")
+    assert(PlanDump.headline.distinct.size == PlanDump.headline.size)
+    // every marquee operator since round 6 must have a committed plan —
+    // the r7 gap (q102 missing from PLANS.md) is exactly what this pins
+    val marquee = SparkEntry.queries.keySet.filter(_.matches("q10[0-9]_.*"))
+    val missing = marquee -- PlanDump.headline.toSet
+    assert(missing.isEmpty, s"marquee queries without a plan dump: $missing")
   }
 
   test("q77 funnel stage counts are monotone non-increasing") {
