@@ -61,6 +61,25 @@ final case class IvfIndex(centroids: DataFrame, assigned: DataFrame) {
     IvfIndex(centroids,
       assigned.unionByName(IvfIndex.assignTo(newVecs.select("vec_id", "emb"), centroids)))
 
+  /** Drift-aware ingest — the closed loop around [[append]]: absorb the
+    * batch against frozen centroids (O(batch)), then check the drift
+    * signal; if the post-append [[imbalanceFactor]] exceeds `threshold`,
+    * re-seed the WHOLE index from the current corpus via
+    * [[IvfIndex.build]](corpus, k) — the periodic O(corpus) maintenance
+    * job this trigger schedules, amortized over the many cheap appends
+    * between crossings. Returns the new index plus whether a re-seed
+    * fired, so the pipeline can log the rebuild and re-baseline its
+    * recall QA (q67). Threshold 2–4 is a common production range; the
+    * drift failure mode it guards is boundary-straddling batch piles
+    * whose frozen-centroid cells break the ~1/k probe-fraction guarantee
+    * (see DriftSpec in SimilaritySpec for the measured recall recovery). */
+  def appendOrReseed(newVecs: DataFrame, threshold: Double, k: Int): (IvfIndex, Boolean) = {
+    val appended = append(newVecs)
+    if (appended.imbalanceFactor > threshold)
+      (IvfIndex.build(appended.assigned.select("vec_id", "emb"), k), true)
+    else (appended, false)
+  }
+
   /** Per-cell occupancy — the drift signal an appending pipeline watches.
     * One row per NON-EMPTY cell: (cell, n_vectors). */
   def occupancy: DataFrame =

@@ -365,4 +365,77 @@ class SimilaritySpec extends AnyFunSuite {
     assert(big.toDouble / small < 8.0,
       s"4x corpus grew candidates ${big.toDouble / small}x (quadratic regime)")
   }
+
+  test("appendOrReseed: drift crosses the imbalance threshold, re-seed restores recall") {
+    import graft.operators.IvfIndex
+    // Deterministic 2-D angular fixture: four tight clusters at angles
+    // 0, π/2, π, 3π/2 (25 vectors each, 0.002 rad spacing).
+    def unit(phi: Double): Seq[Double] = Seq(math.cos(phi), math.sin(phi))
+    val corpus = (for {
+      c <- 0 until 4; i <- 0 until 25
+    } yield ((c * 25 + i).toLong, unit(c * math.Pi / 2 + i * 0.002)))
+      .toDF("vec_id", "emb")
+    val idx0 = IvfIndex.build(corpus, k = 4)
+    assert(idx0.imbalanceFactor < 1.15, s"seed build skewed: ${idx0.imbalanceFactor}")
+
+    // A BALANCED batch (one vector per cluster) must not trigger a re-seed.
+    val balanced = (0 until 4).map(c => ((200 + c).toLong, unit(c * math.Pi / 2 + 0.05)))
+      .toDF("vec_id", "emb")
+    val (idx1, reseeded1) = idx0.appendOrReseed(balanced, threshold = 1.2, k = 4)
+    assert(!reseeded1, "balanced batch must append without re-seeding")
+    assert(idx1.assigned.count() == 104)
+
+    // Drift batch: a 30-vector pile straddling the angular midpoint of the
+    // two centroids nearest angles 0 and π/2 — the boundary-straddling
+    // failure mode: frozen centroids split the pile across two cells, so
+    // an nprobe=1 search from inside the pile can only see its own half.
+    val cents = idx1.centroids.select("cell", "centroid")
+      .as[(Long, Seq[Double])].collect().toMap
+    def ang(v: Seq[Double]): Double = {
+      val a = math.atan2(v(1), v(0)); if (a < 0) a + 2 * math.Pi else a
+    }
+    val a1 = cents.values.map(ang).filter(a => a < 0.3).head
+    val a2 = cents.values.map(ang).filter(a => a > 1.3 && a < 1.9).head
+    val mid = (a1 + a2) / 2
+    // 0.002 rad spacing keeps neighbor similarities distinguishable under
+    // search's 6-decimal sim rounding (1 - cos(0.002) ≈ 2e-6)
+    val pile = (0 until 30).map(j =>
+      ((300 + j).toLong, unit(mid + (j - 14.5) * 0.002))).toDF("vec_id", "emb")
+
+    // Frozen-centroid append: the pile splits across the two cells and the
+    // imbalance crosses the threshold...
+    val stale = idx1.append(pile)
+    assert(stale.imbalanceFactor > 1.2,
+      s"drift did not register: ${stale.imbalanceFactor}")
+    // ...so the SAME batch through appendOrReseed fires the rebuild
+    // (k=5: the pile is now its own cluster and deserves its own cell).
+    val (fresh, reseeded2) = idx1.appendOrReseed(pile, threshold = 1.2, k = 5)
+    assert(reseeded2, "drift batch must trigger the re-seed")
+    assert(fresh.assigned.count() == 134)
+
+    // Recall@5 for queries adjacent to the pile's internal boundary, whose
+    // true top-5 mixes both halves. Ground truth = the engine's own search
+    // at FULL probe width (exact by construction — every cell probed, same
+    // metric and tie-break as the nprobe=1 runs it grades).
+    val all = fresh.assigned.select("vec_id", "emb")
+      .as[(Long, Seq[Double])].collect().toMap
+    val qIds = Seq(313L, 314L, 315L, 316L)
+    val queriesDf = qIds.map(q => (q, all(q))).toDF("q_id", "q_emb")
+    def top5(ix: IvfIndex, nprobe: Int): Map[Long, Set[Long]] =
+      ix.search(queriesDf, k = 5, nprobe = nprobe)
+        .select("q_id", "n_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = top5(fresh, nprobe = 5)
+    // sanity: boundary queries' true neighbors are pile members
+    assert(truth.values.forall(_.forall(id => id >= 300L)), truth.toString)
+    def recall(ix: IvfIndex): Double = {
+      val got = top5(ix, nprobe = 1)
+      qIds.map(q => (truth(q) & got.getOrElse(q, Set.empty)).size / 5.0).sum / qIds.size
+    }
+    val rStale = recall(stale)
+    val rFresh = recall(fresh)
+    assert(rFresh == 1.0, s"re-seeded recall = $rFresh")
+    assert(rStale < rFresh,
+      s"stale recall $rStale not below re-seeded $rFresh — fixture not adversarial")
+  }
 }
