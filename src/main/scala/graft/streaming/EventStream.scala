@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -209,6 +209,56 @@ object EventStream {
         col("c_ts") <= col("p_ts") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"), col("amount"))
+  }
+
+  final case class AsofMatch(eventId: Long, userId: Long, tsMicros: Long,
+                             clickTsMicros: Option[Long], clickValue: Option[Double])
+
+  /** Streaming backward AS-OF lookup — the state-store twin of
+    * [[graft.operators.EventOps.asofBackward]] (q104/q106): per user, group
+    * state holds ONLY the latest reference row (ts + payload) — O(1) state
+    * per key with UNBOUNDED lookback, where the interval join
+    * ([[clickPurchaseAttribution]]) buffers a bounded window of both sides
+    * — and each purchase is emitted enriched with the most recent
+    * at-or-before click's timestamp and value.
+    *
+    * Exactness contract: within a micro-batch the group's rows are
+    * processed in (ts, side, event_id) order, so any arrival interleaving
+    * INSIDE a batch matches the batch operator exactly (clicks before
+    * purchases on equal ts; max event_id wins click ties = the batch
+    * tieBreak semantics). ACROSS batches the state remembers the max-ts
+    * click seen so far, so exact batch parity requires per-key event-time
+    * monotone arrival across batches (the partitioned-by-key Kafka
+    * deployment shape); a click arriving after a purchase it should have
+    * matched is the late-data case production bounds with watermarks +
+    * reconciliation, not silently buffered forever. */
+  def asofLookup(spark: SparkSession, clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    import spark.implicits._
+    def shaped(df: DataFrame, side: Int, value: Column): DataFrame = df.select(
+      col("user_id").as("_1"), col("event_id").as("_2"),
+      unix_micros(col("ts")).as("_3"), lit(side).as("_4"), value.as("_5"))
+    val tagged = shaped(clicks, 0, col("value"))
+      .unionByName(shaped(purchases, 1, lit(0.0)))
+      .as[(Long, Long, Long, Int, Double)]
+    tagged.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[(Long, Long, Long, Int, Double)],
+         state: GroupState[(Long, Double)]) => {
+          var last = state.getOption
+          val out = Seq.newBuilder[AsofMatch]
+          rows.toIndexedSeq.sortBy(r => (r._3, r._4, r._2)).foreach {
+            case (_, _, us, 0, v) =>
+              // replace-on-equal: the max-event_id click among equal ts is
+              // processed last and wins, matching batch tieBreak semantics
+              if (last.forall(_._1 <= us)) last = Some((us, v))
+            case (_, eid, us, _, _) =>
+              val m = last.filter(_._1 <= us)
+              out += AsofMatch(eid, userId, us, m.map(_._1), m.map(_._2))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+        })
+      .toDF()
   }
 
   /** Run any of the above to an in-memory sink and block until the source is

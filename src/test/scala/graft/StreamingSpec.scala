@@ -351,6 +351,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((1L, 900L, 100L), (1L, 900L, 101L)), s"got $rows")
   }
 
+  test("streaming as-of lookup matches batch asofBackward on sf0.001 events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    // batch reference: q106-shaped as-of with the click value as payload
+    val expected = graft.operators.EventOps.asofBackward(
+        left = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts"),
+        right = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("cid"),
+            col("value").as("click_value")),
+        key = "user_id", ts = "ts", out = "click_ts",
+        payload = Seq("click_value"), tieBreak = Some("cid"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        unix_micros(col("click_ts")).as("cus"), col("click_value"))
+      .as[(Long, Long, Long, Option[Long], Option[Double])].collect().toSet
+    assert(expected.nonEmpty && expected.exists(_._4.isDefined))
+
+    // stream the same events through the state-store lookup in three
+    // event-time-ordered chunks (the per-key monotone arrival contract).
+    // BOTH sides are fed from ONE MemoryStream and split by a side tag:
+    // with two independent sources, the continuous trigger can capture
+    // source offsets mid-addData and process a chunk's purchases one
+    // batch BEFORE its clicks — a cross-source race, not an operator
+    // property; a single source pins each chunk into one offset range.
+    val eventsIn = MemoryStream[(Long, Long, java.sql.Timestamp, Double, Int)]
+    val tagged = eventsIn.toDF().toDF("user_id", "event_id", "ts", "value", "side")
+    val q = EventStream.asofLookup(spark,
+        tagged.filter(col("side") === 0).drop("side"),
+        tagged.filter(col("side") === 1).drop("side"))
+      .writeStream.format("memory").queryName("asof_lookup").outputMode("append").start()
+    val all = ev.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        when(col("event_type") === "click", 0).otherwise(1).as("side"))
+      .as[(Long, Long, java.sql.Timestamp, Double, Int)]
+      .collect().sortBy(r => (r._3.getTime, r._5, r._2))
+    val chunks = Seq(all.length / 3, 2 * all.length / 3, all.length)
+    var fed = 0
+    chunks.foreach { until =>
+      if (until > fed) eventsIn.addData(all.slice(fed, until).toIndexedSeq)
+      fed = until
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("asof_lookup")
+      .select("eventId", "userId", "tsMicros", "clickTsMicros", "clickValue")
+      .as[(Long, Long, Long, Option[Long], Option[Double])].collect().toSet
+    assert(got == expected,
+      s"streaming != batch: only-streaming=${(got -- expected).take(5)} only-batch=${(expected -- got).take(5)}")
+  }
+
   test("flatMapGroupsWithState running totals accumulate per user") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
