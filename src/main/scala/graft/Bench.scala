@@ -170,12 +170,14 @@ object Bench {
       .getHeapMemoryUsage.getUsed / (1024 * 1024)
     val heapPeakMb = heapPools.map(p =>
       try p.getPeakUsage.getUsed catch { case _: Throwable => 0L }).sum / (1024 * 1024)
-    // gc_frac > 0.1 = the r7 failure mode (34 s GC / 1583 s wall was fine;
-    // 34 s / 100 s of query time was not) — measured against QUERY time,
-    // not wall, since sweeps idle between queries
+    // gc_frac > 0.1 = the r7 failure mode — measured against SUMMED QUERY
+    // time across all trials, not wall: the r7 confound was 34 s GC on
+    // ~100 s of query work (34%), which vs the 1583 s wall (2%) would
+    // have read as healthy
+    val timedSec = samples.values.flatten.filter(_ > 0).sum
     val gcFrac =
-      if (gcSec <= 0) 0.0
-      else math.rint(1000.0 * gcSec / math.max(wallSec, 1e-9)) / 1000.0
+      if (gcSec <= 0 || timedSec <= 0) 0.0
+      else math.rint(1000.0 * gcSec / timedSec) / 1000.0
     // stdout values rounded to ms so more of the line survives the driver's
     // bounded (2000-char) stdout tail; the FULL-precision object goes to
     // BENCH_LOCAL.json below, which the driver/judge can read whole
