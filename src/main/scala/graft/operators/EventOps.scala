@@ -86,11 +86,16 @@ object EventOps {
         s"asofBackward: payload column '$p' collides with a left column — alias it on the right side first")
       require(right.columns.contains(p),
         s"asofBackward: payload column '$p' not found on the right side")
+      require(p != "__t" && p != out,
+        s"asofBackward: payload column '$p' collides with the packed-struct field names")
     }
     val tsType = left.schema(ts).dataType
     // SQL ASOF parity: NULL-key / NULL-ts right rows can never satisfy the
-    // equi+range predicate, so they must not enter the timeline
-    val rMatchable = right.filter(col(key).isNotNull && col(ts).isNotNull)
+    // equi+range predicate, so they must not enter the timeline — filtered
+    // on the CAST value, so a right ts that casts to NULL (type-mismatched
+    // input) can't ride in as a non-null struct with a NULL match time
+    val rMatchable = right.filter(
+      col(key).isNotNull && col(ts).cast(tsType).isNotNull)
     val packed = struct(
       (col(ts).cast(tsType).as("__t") +: payload.map(col)).toIndexedSeq: _*)
     val rBase = rMatchable.select(

@@ -103,6 +103,10 @@ object Relational {
   def scd2History(df: DataFrame, key: String, time: String,
                   tieBreak: String, attrs: Seq[String]): DataFrame = {
     require(attrs.nonEmpty, "scd2History: need at least one tracked attribute")
+    val reserved = Set("chg", "island", "version", "valid_from", "valid_to", "n_orders")
+    (attrs :+ key :+ time :+ tieBreak).filter(reserved).foreach { c =>
+      require(false, s"scd2History: column '$c' collides with an internal/output name — rename it first")
+    }
     val byTime = Window.partitionBy(key).orderBy(time, tieBreak)
     val cur = struct(attrs.map(col).toIndexedSeq: _*)
     val prev = lag(cur, 1).over(byTime)
