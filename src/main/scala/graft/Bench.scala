@@ -119,6 +119,14 @@ object Bench {
       .filter { case (n, _) => onlyPrefixes.forall(_.exists(n.startsWith)) }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    // per-query PEAK heap (MB), max across trials: pool peaks are reset
+    // around each timed query, so the overall peak attributes to a query —
+    // the "which query sets the heap floor" audit the 8 GB requirement
+    // rests on. heap_peak_mb (overall) = max over this map.
+    val heapPeaks = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    def poolPeakMb(): Long = heapPools.map(p =>
+      try p.getPeakUsage.getUsed catch { case _: Throwable => 0L }).sum / (1024 * 1024)
     for (sweep <- 1 to trials) {
       // the deliberate inter-sweep GC must not bill gc_sec — that metric
       // exists to expose ENVIRONMENT pressure, not self-inflicted pauses
@@ -130,6 +138,7 @@ object Bench {
       // in every sweep)
       val sweepOrder = new scala.util.Random(7919L * sweep).shuffle(ordered)
       sweepOrder.foreach { case (name, fn) =>
+        heapPools.foreach(p => try p.resetPeakUsage() catch { case _: Throwable => () })
         val t0 = System.nanoTime()
         val dt =
           try {
@@ -140,6 +149,7 @@ object Bench {
             -1.0
           }
         samples(name) = samples(name) :+ dt
+        heapPeaks(name) = math.max(heapPeaks(name), poolPeakMb())
       }
       maxLoad = math.max(maxLoad, osBean.getSystemLoadAverage)
     }
@@ -168,8 +178,9 @@ object Bench {
       else math.rint(100.0 * (cpu1 - cpu0) / 1e9 / wallSec) / 100.0
     val heapMb = java.lang.management.ManagementFactory.getMemoryMXBean
       .getHeapMemoryUsage.getUsed / (1024 * 1024)
-    val heapPeakMb = heapPools.map(p =>
-      try p.getPeakUsage.getUsed catch { case _: Throwable => 0L }).sum / (1024 * 1024)
+    // pools were reset around every timed query, so the overall peak is the
+    // max of the per-query peaks (plus whatever the tail shows now)
+    val heapPeakMb = (heapPeaks.values ++ Seq(poolPeakMb())).max
     // gc_frac > 0.1 = the r7 failure mode — measured against SUMMED QUERY
     // time across all trials, not wall: the r7 confound was 34 s GC on
     // ~100 s of query work (34%), which vs the 1583 s wall (2%) would
@@ -256,7 +267,9 @@ object Bench {
     System.err.println(s"[bench] record -> $outFile ($why)")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile),
-      line(qsFull).dropRight(1) + s""","samples":$samplesJson}""" + "\n")
+      line(qsFull).dropRight(1) + s""","samples":$samplesJson,"heap_peak_by_query":${
+        ordered.map { case (name, _) => s"\"" + name + "\":" + heapPeaks(name) }
+          .mkString("{", ",", "}")}}""" + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     println(line(qs))
     spark.stop()

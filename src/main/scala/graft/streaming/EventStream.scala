@@ -261,6 +261,66 @@ object EventStream {
       .toDF()
   }
 
+  /** Watermark-BOUNDED variant of [[asofLookup]] — the posture for
+    * unbounded key spaces: NoTimeout keeps one reference row per EVER-SEEN
+    * key, which at 100 TB user cardinality grows state forever; here a
+    * key's state is reaped once the event-time watermark passes `maxIdleMs`
+    * beyond its last activity (EventTimeTimeout, same pattern as
+    * [[sessionTracking]] — state size tracks ACTIVE keys). A purchase
+    * arriving after its user's reference state expired gets NULL outputs:
+    * the bounded-lookback tradeoff, chosen explicitly over unbounded
+    * growth. Note the engine reaps a key only in a batch where it has no
+    * new data, so a key that stays active keeps its state indefinitely —
+    * exactly the wanted semantics. */
+  def asofLookupExpiring(spark: SparkSession, clicks: DataFrame, purchases: DataFrame,
+                         watermarkDelay: String = "10 minutes",
+                         maxIdleMs: Long = 30L * 60 * 1000): DataFrame = {
+    import spark.implicits._
+    // the WATERMARKED ts column itself must flow into the stateful
+    // operator (see sessionTracking) — micros are derived inside the group
+    // function, not projected away before it. ONE watermark, applied AFTER
+    // the union: per-side watermarks would make the global watermark their
+    // MIN, so a side with no recent traffic (purchases overnight) pins the
+    // watermark in the past and no idle key ever gets reaped.
+    def shaped(df: DataFrame, side: Int, value: Column): DataFrame = df
+      .select(col("user_id").as("_1"), col("event_id").as("_2"),
+        col("ts").as("_3"), lit(side).as("_4"), value.as("_5"))
+    val tagged = shaped(clicks, 0, col("value"))
+      .unionByName(shaped(purchases, 1, lit(0.0)))
+      .withWatermark("_3", watermarkDelay)
+      .as[(Long, Long, java.sql.Timestamp, Int, Double)]
+    tagged.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Int, Double)],
+         state: GroupState[(Long, Double)]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            def us(t: java.sql.Timestamp): Long =
+              t.getTime * 1000 + (t.getNanos / 1000) % 1000
+            var last = state.getOption
+            var lastActivityMs = 0L
+            val out = Seq.newBuilder[AsofMatch]
+            rows.toIndexedSeq.sortBy(r => (us(r._3), r._4, r._2)).foreach {
+              case (_, _, t, 0, v) =>
+                val u = us(t)
+                if (last.forall(_._1 <= u)) last = Some((u, v))
+                lastActivityMs = math.max(lastActivityMs, t.getTime)
+              case (_, eid, t, _, _) =>
+                val u = us(t)
+                val m = last.filter(_._1 <= u)
+                out += AsofMatch(eid, userId, u, m.map(_._1), m.map(_._2))
+                lastActivityMs = math.max(lastActivityMs, t.getTime)
+            }
+            last.foreach(state.update)
+            // keep-alive horizon: the engine reaps the key at the first
+            // watermark advance past (last activity + maxIdle)
+            if (state.exists) state.setTimeoutTimestamp(lastActivityMs + maxIdleMs)
+            out.result().iterator
+          }
+        })
+      .toDF()
+  }
+
   /** Run any of the above to an in-memory sink and block until the source is
     * drained — used by tests and local smoke runs. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Complete): Unit = {

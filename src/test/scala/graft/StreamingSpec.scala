@@ -403,6 +403,43 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming != batch: only-streaming=${(got -- expected).take(5)} only-batch=${(expected -- got).take(5)}")
   }
 
+  test("asofLookupExpiring: idle keys are reaped behind the watermark, active keys keep state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    val eventsIn = MemoryStream[(Long, Long, java.sql.Timestamp, Double, Int)]
+    val tagged = eventsIn.toDF().toDF("user_id", "event_id", "ts", "value", "side")
+    val q = EventStream.asofLookupExpiring(spark,
+        tagged.filter(col("side") === 0).drop("side"),
+        tagged.filter(col("side") === 1).drop("side"),
+        watermarkDelay = "10 minutes", maxIdleMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("asof_expiring").outputMode("append").start()
+    def feed(rows: (Long, Long, java.sql.Timestamp, Double, Int)*): Unit = {
+      eventsIn.addData(rows.toIndexedSeq); q.processAllAvailable()
+    }
+    // b1: user 1 click @10:00 then purchase @10:05 -> matched
+    feed((1L, 100L, ts("10:00"), 5.0, 0), (1L, 900L, ts("10:05"), 0.0, 1))
+    // b2: user 2 click @12:00 -> watermark advances to 11:50 after this batch
+    feed((2L, 101L, ts("12:00"), 7.0, 0))
+    // b3: user-2-only traffic; user 1 has NO data here and its keep-alive
+    // horizon (10:05 + 30 min = 10:35) is behind the 11:50 watermark ->
+    // the engine reaps user 1's state in this batch
+    feed((2L, 102L, ts("12:05"), 8.0, 0))
+    // b4: late-arriving user-1 purchase @12:10 (above watermark, so not
+    // dropped) finds NO state -> NULL; user 2's purchase still matches
+    feed((1L, 901L, ts("12:10"), 0.0, 1), (2L, 902L, ts("12:30"), 0.0, 1))
+    q.stop()
+    val got = spark.table("asof_expiring")
+      .select("eventId", "userId", "clickTsMicros", "clickValue")
+      .as[(Long, Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    def us(t: java.sql.Timestamp) = t.getTime * 1000
+    assert(got(900L) == ((Some(us(ts("10:00"))), Some(5.0))))
+    assert(got(901L) == ((None, None)), s"expired state must not match: ${got(901L)}")
+    assert(got(902L) == ((Some(us(ts("12:05"))), Some(8.0))))
+  }
+
   test("flatMapGroupsWithState running totals accumulate per user") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
