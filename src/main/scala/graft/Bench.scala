@@ -122,7 +122,11 @@ object Bench {
     // per-query PEAK heap (MB), max across trials: pool peaks are reset
     // around each timed query, so the overall peak attributes to a query —
     // the "which query sets the heap floor" audit the 8 GB requirement
-    // rests on. heap_peak_mb (overall) = max over this map.
+    // rests on. heap_peak_mb (overall) = max over this map. Caveat: no GC
+    // runs between queries inside a sweep, so a cheap query right after a
+    // heavy one inherits its uncollected garbage — treat per-query values
+    // as upper bounds; the MAX (and the queries that repeatedly top the
+    // list across orders) is the reliable signal.
     val heapPeaks = scala.collection.mutable.Map.empty[String, Long]
       .withDefaultValue(0L)
     def poolPeakMb(): Long = heapPools.map(p =>
