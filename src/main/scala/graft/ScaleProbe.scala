@@ -59,6 +59,40 @@ object ScaleProbe {
       return
     }
 
+    // q106 payload-width probe: the asofBackward scaladoc claims per-key
+    // cost is linear "regardless of payload width" because the payload
+    // rides the ONE timeline sort packed in a struct. Measure it: same
+    // as-of join with 0, 2 and 4 payload columns (+ tieBreak), 3 runs
+    // each after warmup, minima printed. SPARK_GRAFT_ASOF_PROBE=1.
+    if (sys.env.contains("SPARK_GRAFT_ASOF_PROBE")) {
+      val ev = Tables.load(spark, sfDir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      def clicks(width: Int) = {
+        val payload = Seq(
+          col("event_id").as("c_eid"), col("value").as("c_val"),
+          col("props").as("c_props"), col("event_type").as("c_type"))
+        ev.filter(col("event_type") === "click")
+          .select((col("user_id") +: col("ts") +: payload.take(width)): _*)
+      }
+      def run(width: Int, tie: Boolean): Double = {
+        val names = Seq("c_eid", "c_val", "c_props", "c_type").take(width)
+        val df = graft.operators.EventOps.asofBackward(
+          purchases, clicks(width), "user_id", "ts", "click_ts",
+          payload = names, tieBreak = if (tie) Some("c_eid") else None)
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run(0, tie = false) // warmup: footers + codegen
+      for ((w, tie) <- Seq((0, false), (2, false), (4, false), (4, true))) {
+        val best = (1 to 3).map(_ => run(w, tie)).min
+        println(f"[probe] asof payload width=$w tieBreak=$tie: $best%6.2f s (min of 3)")
+      }
+      spark.stop()
+      return
+    }
+
     def replicate(df: DataFrame, idCol: String, n: Int): DataFrame = {
       val span = df.agg(max(col(idCol))).head().getLong(0) + 1
       df.crossJoin(spark.range(n).toDF("__rep"))
