@@ -244,21 +244,33 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, rows: Iterator[(Long, Long, Long, Int, Double)],
          state: GroupState[(Long, Double)]) => {
-          var last = state.getOption
-          val out = Seq.newBuilder[AsofMatch]
-          rows.toIndexedSeq.sortBy(r => (r._3, r._4, r._2)).foreach {
-            case (_, _, us, 0, v) =>
-              // replace-on-equal: the max-event_id click among equal ts is
-              // processed last and wins, matching batch tieBreak semantics
-              if (last.forall(_._1 <= us)) last = Some((us, v))
-            case (_, eid, us, _, _) =>
-              val m = last.filter(_._1 <= us)
-              out += AsofMatch(eid, userId, us, m.map(_._1), m.map(_._2))
-          }
+          val (out, last) = asofAdvance(userId,
+            rows.map { case (_, eid, us, side, v) => (eid, us, side, v) },
+            state.getOption)
           last.foreach(state.update)
-          out.result().iterator
+          out.iterator
         })
       .toDF()
+  }
+
+  /** One key's micro-batch advance, shared by [[asofLookup]] and
+    * [[asofLookupExpiring]]: process (event_id, tsMicros, side, value)
+    * rows in (ts, side, id) order against the running last-reference
+    * state; returns the emitted matches and the updated state. The
+    * replace-on-equal click update makes the max-event_id click among
+    * equal timestamps win — the batch operator's tieBreak semantics. */
+  private def asofAdvance(userId: Long, rows: Iterator[(Long, Long, Int, Double)],
+                          last0: Option[(Long, Double)]): (Vector[AsofMatch], Option[(Long, Double)]) = {
+    var last = last0
+    val out = Vector.newBuilder[AsofMatch]
+    rows.toIndexedSeq.sortBy(r => (r._2, r._3, r._1)).foreach {
+      case (_, us, 0, v) =>
+        if (last.forall(_._1 <= us)) last = Some((us, v))
+      case (eid, us, _, _) =>
+        val m = last.filter(_._1 <= us)
+        out += AsofMatch(eid, userId, us, m.map(_._1), m.map(_._2))
+    }
+    (out.result(), last)
   }
 
   /** Watermark-BOUNDED variant of [[asofLookup]] — the posture for
@@ -297,25 +309,17 @@ object EventStream {
           else {
             def us(t: java.sql.Timestamp): Long =
               t.getTime * 1000 + (t.getNanos / 1000) % 1000
-            var last = state.getOption
             var lastActivityMs = 0L
-            val out = Seq.newBuilder[AsofMatch]
-            rows.toIndexedSeq.sortBy(r => (us(r._3), r._4, r._2)).foreach {
-              case (_, _, t, 0, v) =>
-                val u = us(t)
-                if (last.forall(_._1 <= u)) last = Some((u, v))
-                lastActivityMs = math.max(lastActivityMs, t.getTime)
-              case (_, eid, t, _, _) =>
-                val u = us(t)
-                val m = last.filter(_._1 <= u)
-                out += AsofMatch(eid, userId, u, m.map(_._1), m.map(_._2))
-                lastActivityMs = math.max(lastActivityMs, t.getTime)
+            val shapedRows = rows.map { case (_, eid, t, side, v) =>
+              lastActivityMs = math.max(lastActivityMs, t.getTime)
+              (eid, us(t), side, v)
             }
+            val (out, last) = asofAdvance(userId, shapedRows, state.getOption)
             last.foreach(state.update)
             // keep-alive horizon: the engine reaps the key at the first
             // watermark advance past (last activity + maxIdle)
             if (state.exists) state.setTimeoutTimestamp(lastActivityMs + maxIdleMs)
-            out.result().iterator
+            out.iterator
           }
         })
       .toDF()
