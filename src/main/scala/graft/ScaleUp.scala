@@ -41,7 +41,7 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
 
   def main(args: Array[String]): Unit = {
-    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val src = args.headOption.getOrElse(Bench.defaultSfDir)
     val dst = args.lift(1).getOrElse("/root/repo/scratch/sf1")
     val k = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
     val spark = SparkSession.builder()

@@ -41,17 +41,20 @@ object DedupOps {
     * q87 is the per-batch cost a production user pays (batch pair
     * discovery + O(batch) updateClusters), not a from-scratch corpus
     * recluster per trial. Keyed on the session identity so a cached plan
-    * from a stopped session can never leak into a new one; entries are
-    * label-frame-sized (one (node, label) row per clustered doc). */
+    * from a stopped session can never leak into a new one (the key holds
+    * the session REFERENCE — SparkSession equality is identity, so unlike
+    * an identityHashCode string it cannot collide after GC address reuse);
+    * entries are label-frame-sized (one (node, label) row per clustered
+    * doc) and pinned for the JVM's lifetime, bounded by the handful of
+    * sessions a Verify/Bench/test JVM ever creates. */
   private val q87StateCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private def q87State(s: SparkSession, d: String,
                        build: () => DataFrame): DataFrame = {
-    val key = System.identityHashCode(s).toString + "#" +
-      (try java.nio.file.Paths.get(d).toRealPath().toString
-       catch { case _: java.io.IOException => d })
-    q87StateCache.computeIfAbsent(key, _ => build())
+    val dir = try java.nio.file.Paths.get(d).toRealPath().toString
+      catch { case _: java.io.IOException => d }
+    q87StateCache.computeIfAbsent((s, dir), _ => build())
   }
 
   /** doc_id → distinct word-3-gram shingle array. */

@@ -74,7 +74,13 @@ final case class IvfIndex(centroids: DataFrame, assigned: DataFrame) {
     * whose frozen-centroid cells break the ~1/k probe-fraction guarantee
     * (see DriftSpec in SimilaritySpec for the measured recall recovery). */
   def appendOrReseed(newVecs: DataFrame, threshold: Double, k: Int): (IvfIndex, Boolean) = {
-    val appended = append(newVecs)
+    // materialize the post-append assignment ONCE: the drift check is an
+    // action, and without this a chained ingest loop re-executes the whole
+    // prior assignment lineage on every append (O(batches × corpus)); the
+    // checkpointed frame is also the at-rest state the caller keeps (the
+    // durable equivalent is save/load around each batch)
+    val appended = IvfIndex(centroids,
+      append(newVecs).assigned.localCheckpoint(eager = true))
     if (appended.imbalanceFactor > threshold)
       (IvfIndex.build(appended.assigned.select("vec_id", "emb"), k), true)
     else (appended, false)

@@ -99,7 +99,15 @@ object Relational {
     * ordinal per key (makes the output deterministically orderable even
     * when two consecutive segments share a valid_from date). Same
     * gaps-and-islands plan as the single-attr form: one shuffle on `key`,
-    * O(1) per-row state, no self-join. */
+    * O(1) per-row state, no self-join.
+    *
+    * First-row semantics: a key's FIRST observation always opens version 1
+    * (`lag` is NULL there and `NULL <=> struct(...)` is false even when
+    * every tracked field is NULL). The oracle mirrors this with an
+    * explicit first-row marker (`lag(tieBreak) IS NULL` on the non-null
+    * unique key) — per-field IS DISTINCT FROM alone would read an
+    * all-NULL first row as "no change" and number that key's versions
+    * from 0. */
   def scd2History(df: DataFrame, key: String, time: String,
                   tieBreak: String, attrs: Seq[String]): DataFrame = {
     require(attrs.nonEmpty, "scd2History: need at least one tracked attribute")
@@ -950,7 +958,9 @@ object Relational {
     "q107_scd2_multi" ->
       """WITH ob AS (
         | SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority, o_orderstatus,
-        |  CASE WHEN lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |  CASE WHEN lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |         IS NULL
+        |       OR lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |         IS DISTINCT FROM o_orderpriority
         |       OR lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |         IS DISTINCT FROM o_orderstatus

@@ -234,16 +234,22 @@ object EventStream {
     * reconciliation, not silently buffered forever. */
   def asofLookup(spark: SparkSession, clicks: DataFrame, purchases: DataFrame): DataFrame = {
     import spark.implicits._
-    def shaped(df: DataFrame, side: Int, value: Column): DataFrame = df.select(
-      col("user_id").as("_1"), col("event_id").as("_2"),
-      unix_micros(col("ts")).as("_3"), lit(side).as("_4"), value.as("_5"))
+    // NULL-key/NULL-ts rows are dropped: a streaming key/event-time can't
+    // be NULL (groupByKey on a primitive key, watermark on ts). This is
+    // the one divergence from the batch twin, which EMITS a NULL-keyed
+    // left row with NULL outputs; a NULL payload value rides through as
+    // None on both.
+    def shaped(df: DataFrame, side: Int, value: Column): DataFrame = df
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id").as("_1"), col("event_id").as("_2"),
+        unix_micros(col("ts")).as("_3"), lit(side).as("_4"), value.as("_5"))
     val tagged = shaped(clicks, 0, col("value"))
       .unionByName(shaped(purchases, 1, lit(0.0)))
-      .as[(Long, Long, Long, Int, Double)]
+      .as[(Long, Long, Long, Int, Option[Double])]
     tagged.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (userId: Long, rows: Iterator[(Long, Long, Long, Int, Double)],
-         state: GroupState[(Long, Double)]) => {
+        (userId: Long, rows: Iterator[(Long, Long, Long, Int, Option[Double])],
+         state: GroupState[(Long, Long, Option[Double])]) => {
           val (out, last) = asofAdvance(userId,
             rows.map { case (_, eid, us, side, v) => (eid, us, side, v) },
             state.getOption)
@@ -256,19 +262,24 @@ object EventStream {
   /** One key's micro-batch advance, shared by [[asofLookup]] and
     * [[asofLookupExpiring]]: process (event_id, tsMicros, side, value)
     * rows in (ts, side, id) order against the running last-reference
-    * state; returns the emitted matches and the updated state. The
-    * replace-on-equal click update makes the max-event_id click among
-    * equal timestamps win — the batch operator's tieBreak semantics. */
-  private def asofAdvance(userId: Long, rows: Iterator[(Long, Long, Int, Double)],
-                          last0: Option[(Long, Double)]): (Vector[AsofMatch], Option[(Long, Double)]) = {
+    * state; returns the emitted matches and the updated state. State
+    * carries the reference row's EVENT ID so the max-event_id tie-break
+    * among equal timestamps holds ACROSS batches too — a same-ts click
+    * arriving in a later batch replaces the stored one only when its id
+    * is higher (replace-on-equal alone would let arrival order override
+    * the batch operator's deterministic arg-max). */
+  private def asofAdvance(userId: Long, rows: Iterator[(Long, Long, Int, Option[Double])],
+                          last0: Option[(Long, Long, Option[Double])])
+      : (Vector[AsofMatch], Option[(Long, Long, Option[Double])]) = {
     var last = last0
     val out = Vector.newBuilder[AsofMatch]
     rows.toIndexedSeq.sortBy(r => (r._2, r._3, r._1)).foreach {
-      case (_, us, 0, v) =>
-        if (last.forall(_._1 <= us)) last = Some((us, v))
+      case (eid, us, 0, v) =>
+        if (last.forall(s => s._1 < us || (s._1 == us && s._2 <= eid)))
+          last = Some((us, eid, v))
       case (eid, us, _, _) =>
         val m = last.filter(_._1 <= us)
-        out += AsofMatch(eid, userId, us, m.map(_._1), m.map(_._2))
+        out += AsofMatch(eid, userId, us, m.map(_._1), m.flatMap(_._3))
     }
     (out.result(), last)
   }
@@ -295,16 +306,17 @@ object EventStream {
     // MIN, so a side with no recent traffic (purchases overnight) pins the
     // watermark in the past and no idle key ever gets reaped.
     def shaped(df: DataFrame, side: Int, value: Column): DataFrame = df
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id").as("_1"), col("event_id").as("_2"),
         col("ts").as("_3"), lit(side).as("_4"), value.as("_5"))
     val tagged = shaped(clicks, 0, col("value"))
       .unionByName(shaped(purchases, 1, lit(0.0)))
       .withWatermark("_3", watermarkDelay)
-      .as[(Long, Long, java.sql.Timestamp, Int, Double)]
+      .as[(Long, Long, java.sql.Timestamp, Int, Option[Double])]
     tagged.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (userId: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Int, Double)],
-         state: GroupState[(Long, Double)]) => {
+        (userId: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Int, Option[Double])],
+         state: GroupState[(Long, Long, Option[Double])]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             def us(t: java.sql.Timestamp): Long =

@@ -588,6 +588,24 @@ class AuditSpec extends AnyFunSuite {
     assert(segs.toSeq == Seq((None, 2L), (Some("A"), 1L)))
   }
 
+  test("scd2History multi-attr: ALL-NULL first observation still opens version 1") {
+    import java.sql.Timestamp
+    def d(n: Long) = new Timestamp(n * 86400000L)
+    // versions must be 1-based even when every tracked field of the first
+    // row is NULL — the oracle SQL mirrors this with a first-row marker on
+    // the non-null tie-break key (per-field IS DISTINCT FROM alone would
+    // read the all-NULL first row as chg=0 and number from 0)
+    val rows = Seq(
+      (1L, 1L, d(1), Option.empty[String], Option.empty[String]),
+      (1L, 2L, d(2), Some("A"), Some("O")))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "p", "st")
+    val segs = graft.operators.Relational
+      .scd2History(rows, "o_custkey", "o_orderdate", "o_orderkey", Seq("p", "st"))
+      .orderBy("version")
+      .collect().map(r => (r.getAs[Long]("version"), Option(r.getAs[String]("p"))))
+    assert(segs.toSeq == Seq((1L, None), (2L, Some("A"))))
+  }
+
   test("scd2History multi-attr plan: every exchange hashes on the key") {
     import java.sql.Timestamp
     def d(n: Long) = new Timestamp(n * 86400000L)

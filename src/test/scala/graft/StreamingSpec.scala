@@ -403,6 +403,36 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming != batch: only-streaming=${(got -- expected).take(5)} only-batch=${(expected -- got).take(5)}")
   }
 
+  test("asofLookup: equal-ts click arriving in a LATER batch cannot displace the max-id click") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val eventsIn = MemoryStream[(Long, Long, java.sql.Timestamp, Option[Double], Int)]
+    val tagged = eventsIn.toDF().toDF("user_id", "event_id", "ts", "value", "side")
+    val q = EventStream.asofLookup(spark,
+        tagged.filter(col("side") === 0).drop("side"),
+        tagged.filter(col("side") === 1).drop("side"))
+      .writeStream.format("memory").queryName("asof_tie").outputMode("append").start()
+    // b1: the HIGHER-id click at ts=100 lands first (valid monotone arrival)
+    eventsIn.addData(Seq((1L, 9L, ts(100), Some(9.0), 0))); q.processAllAvailable()
+    // b2: a LOWER-id click at the same ts arrives later — still monotone —
+    // and must NOT replace the stored reference (batch tieBreak = max id);
+    // also a click with NULL value must not crash the query
+    eventsIn.addData(Seq((1L, 3L, ts(100), Some(3.0), 0),
+      (2L, 5L, ts(100), Option.empty[Double], 0))); q.processAllAvailable()
+    // b3: purchases for both users
+    eventsIn.addData(Seq((1L, 900L, ts(100), None, 1), (2L, 901L, ts(100), None, 1)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("asof_tie")
+      .select("eventId", "clickTsMicros", "clickValue")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(900L) == ((Some(100000000L), Some(9.0))),
+      s"later-arriving equal-ts lower-id click displaced the reference: ${got(900L)}")
+    assert(got(901L) == ((Some(100000000L), None)), s"NULL payload value: ${got(901L)}")
+  }
+
   test("asofLookupExpiring: idle keys are reaped behind the watermark, active keys keep state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
