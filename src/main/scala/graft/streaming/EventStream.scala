@@ -337,6 +337,54 @@ object EventStream {
       .toDF()
   }
 
+  final case class Scd2Segment(userId: Long, attr: Option[String],
+                               validFromMicros: Long, validToMicros: Long, nEvents: Long)
+
+  /** Streaming SCD type-2 maintenance — the streaming twin of
+    * [[graft.operators.Relational.scd2History]] (q103/q107), the way
+    * [[asofLookup]] twins q104/q106: per key, group state holds ONLY the
+    * OPEN segment (attr value, valid_from, row count — O(1) per key); a
+    * change in the observed attribute CLOSES the segment, which is emitted
+    * with `valid_to` = the new segment's start, exactly the batch
+    * operator's [valid_from, valid_to) contract. Append-mode semantics:
+    * only CLOSED segments are emitted (the open segment per key is
+    * unfinished state — the batch operator emits it with valid_to NULL;
+    * read it back by running the batch build over the compacted history,
+    * or snapshot state via a final drain). NULL attr observations are
+    * first-class values (None): None→None is NOT a change, None→Some is —
+    * the same null-safe struct compare as batch. Exactness needs per-key
+    * event-time monotone arrival across batches, same as [[asofLookup]];
+    * within a batch rows are processed in (ts, event_id) order. */
+  def scd2Stream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val shaped = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id").as("_1"), col("event_id").as("_2"),
+        unix_micros(col("ts")).as("_3"), col("event_type").as("_4"))
+      .as[(Long, Long, Long, Option[String])]
+    shaped.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[(Long, Long, Long, Option[String])],
+         state: GroupState[(Option[String], Long, Long)]) => {
+          var cur = state.getOption
+          val out = Vector.newBuilder[Scd2Segment]
+          rows.toIndexedSeq.sortBy(r => (r._3, r._2)).foreach { case (_, _, us, attr) =>
+            cur match {
+              case Some((a, from, n)) if a == attr =>
+                cur = Some((a, from, n + 1))
+              case Some((a, from, n)) =>
+                out += Scd2Segment(userId, a, from, us, n)
+                cur = Some((attr, us, 1L))
+              case None =>
+                cur = Some((attr, us, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+        })
+      .toDF()
+  }
+
   /** Run any of the above to an in-memory sink and block until the source is
     * drained — used by tests and local smoke runs. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Complete): Unit = {

@@ -470,6 +470,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(902L) == ((Some(us(ts("12:05"))), Some(8.0))))
   }
 
+  test("scd2Stream: closed segments match the batch scd2History build on sf0.001 events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    // batch reference: per-user event_type runs; CLOSED segments only
+    // (the streaming operator's open segment per key is still state)
+    val expected = graft.operators.Relational
+      .scd2History(ev, "user_id", "ts", "event_id", Seq("event_type"))
+      .filter(col("valid_to").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("valid_from")).as("from_us"),
+        unix_micros(col("valid_to")).as("to_us"), col("n_orders"))
+      .as[(Long, Option[String], Long, Long, Long)].collect().toSet
+    assert(expected.size > 100)
+
+    val eventsIn = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val q = EventStream.scd2Stream(spark,
+        eventsIn.toDF().toDF("user_id", "event_id", "ts", "event_type"))
+      .writeStream.format("memory").queryName("scd2_stream").outputMode("append").start()
+    val all = ev.select("user_id", "event_id", "ts", "event_type")
+      .as[(Long, Long, java.sql.Timestamp, String)]
+      .collect().sortBy(r => (r._3.getTime, r._2))
+    Seq(all.length / 3, 2 * all.length / 3, all.length).foldLeft(0) { (fed, until) =>
+      if (until > fed) { eventsIn.addData(all.slice(fed, until).toIndexedSeq); q.processAllAvailable() }
+      until
+    }
+    q.stop()
+    val got = spark.table("scd2_stream")
+      .select("userId", "attr", "validFromMicros", "validToMicros", "nEvents")
+      .as[(Long, Option[String], Long, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"streaming != batch: only-streaming=${(got -- expected).take(3)} only-batch=${(expected -- got).take(3)}")
+  }
+
   test("flatMapGroupsWithState running totals accumulate per user") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
