@@ -606,6 +606,53 @@ class AuditSpec extends AnyFunSuite {
     assert(segs.toSeq == Seq((1L, None), (2L, Some("A"))))
   }
 
+  test("scd2History multi-attr: agrees with a naive re-derivation on random NULL-heavy histories") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import java.sql.Timestamp
+    def d(n: Long) = new Timestamp(n * 86400000L)
+    // small domains force the hard cases the real data lacks: NULL fields,
+    // all-NULL first observations, same-day ties, value recurrence
+    val attrGen = Gen.oneOf(Option.empty[String], Some("A"), Some("B"))
+    val genCase = for {
+      n <- Gen.choose(0, 14)
+      ks <- Gen.listOfN(n, Gen.choose(1L, 3L))
+      ts <- Gen.listOfN(n, Gen.choose(0L, 6L))
+      ps <- Gen.listOfN(n, attrGen)
+      ss <- Gen.listOfN(n, attrGen)
+    } yield ks.indices.map(i => (ks(i), i.toLong, ts(i), ps(i), ss(i)))
+    val prop = Prop.forAll(genCase) { rows =>
+      rows.isEmpty || {
+        val df = rows.map { case (k, id, t, p, st) => (k, id, d(t), p, st) }
+          .toDF("k", "id", "t", "p", "st")
+        val got = graft.operators.Relational
+          .scd2History(df, "k", "t", "id", Seq("p", "st"))
+          .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("version"),
+            Option(r.getAs[String]("p")), Option(r.getAs[String]("st")),
+            r.getAs[Timestamp]("valid_from"), Option(r.getAs[Timestamp]("valid_to")),
+            r.getAs[Long]("n_orders"))).toSet
+        // independent reference: per key, sort by (time, id), fold runs of
+        // equal (p, st) — Option equality IS the null-safe compare — then
+        // link valid_to = next run's first time
+        val expect = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+          val sorted = rs.sortBy(r => (r._3, r._2))
+          val runs = sorted.foldLeft(Vector.empty[((Option[String], Option[String]), Vector[Long])]) {
+            case (acc, (_, _, t, p, st)) =>
+              if (acc.nonEmpty && acc.last._1 == ((p, st)))
+                acc.init :+ (acc.last._1, acc.last._2 :+ t)
+              else acc :+ (((p, st)), Vector(t))
+          }
+          runs.zipWithIndex.map { case (((p, st), times), i) =>
+            val next = if (i + 1 < runs.size) Some(d(runs(i + 1)._2.head)) else None
+            (k, (i + 1).toLong, p, st, d(times.head), next, times.size.toLong)
+          }
+        }.toSet
+        got == expect
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("scd2History multi-attr plan: every exchange hashes on the key") {
     import java.sql.Timestamp
     def d(n: Long) = new Timestamp(n * 86400000L)
