@@ -12,6 +12,10 @@ closure, intractable in DuckDB above sf0.1 — tools/closure_oracle.py is
 the fast external oracle for those two (run it separately).
 
 Usage: fan_oracle.py <sfDir> <verifyOutDir> [workers] [--include-closure]
+                     [--skip q53_ngram_jaccard,...]
+
+--skip hands named queries to their own sharded external oracle (e.g. q53's
+top-k pairs via topk_pair_oracle.py) instead of the serial DuckDB compare.
 """
 import sys, os, json, subprocess
 from concurrent.futures import ProcessPoolExecutor, as_completed
@@ -41,6 +45,9 @@ def main():
         names = set(json.load(f))
     if "--include-closure" not in sys.argv:
         names -= CLOSURE
+    for i, a in enumerate(sys.argv):
+        if a == "--skip" and i + 1 < len(sys.argv):
+            names -= set(sys.argv[i + 1].split(","))
     ordered = [q for q in HEAVY_ORDER if q in names] + \
               sorted(names - set(HEAVY_ORDER))
     npass = nfail = 0
