@@ -134,6 +134,70 @@ object Relational {
         attrs.map(col)) ++ Seq(col("valid_from"), col("valid_to"), col("n_orders")): _*)
   }
 
+  /** INCREMENTAL SCD-2 maintenance — apply a delta batch of observations to
+    * an existing versioned dimension WITHOUT rebuilding history (the
+    * warehouse nightly-load path; [[scd2History]] is the full rebuild).
+    * Contract: per key, every delta observation is at-or-after every
+    * existing observation (the load-boundary guarantee a time-partitioned
+    * pipeline has by construction). Semantics — provably identical to
+    * running the full build over (existing observations ++ delta):
+    *  - delta rows fold into segments with the SAME gaps-and-islands build,
+    *    but over the BATCH only (O(batch), never O(history));
+    *  - a key's OPEN segment either extends (delta's first segment carries
+    *    the same attrs, null-safe struct compare: counts merge, the open
+    *    valid_from survives) or closes (valid_to = delta's first
+    *    valid_from), and delta segments renumber onto the key's version
+    *    sequence;
+    *  - keys untouched by the delta pass through byte-identical; keys new
+    *    in the delta keep their batch-local segments.
+    * Scale: the history side is touched only by one key-equi-join against
+    * the batch-sized delta segments (broadcast-able); closed history rows
+    * stream through untouched — no window over history, no rebuild. The
+    * q108 oracle replays the FULL rebuild over all observations, so a
+    * green row PROVES apply ≡ rebuild (the q87 proof shape applied to the
+    * dimension family). */
+  def scd2Apply(existing: DataFrame, delta: DataFrame, key: String,
+                time: String, tieBreak: String, attrs: Seq[String]): DataFrame = {
+    val d = scd2History(delta, key, time, tieBreak, attrs)
+    val attrEq = attrs.map(a => col(a) <=> col(s"__d1_$a")).reduce(_ && _)
+    val d1 = d.filter(col("version") === 1).select(
+      (col(key) +: attrs.map(a => col(a).as(s"__d1_$a"))) ++ Seq(
+        col("valid_from").as("__d1_from"), col("valid_to").as("__d1_to"),
+        col("n_orders").as("__d1_n")): _*)
+    val open = existing.filter(col("valid_to").isNull)
+      .join(d1, Seq(key), "left")
+      .withColumn("__match", when(col("__d1_from").isNull, lit(null))
+        .otherwise(attrEq))
+    // open segment: untouched key -> pass through; matching first delta
+    // segment -> extend (merge counts, inherit delta's forward link);
+    // differing -> close at the delta's first observation
+    val openOut = open.select(
+      (col(key) +: col("version") +: attrs.map(col)) ++ Seq(
+        col("valid_from"),
+        when(col("__match").isNull, col("valid_to"))
+          .when(col("__match"), col("__d1_to"))
+          .otherwise(col("__d1_from")).as("valid_to"),
+        when(col("__match") === true, col("n_orders") + col("__d1_n"))
+          .otherwise(col("n_orders")).as("n_orders")): _*)
+    // delta segments renumber onto the key's version sequence: a matched
+    // first segment was merged above (dropped here); base = the open
+    // segment's version, 0 for brand-new keys
+    val keyMeta = open.select(col(key), col("version").as("__open_v"),
+      col("__match").as("__merged1"))
+    val dOut = d.join(keyMeta, Seq(key), "left")
+      .filter(!(coalesce(col("__merged1"), lit(false)) && col("version") === 1))
+      .select(
+        (col(key) +:
+          (coalesce(col("__open_v"), lit(0L)) + col("version") -
+            when(coalesce(col("__merged1"), lit(false)), 1L).otherwise(0L))
+            .cast("bigint").as("version") +:
+          attrs.map(col)) ++ Seq(
+          col("valid_from"), col("valid_to"), col("n_orders")): _*)
+    existing.filter(col("valid_to").isNotNull)
+      .unionByName(openOut)
+      .unionByName(dOut)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-H Q1-shaped pricing summary: full-scan hash aggregation with
@@ -628,6 +692,28 @@ object Relational {
           attrs = Seq("o_orderpriority", "o_orderstatus"))
         .orderBy("o_custkey", "version")),
 
+    // INCREMENTAL SCD-2 maintenance, answer-checked against the full
+    // rebuild: orders before the cutoff play the existing versioned
+    // dimension (built once, at rest); orders at-or-after it play the
+    // nightly delta batch. scd2Apply folds ONLY the batch into segments
+    // and joins them against the dimension's open row per key —
+    // O(batch) work against O(history) state, the q87 proof shape for
+    // the dimension family. The oracle replays the FULL gaps-and-islands
+    // rebuild over all orders (q107's SQL verbatim), so a green row
+    // proves apply ≡ rebuild: merged open segments, closed-at-delta
+    // boundaries, renumbered versions and untouched keys all land
+    // byte-identical to history rebuilt from scratch.
+    "q108_scd2_apply" -> ((s, d) => {
+      val cutoff = lit("1998-04-25").cast("timestamp")
+      val orders = t(s, d, "orders")
+      val attrs = Seq("o_orderpriority", "o_orderstatus")
+      val existing = scd2History(orders.filter(col("o_orderdate") < cutoff),
+        "o_custkey", "o_orderdate", "o_orderkey", attrs)
+      scd2Apply(existing, orders.filter(col("o_orderdate") >= cutoff),
+          "o_custkey", "o_orderdate", "o_orderkey", attrs)
+        .orderBy("o_custkey", "version")
+    }),
+
     // Correlated-style aggregation pushed through a join: supplier activity.
     "q26_supplier_activity" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -956,6 +1042,34 @@ object Relational {
         |FROM seg ORDER BY o_custkey, valid_from""".stripMargin,
 
     "q107_scd2_multi" ->
+      """WITH ob AS (
+        | SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority, o_orderstatus,
+        |  CASE WHEN lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |         IS NULL
+        |       OR lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |         IS DISTINCT FROM o_orderpriority
+        |       OR lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |         IS DISTINCT FROM o_orderstatus
+        |       THEN 1 ELSE 0 END AS chg
+        | FROM orders),
+        |isl AS (
+        | SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                          ROWS UNBOUNDED PRECEDING) AS island
+        | FROM ob),
+        |seg AS (
+        | SELECT o_custkey, island, o_orderpriority, o_orderstatus,
+        |  min(o_orderdate) AS valid_from, count(*) AS n_orders
+        | FROM isl GROUP BY 1, 2, 3, 4)
+        |SELECT o_custkey, CAST(island AS BIGINT) AS version, o_orderpriority, o_orderstatus,
+        | valid_from,
+        | lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island) AS valid_to,
+        | n_orders
+        |FROM seg ORDER BY o_custkey, version""".stripMargin,
+
+    // q108's oracle IS the full rebuild (q107's SQL verbatim): the
+    // incremental apply over (pre-cutoff dimension, post-cutoff delta)
+    // must equal history rebuilt from scratch over ALL orders
+    "q108_scd2_apply" ->
       """WITH ob AS (
         | SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority, o_orderstatus,
         |  CASE WHEN lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)

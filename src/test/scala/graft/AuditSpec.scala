@@ -653,6 +653,74 @@ class AuditSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("scd2Apply: extend, close, new-key and untouched-key branches") {
+    import java.sql.Timestamp
+    def d(n: Long) = new Timestamp(n * 86400000L)
+    val before = Seq(
+      (1L, 1L, d(1), "A", "O"), (1L, 2L, d(2), "A", "O"), // key 1 open (A,O) n=2
+      (2L, 3L, d(1), "B", "F"),                           // key 2 open (B,F)
+      (3L, 4L, d(1), "C", "O"))                           // key 3: untouched
+      .toDF("k", "id", "t", "p", "st")
+    val delta = Seq(
+      (1L, 10L, d(5), "A", "O"), (1L, 11L, d(6), "B", "O"), // extend then flip
+      (2L, 12L, d(5), "X", "F"),                            // immediate close
+      (9L, 13L, d(5), "N", "N"))                            // brand-new key
+      .toDF("k", "id", "t", "p", "st")
+    val existing = graft.operators.Relational
+      .scd2History(before, "k", "t", "id", Seq("p", "st"))
+    val got = graft.operators.Relational
+      .scd2Apply(existing, delta, "k", "t", "id", Seq("p", "st"))
+      .orderBy("k", "version")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("version"),
+        r.getAs[String]("p"), r.getAs[Timestamp]("valid_from"),
+        Option(r.getAs[Timestamp]("valid_to")), r.getAs[Long]("n_orders")))
+    assert(got.toSeq == Seq(
+      (1L, 1L, "A", d(1), Some(d(6)), 3L), // merged: 2 existing + 1 delta
+      (1L, 2L, "B", d(6), None, 1L),       // renumbered delta segment
+      (2L, 1L, "B", d(1), Some(d(5)), 1L), // closed at the delta boundary
+      (2L, 2L, "X", d(5), None, 1L),
+      (3L, 1L, "C", d(1), None, 1L),       // untouched: still open
+      (9L, 1L, "N", d(5), None, 1L)))      // new key: batch-local history
+  }
+
+  test("scd2Apply: equals the full rebuild on random NULL-heavy histories") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import java.sql.Timestamp
+    def d(n: Long) = new Timestamp(n * 86400000L)
+    val attrGen = Gen.oneOf(Option.empty[String], Some("A"), Some("B"))
+    val genCase = for {
+      n <- Gen.choose(0, 14)
+      ks <- Gen.listOfN(n, Gen.choose(1L, 3L))
+      ts <- Gen.listOfN(n, Gen.choose(0L, 6L))
+      ps <- Gen.listOfN(n, attrGen)
+      ss <- Gen.listOfN(n, attrGen)
+    } yield ks.indices.map(i => (ks(i), i.toLong, ts(i), ps(i), ss(i)))
+    val prop = Prop.forAll(genCase) { rows =>
+      // global time-threshold split satisfies the per-key monotone contract;
+      // degenerate splits (empty existing or empty delta side) are skipped —
+      // scd2History over an empty frame is not the operator's input contract
+      val existing = rows.filter(_._3 < 3); val delta = rows.filter(_._3 >= 3)
+      existing.isEmpty || delta.isEmpty || {
+        def df(rs: Seq[(Long, Long, Long, Option[String], Option[String])]) =
+          rs.map { case (k, id, t, p, st) => (k, id, d(t), p, st) }
+            .toDF("k", "id", "t", "p", "st")
+        def canon(x: org.apache.spark.sql.DataFrame) =
+          x.collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("version"),
+            Option(r.getAs[String]("p")), Option(r.getAs[String]("st")),
+            r.getAs[Timestamp]("valid_from"), Option(r.getAs[Timestamp]("valid_to")),
+            r.getAs[Long]("n_orders"))).toSet
+        val applied = graft.operators.Relational.scd2Apply(
+          graft.operators.Relational.scd2History(df(existing), "k", "t", "id", Seq("p", "st")),
+          df(delta), "k", "t", "id", Seq("p", "st"))
+        val full = graft.operators.Relational
+          .scd2History(df(rows), "k", "t", "id", Seq("p", "st"))
+        canon(applied) == canon(full)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("scd2History multi-attr plan: every exchange hashes on the key") {
     import java.sql.Timestamp
     def d(n: Long) = new Timestamp(n * 86400000L)
