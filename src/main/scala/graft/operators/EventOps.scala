@@ -72,7 +72,28 @@ object EventOps {
   def asofBackward(left: DataFrame, right: DataFrame,
                    key: String, ts: String, out: String,
                    payload: Seq[String] = Nil,
-                   tieBreak: Option[String] = None): DataFrame = {
+                   tieBreak: Option[String] = None): DataFrame =
+    asofMatch(left, right, key, ts, out, payload, tieBreak, forward = false)
+
+  /** Forward AS-OF JOIN — the time-to-next-event mirror of
+    * [[asofBackward]]: for each `left` row, the matching `right` row is
+    * the one with the SMALLEST right.`ts` >= left.`ts` for the same key
+    * ("when did this user next convert"). Equal timestamps match (left
+    * sorts before right on ties); with `tieBreak`, the LOWEST tie value
+    * wins among equal-ts right rows (arg-min — the mirror of backward's
+    * arg-max). Same ONE-shuffle union shape: `first(struct, ignoreNulls)`
+    * over a currentRow→unbounded-FOLLOWING frame instead of last() over
+    * the preceding frame; identical NULL semantics and payload packing. */
+  def asofForward(left: DataFrame, right: DataFrame,
+                  key: String, ts: String, out: String,
+                  payload: Seq[String] = Nil,
+                  tieBreak: Option[String] = None): DataFrame =
+    asofMatch(left, right, key, ts, out, payload, tieBreak, forward = true)
+
+  private def asofMatch(left: DataFrame, right: DataFrame,
+                        key: String, ts: String, out: String,
+                        payload: Seq[String], tieBreak: Option[String],
+                        forward: Boolean): DataFrame = {
     Seq("__side", "__asof", "__tie", out).foreach { c =>
       require(!left.columns.contains(c),
         s"asofBackward: left already has a column '$c' (reserved/output name) — rename it first")
@@ -98,12 +119,16 @@ object EventOps {
       col(key).isNotNull && col(ts).cast(tsType).isNotNull)
     val packed = struct(
       (col(ts).cast(tsType).as("__t") +: payload.map(col)).toIndexedSeq: _*)
+    // side ordering puts the matchable side adjacent to equal-ts left
+    // rows: backward → right(0) before left(1); forward → left(0) before
+    // right(1) — both make equal timestamps match
+    val (lSide, rSide) = if (forward) (0, 1) else (1, 0)
     val rBase = rMatchable.select(
       (col(key) +: col(ts).cast(tsType).as(ts) +: packed.as("__asof") +:
-        lit(0).as("__side") +:
+        lit(rSide).as("__side") +:
         tieBreak.map(tb => col(tb).as("__tie")).toSeq).toIndexedSeq: _*)
     val asofType = rBase.schema("__asof").dataType
-    val l0 = left.withColumn("__side", lit(1))
+    val l0 = left.withColumn("__side", lit(lSide))
       .withColumn("__asof", lit(null).cast(asofType))
     val l = tieBreak.fold(l0)(_ => l0.withColumn("__tie",
       lit(null).cast(rBase.schema("__tie").dataType)))
@@ -111,15 +136,27 @@ object EventOps {
     val r = extras.foldLeft(rBase) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
-    // ties among same-(key, ts) right rows: ascending __tie puts the
-    // max-tie row physically last, so running last() picks it (arg-max)
-    val order = Seq(col(ts), col("__side")) ++
+    // ties among same-(key, ts) right rows: ascending __tie + running
+    // last() picks the MAX tie (backward, arg-max); ascending __tie +
+    // first() over the following frame picks the MIN tie (forward,
+    // arg-min)
+    // NULL-ts left rows must match nothing in BOTH directions: backward's
+    // nulls-first default leaves their preceding frame right-free; forward
+    // needs nulls LAST so their following frame is right-free too
+    val tsOrder = if (forward) col(ts).asc_nulls_last else col(ts).asc_nulls_first
+    val order = Seq(tsOrder, col("__side")) ++
       tieBreak.map(_ => col("__tie").asc_nulls_first)
-    val timeline = Window.partitionBy(key).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byKey = Window.partitionBy(key).orderBy(order: _*)
+    val (timeline, pick) =
+      if (forward)
+        (byKey.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("__asof"), ignoreNulls = true))
+      else
+        (byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("__asof"), ignoreNulls = true))
     val matched = l.unionByName(r.select(l.columns.map(col).toIndexedSeq: _*))
-      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(timeline))
-      .filter(col("__side") === 1)
+      .withColumn("__asof", pick.over(timeline))
+      .filter(col("__side") === lSide)
       .withColumn(out, col("__asof.__t"))
     payload.foldLeft(matched) { (df, p) => df.withColumn(p, col(s"__asof.$p")) }
       .drop("__side", "__asof", "__tie")
@@ -365,6 +402,33 @@ object EventOps {
         .orderBy("event_id")
     }),
 
+    // FORWARD AS-OF JOIN — time-to-conversion attribution: every click is
+    // matched to the same user's NEXT purchase at-or-after the click, with
+    // the purchase's id and value as payload and the conversion gap in
+    // microseconds. The mirror of q106 (first-over-following instead of
+    // last-over-preceding, arg-MIN tie-break), same one-shuffle timeline.
+    // The oracle replays it with DuckDB's (backward-only) native ASOF
+    // join over NEGATED epoch micros — min(t >= x) ≡ max(-t <= -x) — an
+    // independent formulation, not our window shape; right rows pre-dedup
+    // per (user, ts) with arg_min, exactly what the tieBreak selects.
+    "q109_asof_forward" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      asofForward(
+        left = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        right = purchases,
+        key = "user_id", ts = "ts", out = "purchase_ts",
+        payload = Seq("purchase_id", "purchase_value"),
+        tieBreak = Some("purchase_id"))
+        .select(col("event_id"), col("user_id"), col("ts").as("click_ts"),
+          col("purchase_ts"), col("purchase_id"), col("purchase_value"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("ts"))).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     "q98_retention_cohorts" -> ((s, d) => {
       val ev = Tables.load(s, d, "events")
         .select(col("user_id"), to_date(col("ts")).as("day"))
@@ -407,6 +471,24 @@ object EventOps {
         |ASOF LEFT JOIN c
         | ON p.user_id = c.cuid AND c.cts <= CAST(p.ts AS TIMESTAMP)
         |ORDER BY p.event_id""".stripMargin,
+
+    "q109_asof_forward" ->
+      """WITH p AS (
+        | SELECT user_id AS puid, CAST(ts AS TIMESTAMP) AS pts,
+        |  -epoch_us(CAST(ts AS TIMESTAMP)) AS neg_us,
+        |  min(event_id) AS purchase_id,
+        |  arg_min(value, event_id) AS purchase_value
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 3),
+        |c AS (
+        | SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS cts,
+        |  -epoch_us(CAST(ts AS TIMESTAMP)) AS neg_us
+        | FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.cts AS click_ts,
+        | p.pts AS purchase_ts, p.purchase_id, p.purchase_value,
+        | epoch_us(p.pts) - epoch_us(c.cts) AS gap_us
+        |FROM c
+        |ASOF LEFT JOIN p ON c.user_id = p.puid AND p.neg_us <= c.neg_us
+        |ORDER BY c.event_id""".stripMargin,
 
     "q41_sessionize" ->
       """WITH x AS (

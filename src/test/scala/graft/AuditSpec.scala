@@ -547,6 +547,67 @@ class AuditSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("asofForward: agrees with a naive per-row reference on random timelines") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // right rows deduped to one per (key, ts) keeping the MIN payload id —
+    // forward's arg-min tie-break, mirroring q109's arg_min pre-dedup
+    val genCase = for {
+      nL <- Gen.choose(0, 12); nR <- Gen.choose(0, 12)
+      lks <- Gen.listOfN(nL, Gen.choose(1L, 4L))
+      lts <- Gen.listOfN(nL, Gen.choose(0L, 20L))
+      rks <- Gen.listOfN(nR, Gen.choose(1L, 4L))
+      rts <- Gen.listOfN(nR, Gen.choose(0L, 20L))
+    } yield (lks.zip(lts).zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+             rks.zip(rts).zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+               .groupBy(r => (r._1, r._2)).values.map(_.minBy(_._3)).toList)
+    val prop = Prop.forAll(genCase) { case (lrows, rrows) =>
+      val left = lrows.map { case (id, k, t) => (id, k, ts(t)) }
+        .toDF("event_id", "user_id", "ts")
+      val right = rrows.map { case (k, t, rid) => (k, ts(t), rid) }
+        .toDF("user_id", "ts", "rid")
+      val got = EventOps.asofForward(left, right, "user_id", "ts", "next_ts",
+          payload = Seq("rid"), tieBreak = Some("rid"))
+        .select("event_id", "next_ts", "rid")
+        .as[(Long, Option[Timestamp], Option[Long])]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      lrows.forall { case (id, k, t) =>
+        val expect = rrows.filter(r => r._1 == k && r._2 >= t)
+          .minByOption(_._2).map(r => (ts(r._2), r._3))
+        got.get(id).contains((expect.map(_._1), expect.map(_._2)))
+      } && got.size == lrows.size
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("asofForward: NULL-key/NULL-ts never match; one shuffle, no join") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val left = Seq(
+      (1L, Some(10L), Some(ts(100))), // next right at 150
+      (2L, None, Some(ts(100))),      // NULL key → no match
+      (3L, Some(10L), None)           // NULL ts → no match (nulls-last frame)
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Some(10L), Some(ts(150)), 1L),
+      (None, Some(ts(160)), 2L),
+      (Some(10L), None, 3L)
+    ).toDF("user_id", "ts", "rid")
+    val df = EventOps.asofForward(left, right, "user_id", "ts", "m_ts",
+      payload = Seq("rid"))
+    val got = df.select("event_id", "m_ts", "rid")
+      .as[(Long, Option[Timestamp], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((Some(ts(150)), Some(1L))))
+    assert(got(2L) == ((None, None)))
+    assert(got(3L) == ((None, None)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   // ---- q107 multi-attribute SCD-2 -----------------------------------------
 
   test("scd2History multi-attr: either field flipping opens a segment; versions are ordinals") {
