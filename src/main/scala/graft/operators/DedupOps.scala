@@ -35,7 +35,8 @@ object DedupOps {
   private val numBands = 8 // r = 4 rows per band
   private val bandRows = numHashes / numBands
 
-  /** q87's pre-built corpus cluster state, keyed by (session, dataset):
+  /** Pre-built corpus cluster state (q87/q110), keyed by (session, tag +
+    * dataset):
     * built on first use, localCheckpointed, reused by every later
     * invocation in the same session — so the BENCHED per-trial cost of
     * q87 is the per-batch cost a production user pays (batch pair
@@ -47,14 +48,14 @@ object DedupOps {
     * entries are label-frame-sized (one (node, label) row per clustered
     * doc) and pinned for the JVM's lifetime, bounded by the handful of
     * sessions a Verify/Bench/test JVM ever creates. */
-  private val q87StateCache =
+  private val corpusStateCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def q87State(s: SparkSession, d: String,
-                       build: () => DataFrame): DataFrame = {
+  private def corpusState(s: SparkSession, d: String, tag: String,
+                          build: () => DataFrame): DataFrame = {
     val dir = try java.nio.file.Paths.get(d).toRealPath().toString
       catch { case _: java.io.IOException => d }
-    q87StateCache.computeIfAbsent((s, dir), _ => build())
+    corpusStateCache.computeIfAbsent((s, tag + "#" + dir), _ => build())
   }
 
   /** doc_id → distinct word-3-gram shingle array. */
@@ -481,7 +482,7 @@ object DedupOps {
     // batch fixed.)
     "q87_incremental_clusters" -> ((s, d) => {
       val isBatch = (c: org.apache.spark.sql.Column) => c % 10 === 0
-      val existing = q87State(s, d, () =>
+      val existing = corpusState(s, d, "q87", () =>
         DedupPipeline.clusters(
           ngramJaccardPairs(s, d, minJac = Some(0.5)).select("a", "b")
             .filter(!isBatch(col("a")) && !isBatch(col("b"))),
@@ -491,6 +492,31 @@ object DedupOps {
         .filter(isBatch(col("a")) || isBatch(col("b")))
       DedupPipeline.updateClusters(existing, newPairs, maxIter = 100)
         .select(col("node"), col("label"))
+        .orderBy("node")
+    }),
+
+    // INCREMENTAL cluster DELETION, answer-checked against the full
+    // recluster of the remainder: every 17th doc plays the takedown batch.
+    // The persisted assignment (full-corpus clusters, built once per
+    // session and localCheckpointed — the same at-rest state q87 reads)
+    // loses the removed nodes via DedupPipeline.removeFromClusters, which
+    // re-propagates ONLY the affected components' surviving edge subgraph
+    // — deletions can SPLIT a component, which updateClusters' contraction
+    // cannot express — and streams every untouched component through one
+    // anti-join. The oracle replays the recursive-CTE closure over the
+    // REMAINING documents (the O(corpus) recluster), so a green row
+    // proves the O(affected) repair computes the identical assignment.
+    "q110_cluster_deletion" -> ((s, d) => {
+      val isRemoved = (c: org.apache.spark.sql.Column) => c % 17 === 0
+      val existing = corpusState(s, d, "q110", () =>
+        DedupPipeline.clusters(
+          ngramJaccardPairs(s, d, minJac = Some(0.5)).select("a", "b"),
+          maxIter = 100)
+          .localCheckpoint(eager = true))
+      val remaining = ngramJaccardPairs(s, d, minJac = Some(0.5)).select("a", "b")
+        .filter(!isRemoved(col("a")) && !isRemoved(col("b")))
+      val removed = existing.select("node").filter(isRemoved(col("node")))
+      DedupPipeline.removeFromClusters(existing, removed, remaining, maxIter = 100)
         .orderBy("node")
     }),
 
@@ -574,13 +600,18 @@ object DedupOps {
         .limit(50)
     }))
 
-  /** Ground truth for BOTH cluster queries (q58 full recluster, q87
-    * incremental maintenance): the recursive-CTE transitive closure over
-    * the thresholded pair graph. One string, two map entries — an edit
-    * here reaches both oracles. */
-  private lazy val closureOracleSql: String =
+  /** Ground truth for ALL THREE cluster queries (q58 full recluster, q87
+    * incremental insert, q110 incremental delete): the recursive-CTE
+    * transitive closure over the thresholded pair graph, optionally over
+    * a filtered document set (q110 removes the takedown batch BEFORE pair
+    * generation — the closure over the remainder IS the full-recluster
+    * ground truth a deletion must reproduce). One template, three map
+    * entries — an edit here reaches every cluster oracle; the sf1-scale
+    * external oracle (tools/closure_oracle.py) lifts the pair clause from
+    * whichever entry it checks, so the filter rides along verbatim. */
+  private def closureOracleSql(docFilter: String): String =
     s"""WITH RECURSIVE
-       | t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+       | t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents$docFilter),
        | sh AS (SELECT doc_id, CAST(floor(n_chars / 50) AS BIGINT) AS blk,
        |        ${TextOps.shinglesSql} AS s FROM t),
        | pr AS (SELECT a.doc_id AS a, b.doc_id AS b
@@ -653,14 +684,15 @@ object DedupOps {
 
     // Transitive closure over the same edge set; min reachable id per node
     // is exactly what min-label propagation converges to.
-    "q58_dedup_clusters" -> closureOracleSql,
+    "q58_dedup_clusters" -> closureOracleSql(""),
 
     // The incremental path must equal the full recluster BY CONSTRUCTION —
     // so its oracle IS q58's (the SAME shared string, so the two can never
     // silently desynchronize): the recursive-CTE transitive closure over
     // the union of old+new edges (= all edges at jac >= 0.5). A green row
     // means O(batch) maintenance and O(corpus) recluster agree exactly.
-    "q87_incremental_clusters" -> closureOracleSql,
+    "q87_incremental_clusters" -> closureOracleSql(""),
+    "q110_cluster_deletion" -> closureOracleSql(" WHERE doc_id % 17 <> 0"),
 
     // Same sketch/band replay as q51, with the band join restricted to
     // batch × corpus and a per-batch-doc argmax.

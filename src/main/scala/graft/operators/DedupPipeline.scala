@@ -281,6 +281,44 @@ object DedupPipeline {
     updatedOld.unionByName(newNodes)
   }
 
+  /** INCREMENTAL cluster DELETION — the takedown/expiry path, completing
+    * the maintenance triple (full [[clusters]] build, [[updateClusters]]
+    * insert, this remove): drop a batch of nodes and repair ONLY the
+    * components they touched. Removal is harder than insertion because a
+    * deleted node can be the BRIDGE of its component — the survivors may
+    * SPLIT — so the affected components' surviving edge subgraph is
+    * re-propagated from scratch; but ONLY theirs: work is
+    * O(affected components), never O(corpus), and untouched components
+    * stream through byte-identical (one anti-join on their label).
+    *
+    * `remainingPairs` is the surviving edge set (any superset restricted
+    * here to affected-component survivors is fine — edges never cross
+    * components, so the subgraph join prunes everything else). A survivor
+    * that loses its last edge drops out of the assignment, matching the
+    * full-recluster contract (the label table holds edge-connected nodes).
+    * The q110 oracle replays the FULL closure over the remaining corpus,
+    * so a green row proves remove ≡ full recluster of the remainder. */
+  def removeFromClusters(existing: DataFrame, removed: DataFrame,
+                         remainingPairs: DataFrame, maxIter: Int = 10,
+                         strict: Boolean = true,
+                         checkpointDir: Option[String] = None): DataFrame = {
+    val affected = existing
+      .join(removed.select("node"), Seq("node"))
+      .select("label").distinct()
+    val members = existing
+      .join(broadcast(affected), Seq("label"))
+      .join(removed.select("node"), Seq("node"), "left_anti")
+      .select("node")
+    val subEdges = remainingPairs.select(col("a"), col("b"))
+      .join(members.select(col("node").as("a")), Seq("a"))
+      .join(members.select(col("node").as("b")), Seq("b"))
+    val relabeled = clusters(subEdges, maxIter, strict, checkpointDir)
+    existing
+      .join(broadcast(affected), Seq("label"), "left_anti")
+      .select("node", "label")
+      .unionByName(relabeled.select("node", "label"))
+  }
+
   /** Verified near-duplicate pairs (a < b, exact Jaccard >= threshold) via
     * the MinHash-LSH path — exposed for auditing what dedup() would drop. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame =

@@ -153,6 +153,37 @@ class CurationSpec extends AnyFunSuite {
     assert(m == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("removeFromClusters: bridge removal SPLITS, untouched components pass through") {
+    import graft.operators.DedupPipeline
+    // component {1..5} bridged by 3 (1-2-3, 3-4-5), component {10,11}
+    // untouched, component {20,21} fully removed, 30's only neighbor 31
+    // is removed (30 loses every edge)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (30L, 31L)).toDF("a", "b")
+    val existing = DedupPipeline.clusters(pairs)
+    val removed = Seq(3L, 20L, 21L, 31L).toDF("node")
+    val remaining = Seq((1L, 2L), (4L, 5L), (10L, 11L)).toDF("a", "b")
+    val got = DedupPipeline.removeFromClusters(existing, removed, remaining)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // full recluster of the remainder: the ground-truth the oracle replays
+    val full = DedupPipeline.clusters(remaining)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full, s"incremental $got != full $full")
+    // the bridge split: {1,2} and {4,5} are now SEPARATE components;
+    // removed nodes and the edge-less survivor 30 are gone from the table
+    assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("removeFromClusters: empty removal batch is an identity") {
+    import graft.operators.DedupPipeline
+    val pairs = Seq((1L, 2L), (10L, 11L)).toDF("a", "b")
+    val existing = DedupPipeline.clusters(pairs)
+    val got = DedupPipeline.removeFromClusters(existing,
+        Seq.empty[Long].toDF("node"), pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("q86: higher term frequency at equal length scores higher (BM25 monotonicity)") {
     // direct check of the scoring shape on a two-doc synthetic frame run
     // through the same formula constants

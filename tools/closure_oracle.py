@@ -30,7 +30,8 @@ from concurrent.futures import ProcessPoolExecutor
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from check_oracle import canon  # same canon => same verdict semantics
 
-QUERIES = ["q58_dedup_clusters", "q87_incremental_clusters"]
+QUERIES = ["q58_dedup_clusters", "q87_incremental_clusters",
+           "q110_cluster_deletion"]
 
 
 def edge_sql(oracle_sql: str, nshards: int, shard: int) -> str:
