@@ -81,9 +81,11 @@ object EventOps {
     * ("when did this user next convert"). Equal timestamps match (left
     * sorts before right on ties); with `tieBreak`, the LOWEST tie value
     * wins among equal-ts right rows (arg-min — the mirror of backward's
-    * arg-max). Same ONE-shuffle union shape: `first(struct, ignoreNulls)`
-    * over a currentRow→unbounded-FOLLOWING frame instead of last() over
-    * the preceding frame; identical NULL semantics and payload packing. */
+    * arg-max). Same ONE-shuffle union shape AND the same O(n)-per-key
+    * growing frame: forward is backward over the REVERSED ordering
+    * (`ts` desc + descending tie), still `last(struct, ignoreNulls)` over
+    * unboundedPreceding→currentRow — Spark's only incrementally-evaluated
+    * unbounded frame; identical NULL semantics and payload packing. */
   def asofForward(left: DataFrame, right: DataFrame,
                   key: String, ts: String, out: String,
                   payload: Seq[String] = Nil,
@@ -94,21 +96,22 @@ object EventOps {
                         key: String, ts: String, out: String,
                         payload: Seq[String], tieBreak: Option[String],
                         forward: Boolean): DataFrame = {
+    val op = if (forward) "asofForward" else "asofBackward"
     Seq("__side", "__asof", "__tie", out).foreach { c =>
       require(!left.columns.contains(c),
-        s"asofBackward: left already has a column '$c' (reserved/output name) — rename it first")
+        s"$op: left already has a column '$c' (reserved/output name) — rename it first")
     }
     tieBreak.foreach { tb =>
       require(right.columns.contains(tb),
-        s"asofBackward: tieBreak column '$tb' not found on the right side")
+        s"$op: tieBreak column '$tb' not found on the right side")
     }
     payload.foreach { p =>
       require(!left.columns.contains(p),
-        s"asofBackward: payload column '$p' collides with a left column — alias it on the right side first")
+        s"$op: payload column '$p' collides with a left column — alias it on the right side first")
       require(right.columns.contains(p),
-        s"asofBackward: payload column '$p' not found on the right side")
+        s"$op: payload column '$p' not found on the right side")
       require(p != "__t" && p != out,
-        s"asofBackward: payload column '$p' collides with the packed-struct field names")
+        s"$op: payload column '$p' collides with the packed-struct field names")
     }
     val tsType = left.schema(ts).dataType
     // SQL ASOF parity: NULL-key / NULL-ts right rows can never satisfy the
@@ -119,10 +122,18 @@ object EventOps {
       col(key).isNotNull && col(ts).cast(tsType).isNotNull)
     val packed = struct(
       (col(ts).cast(tsType).as("__t") +: payload.map(col)).toIndexedSeq: _*)
-    // side ordering puts the matchable side adjacent to equal-ts left
-    // rows: backward → right(0) before left(1); forward → left(0) before
-    // right(1) — both make equal timestamps match
-    val (lSide, rSide) = if (forward) (0, 1) else (1, 0)
+    // BOTH directions traverse each key's timeline with a growing
+    // (unboundedPreceding → currentRow) row frame + running last(): that is
+    // the ONE window frame Spark evaluates incrementally
+    // (UnboundedPrecedingWindowFunctionFrame, O(n) per key). Forward is
+    // backward over the REVERSED ordering (ts desc) — never first() over an
+    // unbounded-FOLLOWING frame, which Spark re-evaluates from every row to
+    // partition end (UnboundedFollowingWindowFunctionFrame, O(n²) per key:
+    // a hot key with many events degrades quadratically).
+    // In traversal order the matchable right row must sort BEFORE an
+    // equal-ts left row so ties match: right(0) before left(1) in both
+    // directions (forward's desc sort already reverses the ts axis).
+    val (lSide, rSide) = (1, 0)
     val rBase = rMatchable.select(
       (col(key) +: col(ts).cast(tsType).as(ts) +: packed.as("__asof") +:
         lit(rSide).as("__side") +:
@@ -136,26 +147,23 @@ object EventOps {
     val r = extras.foldLeft(rBase) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
-    // ties among same-(key, ts) right rows: ascending __tie + running
-    // last() picks the MAX tie (backward, arg-max); ascending __tie +
-    // first() over the following frame picks the MIN tie (forward,
-    // arg-min)
-    // NULL-ts left rows must match nothing in BOTH directions: backward's
-    // nulls-first default leaves their preceding frame right-free; forward
-    // needs nulls LAST so their following frame is right-free too
-    val tsOrder = if (forward) col(ts).asc_nulls_last else col(ts).asc_nulls_first
-    val order = Seq(tsOrder, col("__side")) ++
-      tieBreak.map(_ => col("__tie").asc_nulls_first)
+    // ties among same-(key, ts) right rows: running last() picks the row
+    // SORTED LAST within the equal-ts run, so ascending __tie → MAX tie
+    // wins (backward, arg-max) and descending __tie → MIN tie wins
+    // (forward, arg-min); NULL ties sort FIRST in both so they lose to any
+    // non-null tie.
+    // NULL-ts left rows must match nothing in BOTH directions: nulls sort
+    // FIRST in traversal order (asc_nulls_first / desc_nulls_first), so
+    // their growing frame holds only fellow NULL-ts left rows (NULL-ts
+    // right rows were filtered above) and the packed value stays NULL.
+    val tsOrder = if (forward) col(ts).desc_nulls_first else col(ts).asc_nulls_first
+    val tieOrder =
+      if (forward) col("__tie").desc_nulls_first else col("__tie").asc_nulls_first
+    val order = Seq(tsOrder, col("__side")) ++ tieBreak.map(_ => tieOrder)
     val byKey = Window.partitionBy(key).orderBy(order: _*)
-    val (timeline, pick) =
-      if (forward)
-        (byKey.rowsBetween(Window.currentRow, Window.unboundedFollowing),
-          first(col("__asof"), ignoreNulls = true))
-      else
-        (byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow),
-          last(col("__asof"), ignoreNulls = true))
+    val timeline = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(r.select(l.columns.map(col).toIndexedSeq: _*))
-      .withColumn("__asof", pick.over(timeline))
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(timeline))
       .filter(col("__side") === lSide)
       .withColumn(out, col("__asof.__t"))
     payload.foldLeft(matched) { (df, p) => df.withColumn(p, col(s"__asof.$p")) }

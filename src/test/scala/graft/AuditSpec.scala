@@ -588,7 +588,7 @@ class AuditSpec extends AnyFunSuite {
     val left = Seq(
       (1L, Some(10L), Some(ts(100))), // next right at 150
       (2L, None, Some(ts(100))),      // NULL key → no match
-      (3L, Some(10L), None)           // NULL ts → no match (nulls-last frame)
+      (3L, Some(10L), None)           // NULL ts → no match (nulls-first in desc order: right-free frame)
     ).toDF("event_id", "user_id", "ts")
     val right = Seq(
       (Some(10L), Some(ts(150)), 1L),
@@ -606,6 +606,13 @@ class AuditSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert("hashpartitioning".r.findAllIn(plan).size == 1, plan)
     assert(!plan.contains("Join"), plan)
+    // forward MUST run on the incrementally-evaluated growing frame
+    // (unboundedpreceding → currentrow over the reversed ordering); an
+    // unbounded-FOLLOWING frame re-scans to partition end from every row —
+    // O(n²) on a hot key — and must never reappear here
+    val lower = plan.toLowerCase
+    assert(!lower.contains("unboundedfollowing"), plan)
+    assert(lower.contains("unboundedpreceding"), plan)
   }
 
   // ---- q107 multi-attribute SCD-2 -----------------------------------------
