@@ -89,13 +89,15 @@ object Bench {
     try SparkEntry.queries("q25_star_join")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    // q87's corpus cluster bootstrap is deliberate one-time per-session
-    // state (DedupOps.q87State); build it HERE so every timed trial
-    // measures the per-batch updateClusters path — otherwise the first
-    // timed trial pays the O(corpus) build, which with 1–2 trials lands
-    // in the reported number and always lands in q87's heap attribution.
-    if (ordered.exists(_._1.startsWith("q87")))
-      try SparkEntry.queries("q87_incremental_clusters")(spark, sfDir)
+    // q87's and q110's corpus cluster bootstraps are deliberate one-time
+    // per-session state (DedupOps session caches); build them HERE so every
+    // timed trial measures only the per-batch path (updateClusters /
+    // ClusterState.remove) — otherwise the first timed trial pays the
+    // O(corpus) build, which with 1–2 trials lands in the reported number
+    // and always lands in the query's heap attribution.
+    for (warm <- Seq("q87_incremental_clusters", "q110_cluster_deletion")
+         if ordered.exists(_._1 == warm))
+      try SparkEntry.queries(warm)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     // noop sink forces FULL evaluation of every output column — count()

@@ -17,6 +17,33 @@ object ScaleProbe {
     r
   }
 
+  /** INCREMENTAL cluster DELETION at scale (r9): a FIXED takedown of 500
+    * nodes against a growing persisted ClusterState (labels +
+    * label-annotated edges, the at-rest form). remove() reads only the
+    * affected components' edges via the label annotation, so its cost must
+    * stay ~flat as the corpus grows kx — the q110 shape without the
+    * session cache. Removing each chain's SECOND node makes every affected
+    * component SPLIT (the expensive repair path, not the easy all-gone
+    * one); the full recluster of the remainder is the O(corpus)
+    * alternative it beats. Standalone: SPARK_GRAFT_DELETE_PROBE=1. */
+  private def deletionProbe(spark: SparkSession): Unit = {
+    import graft.operators.{ClusterState, DedupPipeline}
+    def chainEdges(m: Long) =
+      spark.range(m).toDF("c").selectExpr(
+        "stack(3, c*4, c*4+1, c*4+1, c*4+2, c*4+2, c*4+3) AS (a, b)")
+    val takedown = spark.range(500).selectExpr("id * 4 + 1 AS node")
+    for (m <- Seq(25000L, 100000L, 400000L)) {
+      val st = ClusterState.build(chainEdges(m), maxIter = 10).cached()
+      time(s"ClusterState.remove takedown=500 corpus=${m * 4}")(
+        st.remove(takedown, maxIter = 10).labels.count())
+      val remainder = chainEdges(m)
+        .join(takedown.selectExpr("node AS a"), Seq("a"), "left_anti")
+        .join(takedown.selectExpr("node AS b"), Seq("b"), "left_anti")
+      time(s"full recluster of remainder corpus=${m * 4}")(
+        DedupPipeline.clusters(remainder, maxIter = 10).count())
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", Bench.defaultSfDir)
     val k = sys.env.getOrElse("SPARK_GRAFT_SCALE", "8").toInt
@@ -64,6 +91,12 @@ object ScaleProbe {
     // rides the ONE timeline sort packed in a struct. Measure it: same
     // as-of join with 0, 2 and 4 payload columns (+ tieBreak), 3 runs
     // each after warmup, minima printed. SPARK_GRAFT_ASOF_PROBE=1.
+    if (sys.env.contains("SPARK_GRAFT_DELETE_PROBE")) {
+      deletionProbe(spark)
+      spark.stop()
+      return
+    }
+
     if (sys.env.contains("SPARK_GRAFT_ASOF_PROBE")) {
       val ev = Tables.load(spark, sfDir, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -177,6 +210,8 @@ object ScaleProbe {
           DedupPipeline.clusters(chainEdges(m).unionByName(batch), maxIter = 10).count())
       }
     }
+
+    deletionProbe(spark)
 
     // HOT-SHINGLE probe (r5): boilerplate-heavy corpus (10% of docs share
     // one injected sentence → its shingles are in >n/10 docs). The

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DURABLE duplicate-cluster state — the at-rest form of the cluster
+  * maintenance triple (build / O(batch) insert / O(affected) delete).
+  *
+  * A production takedown or ingest pipeline restarts between batches; the
+  * session-cached label frame the bench harness keeps is not a production
+  * answer. This state round-trips parquet ([[save]]/[[ClusterState.load]],
+  * mirroring [[IvfIndex.save]]) and carries BOTH tables the maintenance
+  * operations need:
+  *
+  *  - `labels` — the (node, label) component assignment, exactly what
+  *    [[DedupPipeline.clusters]] returns;
+  *  - `edges` — the thresholded near-dup pair set, LABEL-ANNOTATED as
+  *    (label, a, b). Edges never cross components (both endpoints of a
+  *    near-dup pair are by definition in the same component), so each
+  *    edge's component label is well-defined — and storing it makes
+  *    DELETION read ONLY the affected components' edges: the repair joins
+  *    `edges` against the (takedown-sized) affected-label set instead of
+  *    re-deriving the full-corpus LSH pair graph per takedown, which is
+  *    the difference between O(affected) and O(corpus) per deletion. At
+  *    rest, partition or bucket the edge table by a hash of `label` and
+  *    the affected-label join prunes file I/O too.
+  *
+  * Both [[insert]] and [[remove]] return the UPDATED state (labels and
+  * edges), so the nightly loop is load → insert/remove → save. All
+  * transformations are lazy; consuming only `.labels` of a result never
+  * executes the edge-maintenance joins.
+  */
+final case class ClusterState(labels: DataFrame, edges: DataFrame) {
+
+  /** Persist both tables (overwrite) under `root`. At cluster scale point
+    * this at durable storage and (for the edge table) a layout keyed on
+    * `label` so [[remove]]'s affected-component join prunes at the file
+    * level; plain parquet keeps the sandbox contract identical to
+    * [[IvfIndex.save]]. */
+  def save(root: String): Unit = {
+    labels.write.mode("overwrite").parquet(s"$root/labels")
+    edges.write.mode("overwrite").parquet(s"$root/edges")
+  }
+
+  /** Materialize both tables and cut lineage — the in-session stand-in for
+    * a saved-and-reloaded state (what Bench warms so timed trials pay only
+    * the per-batch path). */
+  def cached(): ClusterState =
+    ClusterState(labels.localCheckpoint(eager = true),
+      edges.localCheckpoint(eager = true))
+
+  /** O(batch) INSERT: absorb a batch of new near-dup pairs (new~new and
+    * new~old, e.g. from [[DedupOps.minHashCrossDupPairs]]) via
+    * [[DedupPipeline.updateClusters]] (component contraction — propagation
+    * runs on a batch-sized graph), then refresh the edge annotation: merged
+    * components change representative, so every edge's label is re-derived
+    * from its `a` endpoint's new label (one equi-join against the label
+    * table; only merged components' edges actually change labels, and a
+    * transactional at-rest format rewrites only those partitions).
+    * Callers own batch-vs-corpus edge uniqueness (duplicate pairs are
+    * harmless for propagation but bloat the stored edge set). */
+  def insert(newPairs: DataFrame, maxIter: Int = 10, strict: Boolean = true,
+             checkpointDir: Option[String] = None): ClusterState = {
+    val newLabels = DedupPipeline.updateClusters(
+      labels, newPairs, maxIter, strict, checkpointDir)
+    val allEdges = edges.select("a", "b").unionByName(newPairs.select("a", "b"))
+    val relabeled = allEdges
+      .join(newLabels.select(col("node").as("a"), col("label")), "a")
+      .select("label", "a", "b")
+    ClusterState(newLabels, relabeled)
+  }
+
+  /** O(affected) DELETE: drop `removed` (a (node) frame) and repair ONLY
+    * the components it touched. Deletions can SPLIT a component (the
+    * removed node may be its bridge), so the affected components' surviving
+    * edge subgraph is re-propagated from scratch — but only theirs: the
+    * label annotation scopes the edge read to affected components (a
+    * takedown-sized semi-join, broadcast by AQE when small — deliberately
+    * NO static broadcast hint, so a mass deletion touching millions of
+    * components degrades to a shuffle join instead of failing on the
+    * broadcast limit), and every untouched component streams through one
+    * anti-join byte-identical. A survivor that loses its last edge drops
+    * out of the assignment, matching the full-recluster contract. */
+  def remove(removed: DataFrame, maxIter: Int = 10, strict: Boolean = true,
+             checkpointDir: Option[String] = None): ClusterState = {
+    val affected = labels
+      .join(removed.select("node"), Seq("node"))
+      .select("label").distinct()
+    val surviving = edges
+      .join(affected, Seq("label"))
+      .join(removed.select(col("node").as("a")), Seq("a"), "left_anti")
+      .join(removed.select(col("node").as("b")), Seq("b"), "left_anti")
+      .select("a", "b")
+    val relabeled = DedupPipeline.clusters(surviving, maxIter, strict, checkpointDir)
+    val newLabels = labels
+      .join(affected, Seq("label"), "left_anti")
+      .select("node", "label")
+      .unionByName(relabeled.select("node", "label"))
+    val newEdges = edges
+      .join(affected, Seq("label"), "left_anti")
+      .select("label", "a", "b")
+      .unionByName(surviving
+        .join(relabeled.select(col("node").as("a"), col("label")), "a")
+        .select("label", "a", "b"))
+    ClusterState(newLabels, newEdges)
+  }
+}
+
+object ClusterState {
+
+  /** Bootstrap from a thresholded pair set: full propagation
+    * ([[DedupPipeline.clusters]]) + label-annotate the edges. */
+  def build(pairs: DataFrame, maxIter: Int = 10, strict: Boolean = true,
+            checkpointDir: Option[String] = None): ClusterState = {
+    val labels = DedupPipeline.clusters(pairs, maxIter, strict, checkpointDir)
+    val edges = pairs.select("a", "b")
+      .join(labels.select(col("node").as("a"), col("label")), "a")
+      .select("label", "a", "b")
+    ClusterState(labels, edges)
+  }
+
+  /** Load a state written by [[ClusterState.save]]. */
+  def load(spark: SparkSession, root: String): ClusterState =
+    ClusterState(
+      spark.read.parquet(s"$root/labels"),
+      spark.read.parquet(s"$root/edges"))
+}

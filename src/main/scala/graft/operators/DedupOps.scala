@@ -51,12 +51,31 @@ object DedupOps {
   private val corpusStateCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def corpusState(s: SparkSession, d: String, tag: String,
-                          build: () => DataFrame): DataFrame = {
+  private def stateKey(d: String, tag: String): String = {
     val dir = try java.nio.file.Paths.get(d).toRealPath().toString
       catch { case _: java.io.IOException => d }
-    corpusStateCache.computeIfAbsent((s, tag + "#" + dir), _ => build())
+    tag + "#" + dir
   }
+
+  private def corpusState(s: SparkSession, d: String, tag: String,
+                          build: () => DataFrame): DataFrame =
+    corpusStateCache.computeIfAbsent((s, stateKey(d, tag)), _ => build())
+
+  /** Session-cached FULL-corpus [[ClusterState]] (labels + label-annotated
+    * edge set, both localCheckpointed) — the in-memory stand-in for the
+    * at-rest state a production pipeline would `ClusterState.load` between
+    * batches. q110's per-trial cost is then what a user pays per takedown:
+    * the O(affected) repair, never the corpus pair discovery or the corpus
+    * propagation (both one-time bootstrap, warmed by Bench). */
+  private val clusterStateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), ClusterState]()
+
+  private def corpusClusterState(s: SparkSession, d: String): ClusterState =
+    clusterStateCache.computeIfAbsent((s, stateKey(d, "clusters")), _ =>
+      ClusterState.build(
+        ngramJaccardPairs(s, d, minJac = Some(0.5)).select("a", "b"),
+        maxIter = 100)
+        .cached())
 
   /** doc_id → distinct word-3-gram shingle array. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
@@ -497,26 +516,23 @@ object DedupOps {
 
     // INCREMENTAL cluster DELETION, answer-checked against the full
     // recluster of the remainder: every 17th doc plays the takedown batch.
-    // The persisted assignment (full-corpus clusters, built once per
-    // session and localCheckpointed — the same at-rest state q87 reads)
-    // loses the removed nodes via DedupPipeline.removeFromClusters, which
-    // re-propagates ONLY the affected components' surviving edge subgraph
+    // The persisted ClusterState (full-corpus labels + LABEL-ANNOTATED
+    // edge set, built once per session and localCheckpointed — the
+    // in-memory stand-in for ClusterState.load) loses the removed nodes
+    // via ClusterState.remove, which reads ONLY the affected components'
+    // edges (the label annotation scopes the read — never a re-derivation
+    // of the corpus pair graph) and re-propagates their surviving subgraph
     // — deletions can SPLIT a component, which updateClusters' contraction
-    // cannot express — and streams every untouched component through one
-    // anti-join. The oracle replays the recursive-CTE closure over the
-    // REMAINING documents (the O(corpus) recluster), so a green row
+    // cannot express — while every untouched component streams through
+    // one anti-join. The oracle replays the recursive-CTE closure over
+    // the REMAINING documents (the O(corpus) recluster), so a green row
     // proves the O(affected) repair computes the identical assignment.
     "q110_cluster_deletion" -> ((s, d) => {
       val isRemoved = (c: org.apache.spark.sql.Column) => c % 17 === 0
-      val existing = corpusState(s, d, "q110", () =>
-        DedupPipeline.clusters(
-          ngramJaccardPairs(s, d, minJac = Some(0.5)).select("a", "b"),
-          maxIter = 100)
-          .localCheckpoint(eager = true))
-      val remaining = ngramJaccardPairs(s, d, minJac = Some(0.5)).select("a", "b")
-        .filter(!isRemoved(col("a")) && !isRemoved(col("b")))
-      val removed = existing.select("node").filter(isRemoved(col("node")))
-      DedupPipeline.removeFromClusters(existing, removed, remaining, maxIter = 100)
+      val st = corpusClusterState(s, d)
+      val removed = st.labels.select("node").filter(isRemoved(col("node")))
+      st.remove(removed, maxIter = 100).labels
+        .select("node", "label")
         .orderBy("node")
     }),
 

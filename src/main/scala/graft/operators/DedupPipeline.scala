@@ -302,11 +302,16 @@ object DedupPipeline {
                          remainingPairs: DataFrame, maxIter: Int = 10,
                          strict: Boolean = true,
                          checkpointDir: Option[String] = None): DataFrame = {
+    // NO static broadcast hint on `affected`: a takedown batch touches few
+    // components and AQE broadcasts the joins from runtime stats, but a
+    // MASS deletion (purging a whole source) can make `affected` arbitrarily
+    // large — a forced broadcast would blow the broadcast limit exactly when
+    // the operation matters most; un-hinted, it degrades to a shuffle join.
     val affected = existing
       .join(removed.select("node"), Seq("node"))
       .select("label").distinct()
     val members = existing
-      .join(broadcast(affected), Seq("label"))
+      .join(affected, Seq("label"))
       .join(removed.select("node"), Seq("node"), "left_anti")
       .select("node")
     val subEdges = remainingPairs.select(col("a"), col("b"))
@@ -314,7 +319,7 @@ object DedupPipeline {
       .join(members.select(col("node").as("b")), Seq("b"))
     val relabeled = clusters(subEdges, maxIter, strict, checkpointDir)
     existing
-      .join(broadcast(affected), Seq("label"), "left_anti")
+      .join(affected, Seq("label"), "left_anti")
       .select("node", "label")
       .unionByName(relabeled.select("node", "label"))
   }

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{ClusterState, DedupPipeline}
+
+/** Durable cluster-state lifecycle: build → save → load (FRESH session) →
+  * insert/remove must equal the in-session result, which itself must equal
+  * the full recluster — the restart story a production takedown/ingest
+  * pipeline needs (VERDICT r8 item 2). */
+class ClusterStateSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.select("node", "label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Every stored edge must carry the component label of BOTH endpoints
+    * under the state's own label table — the invariant remove()'s
+    * affected-component scoping rests on. */
+  private def assertEdgeAnnotation(st: ClusterState): Unit = {
+    val bad = st.edges
+      .join(st.labels.select(col("node").as("a"), col("label").as("la")), "a")
+      .join(st.labels.select(col("node").as("b"), col("label").as("lb")), "b")
+      .filter(col("label") =!= col("la") || col("label") =!= col("lb"))
+      .count()
+    assert(bad == 0L, s"$bad edges carry a label differing from an endpoint's")
+    // and no orphan edges: every endpoint is in the label table
+    val orphans = st.edges
+      .join(st.labels.select(col("node").as("a")), Seq("a"), "left_anti")
+      .count() +
+      st.edges
+        .join(st.labels.select(col("node").as("b")), Seq("b"), "left_anti")
+        .count()
+    assert(orphans == 0L, s"$orphans edge endpoints missing from the label table")
+  }
+
+  test("save → load in a FRESH session → remove ≡ in-session remove ≡ full recluster") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (30L, 31L)).toDF("a", "b")
+    val st = ClusterState.build(pairs)
+    assertEdgeAnnotation(st)
+    val root = java.nio.file.Files.createTempDirectory("graft-cluster-state").toString
+    st.save(root)
+
+    // a NEW session (separate session state; the closest restart stand-in
+    // one JVM offers) reads the state back and runs the takedown
+    val s2 = spark.newSession()
+    val loaded = ClusterState.load(s2, root)
+    val removed = loaded.labels.select("node")
+      .filter(col("node").isin(3L, 20L, 21L, 31L))
+    val afterLoad = loaded.remove(removed)
+    val inSession = st.remove(
+      st.labels.select("node").filter(col("node").isin(3L, 20L, 21L, 31L)))
+    val full = DedupPipeline.clusters(Seq((1L, 2L), (4L, 5L), (10L, 11L)).toDF("a", "b"))
+    assert(labelMap(afterLoad.labels) == labelMap(full.toDF()))
+    assert(labelMap(afterLoad.labels) == labelMap(inSession.labels))
+    // the bridge split {1,2}/{4,5}, untouched {10,11}, edge-less 30 gone
+    assert(labelMap(afterLoad.labels) ==
+      Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L, 10L -> 10L, 11L -> 10L))
+    assertEdgeAnnotation(afterLoad)
+    // removed-incident edges are gone from the stored edge set
+    assert(afterLoad.edges.filter(
+      col("a").isin(3L, 20L, 21L, 31L) || col("b").isin(3L, 20L, 21L, 31L)).count() == 0)
+  }
+
+  test("save → load → insert ≡ full recluster of the union; edge labels refresh on merge") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val root = java.nio.file.Files.createTempDirectory("graft-cluster-state").toString
+    ClusterState.build(pairs).save(root)
+    val loaded = ClusterState.load(spark.newSession(), root)
+    // bridge the two old components + a brand-new pair + a new~old attach
+    val batch = Seq((3L, 10L), (20L, 21L), (22L, 11L)).toDF("a", "b")
+    val after = loaded.insert(batch)
+    val full = DedupPipeline.clusters(pairs.unionByName(batch))
+    assert(labelMap(after.labels) == labelMap(full.toDF()))
+    assertEdgeAnnotation(after) // merged components' edges must re-label to 1
+    // round-trip again: save the updated state, reload, and the edge set
+    // still supports a correct delete (the nightly loop closes)
+    val root2 = java.nio.file.Files.createTempDirectory("graft-cluster-state").toString
+    after.save(root2)
+    val reloaded = ClusterState.load(spark, root2)
+    val got = reloaded.remove(Seq(10L).toDF("node"))
+    val fullAfterRm = DedupPipeline.clusters(
+      Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("a", "b")
+        .unionByName(Seq((22L, 11L)).toDF("a", "b")))
+    assert(labelMap(got.labels) == labelMap(fullAfterRm.toDF()))
+  }
+
+  test("MASS deletion: thousands of affected components repair correctly with no static broadcast hint") {
+    // 3000 chains of 3 (a-b-c); remove every middle node → every component
+    // is affected and every one SPLITS into two singletons (edge-less →
+    // both endpoints drop out). `affected` is component-table-sized — the
+    // shape that must NOT ride a forced broadcast (VERDICT r8 item 5).
+    val n = 3000L
+    val chain = spark.range(n).selectExpr(
+      "stack(2, id*3, id*3+1, id*3+1, id*3+2) AS (a, b)")
+    val st = ClusterState.build(chain)
+    val removed = st.labels.select("node").filter(col("node") % 3 === 1)
+    val out = st.remove(removed)
+    // no ResolvedHint anywhere in the optimized plan: broadcast is AQE's
+    // runtime call, never a static promise that a whole-source purge breaks
+    val logical = out.labels.queryExecution.optimizedPlan
+    assert(logical.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.isEmpty, "static broadcast hint found in remove() plan")
+    assert(out.labels.count() == 0L, "all survivors are edge-less singletons")
+    assert(out.edges.count() == 0L)
+    // same purge through the raw-pairs API agrees
+    val viaRaw = DedupPipeline.removeFromClusters(
+      st.labels, removed, chain)
+    assert(viaRaw.count() == 0L)
+  }
+
+  test("remove of a node absent from every cluster is an identity") {
+    val st = ClusterState.build(Seq((1L, 2L), (10L, 11L)).toDF("a", "b"))
+    val out = st.remove(Seq(999L).toDF("node"))
+    assert(labelMap(out.labels) == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(out.edges.count() == 2L)
+  }
+}

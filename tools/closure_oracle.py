@@ -86,13 +86,11 @@ def union_find_labels(edges):
     return {n: find(n) for n in parent}
 
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    nshards = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+def truth_for(sf_dir, oracle_sql, nshards):
+    """Edges (sharded DuckDB, lifting the committed SQL's pr clause verbatim
+    — including any document filter in its t CTE, e.g. q110's
+    `WHERE doc_id % 17 <> 0`) → union-find labels → (node, label) frame."""
     import pandas as pd
-    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
-        oracle_sql = json.load(f)["q58_dedup_clusters"]
-
     tasks = [(sf_dir, oracle_sql, nshards, i) for i in range(nshards)]
     edges = []
     with ProcessPoolExecutor(max_workers=nshards) as ex:
@@ -100,7 +98,6 @@ def main():
             edges.extend(rows)
             print(f"[closure_oracle] shard {i}: +{len(rows)} edges "
                   f"(total {len(edges)})", flush=True)
-
     labels = union_find_labels(edges)
     # explicit int64 dtypes so a zero-edge run compares cleanly against the
     # engine's (possibly empty) long-typed parquet instead of object-vs-int64
@@ -109,12 +106,29 @@ def main():
          "label": pd.array(list(labels.values()), dtype="int64")})
     print(f"[closure_oracle] {len(edges)} edges, {len(truth)} labelled nodes, "
           f"{truth['label'].nunique()} components", flush=True)
+    return truth
 
+
+def main():
+    import pandas as pd
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    nshards = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        all_sql = json.load(f)
+
+    # per-query truth from THAT query's committed SQL (q110 filters the
+    # document set before pair generation — its closure differs from
+    # q58/q87's); identical SQL strings share one computed truth
+    truths = {}
     ok = True
     for name in QUERIES:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
             print(f"{name}: NO_SPARK_OUTPUT"); ok = False; continue
+        sql = all_sql[name]
+        if sql not in truths:
+            truths[sql] = truth_for(sf_dir, sql, nshards)
+        truth = truths[sql]
         spark_df = pd.concat([pd.read_parquet(f) for f in files],
                              ignore_index=True)
         a, b = canon(spark_df.copy()), canon(truth.copy())
