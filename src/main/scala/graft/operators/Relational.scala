@@ -137,10 +137,15 @@ object Relational {
   /** INCREMENTAL SCD-2 maintenance — apply a delta batch of observations to
     * an existing versioned dimension WITHOUT rebuilding history (the
     * warehouse nightly-load path; [[scd2History]] is the full rebuild).
-    * Contract: per key, every delta observation is at-or-after every
-    * existing observation (the load-boundary guarantee a time-partitioned
-    * pipeline has by construction). Semantics — provably identical to
-    * running the full build over (existing observations ++ delta):
+    * Contract: per key, every delta observation is STRICTLY AFTER every
+    * existing observation — or at an equal `time` only when its `tieBreak`
+    * exceeds every existing same-time observation's (the load-boundary
+    * guarantee a time-partitioned pipeline has by construction). At-or-
+    * after alone is NOT enough: the rebuild orders by (time, tieBreak), so
+    * an equal-time delta row with a LOWER tieBreak would interleave BEFORE
+    * an existing observation — out-of-order arrivals are [[scd2Repair]]'s
+    * territory. Semantics — provably identical to running the full build
+    * over (existing observations ++ delta):
     *  - delta rows fold into segments with the SAME gaps-and-islands build,
     *    but over the BATCH only (O(batch), never O(history));
     *  - a key's OPEN segment either extends (delta's first segment carries
@@ -196,6 +201,37 @@ object Relational {
     existing.filter(col("valid_to").isNotNull)
       .unionByName(openOut)
       .unionByName(dOut)
+  }
+
+  /** LATE-DATA SCD-2 repair — the backfill path [[scd2Apply]]'s load-order
+    * contract excludes: `lateRows` are observations that may be ANYWHERE in
+    * time (backdated corrections, late-arriving partitions — the classic
+    * warehouse failure mode), and the result equals the full rebuild over
+    * (observations ++ lateRows) while rebuilding ONLY the keys the late
+    * rows touch (the q110 proof shape applied to the dimension family).
+    *
+    * `observations` is the raw observation source `existing` was built
+    * from (the fact table). The raw rows are REQUIRED — a collapsed
+    * segment stores only its first observation time and a count, so a late
+    * row splitting a run's interior cannot be re-segmented from the
+    * dimension alone; every real warehouse keeps the facts that built the
+    * dimension. Scale: `observations` is semi-joined down to the touched
+    * keys BEFORE the gaps-and-islands window (with the fact table
+    * partitioned/bucketed by `key`, that join prunes at the storage
+    * layer), so the rebuild shuffles only the touched keys' rows —
+    * O(affected history), never O(corpus) — and every untouched key's
+    * segments stream through one anti-join byte-identical. */
+  def scd2Repair(existing: DataFrame, observations: DataFrame,
+                 lateRows: DataFrame, key: String, time: String,
+                 tieBreak: String, attrs: Seq[String]): DataFrame = {
+    val cols = (Seq(key, tieBreak, time) ++ attrs).map(col)
+    val touched = lateRows.select(key).distinct()
+    val rebuilt = scd2History(
+      observations.select(cols: _*).join(touched, Seq(key))
+        .unionByName(lateRows.select(cols: _*)),
+      key, time, tieBreak, attrs)
+    existing.join(touched, Seq(key), "left_anti")
+      .unionByName(rebuilt)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -714,6 +750,29 @@ object Relational {
         .orderBy("o_custkey", "version")
     }),
 
+    // LATE-DATA SCD-2 repair, answer-checked against the full rebuild:
+    // every 13th order plays a BACKDATED batch (its dates are scattered
+    // across the whole timeline, so the rows genuinely interleave with —
+    // and split — existing segments, the case scd2Apply's load-order
+    // contract excludes). The dimension built WITHOUT those rows is
+    // repaired by scd2Repair, which rebuilds only the touched keys'
+    // histories (observation semi-join + key-scoped gaps-and-islands)
+    // while untouched keys anti-join through. The oracle is the full
+    // gaps-and-islands rebuild over ALL orders (q107's SQL verbatim), so
+    // a green row proves repair ≡ rebuild-from-scratch with backdated
+    // observations included.
+    "q111_scd2_repair" -> ((s, d) => {
+      val isLate = (c: org.apache.spark.sql.Column) => c % 13 === 0
+      val orders = t(s, d, "orders")
+      val attrs = Seq("o_orderpriority", "o_orderstatus")
+      val onTime = orders.filter(!isLate(col("o_orderkey")))
+      val existing = scd2History(onTime,
+        "o_custkey", "o_orderdate", "o_orderkey", attrs)
+      scd2Repair(existing, onTime, orders.filter(isLate(col("o_orderkey"))),
+          "o_custkey", "o_orderdate", "o_orderkey", attrs)
+        .orderBy("o_custkey", "version")
+    }),
+
     // Correlated-style aggregation pushed through a join: supplier activity.
     "q26_supplier_activity" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -799,6 +858,35 @@ object Relational {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY n DESC, event_type))
       |WHERE rnk <= 2
       |ORDER BY user_id, rnk, event_type""".stripMargin
+
+  /** Ground truth for ALL THREE multi-attr SCD-2 queries (q107 full build,
+    * q108 incremental apply, q111 late-data repair): the gaps-and-islands
+    * rebuild over every order — one template, three map entries, exactly
+    * the [[DedupOps]] closure-oracle pattern. */
+  private val scd2FullRebuildSql: String =
+    """WITH ob AS (
+      | SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority, o_orderstatus,
+      |  CASE WHEN lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |         IS NULL
+      |       OR lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |         IS DISTINCT FROM o_orderpriority
+      |       OR lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |         IS DISTINCT FROM o_orderstatus
+      |       THEN 1 ELSE 0 END AS chg
+      | FROM orders),
+      |isl AS (
+      | SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                          ROWS UNBOUNDED PRECEDING) AS island
+      | FROM ob),
+      |seg AS (
+      | SELECT o_custkey, island, o_orderpriority, o_orderstatus,
+      |  min(o_orderdate) AS valid_from, count(*) AS n_orders
+      | FROM isl GROUP BY 1, 2, 3, 4)
+      |SELECT o_custkey, CAST(island AS BIGINT) AS version, o_orderpriority, o_orderstatus,
+      | valid_from,
+      | lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island) AS valid_to,
+      | n_orders
+      |FROM seg ORDER BY o_custkey, version""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q46_sql_surface" -> sharedSql,
@@ -1041,58 +1129,15 @@ object Relational {
         | n_orders
         |FROM seg ORDER BY o_custkey, valid_from""".stripMargin,
 
-    "q107_scd2_multi" ->
-      """WITH ob AS (
-        | SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority, o_orderstatus,
-        |  CASE WHEN lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |         IS NULL
-        |       OR lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |         IS DISTINCT FROM o_orderpriority
-        |       OR lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |         IS DISTINCT FROM o_orderstatus
-        |       THEN 1 ELSE 0 END AS chg
-        | FROM orders),
-        |isl AS (
-        | SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |                          ROWS UNBOUNDED PRECEDING) AS island
-        | FROM ob),
-        |seg AS (
-        | SELECT o_custkey, island, o_orderpriority, o_orderstatus,
-        |  min(o_orderdate) AS valid_from, count(*) AS n_orders
-        | FROM isl GROUP BY 1, 2, 3, 4)
-        |SELECT o_custkey, CAST(island AS BIGINT) AS version, o_orderpriority, o_orderstatus,
-        | valid_from,
-        | lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island) AS valid_to,
-        | n_orders
-        |FROM seg ORDER BY o_custkey, version""".stripMargin,
+    "q107_scd2_multi" -> scd2FullRebuildSql,
 
-    // q108's oracle IS the full rebuild (q107's SQL verbatim): the
-    // incremental apply over (pre-cutoff dimension, post-cutoff delta)
-    // must equal history rebuilt from scratch over ALL orders
-    "q108_scd2_apply" ->
-      """WITH ob AS (
-        | SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority, o_orderstatus,
-        |  CASE WHEN lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |         IS NULL
-        |       OR lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |         IS DISTINCT FROM o_orderpriority
-        |       OR lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |         IS DISTINCT FROM o_orderstatus
-        |       THEN 1 ELSE 0 END AS chg
-        | FROM orders),
-        |isl AS (
-        | SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |                          ROWS UNBOUNDED PRECEDING) AS island
-        | FROM ob),
-        |seg AS (
-        | SELECT o_custkey, island, o_orderpriority, o_orderstatus,
-        |  min(o_orderdate) AS valid_from, count(*) AS n_orders
-        | FROM isl GROUP BY 1, 2, 3, 4)
-        |SELECT o_custkey, CAST(island AS BIGINT) AS version, o_orderpriority, o_orderstatus,
-        | valid_from,
-        | lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island) AS valid_to,
-        | n_orders
-        |FROM seg ORDER BY o_custkey, version""".stripMargin,
+    // q108's and q111's oracle IS the full rebuild (q107's SQL, the SAME
+    // shared string — the three can never silently desynchronize): the
+    // incremental apply over (pre-cutoff dimension, post-cutoff delta) and
+    // the late-data repair over (dimension-minus-backdated, backdated
+    // batch) must both equal history rebuilt from scratch over ALL orders
+    "q108_scd2_apply" -> scd2FullRebuildSql,
+    "q111_scd2_repair" -> scd2FullRebuildSql,
 
     "q26_supplier_activity" ->
       """SELECT s_suppkey, s_name, n_name,

@@ -789,6 +789,99 @@ class AuditSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("scd2Apply: EQUAL-timestamp boundary (delta tieBreaks above existing) equals rebuild") {
+    import java.sql.Timestamp
+    def d(n: Long) = new Timestamp(n * 86400000L)
+    // existing ends at t=3 (ids 1,2 value A); the delta arrives AT t=3 with
+    // HIGHER tieBreaks (ids 5,6 value B) and continues at t=4 — the exact
+    // boundary the contract permits: (time, tieBreak) ordering still places
+    // every delta row after every existing row
+    val existing = Seq((1L, 1L, d(2), "A", "O"), (1L, 2L, d(3), "A", "O"))
+      .toDF("k", "id", "t", "p", "st")
+    val delta = Seq((1L, 5L, d(3), "B", "O"), (1L, 6L, d(3), "B", "O"),
+      (1L, 7L, d(4), "A", "F")).toDF("k", "id", "t", "p", "st")
+    def canon(x: org.apache.spark.sql.DataFrame) =
+      x.collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("version"),
+        r.getAs[String]("p"), r.getAs[String]("st"),
+        r.getAs[Timestamp]("valid_from"), Option(r.getAs[Timestamp]("valid_to")),
+        r.getAs[Long]("n_orders"))).toSet
+    val applied = graft.operators.Relational.scd2Apply(
+      graft.operators.Relational.scd2History(existing, "k", "t", "id", Seq("p", "st")),
+      delta, "k", "t", "id", Seq("p", "st"))
+    val full = graft.operators.Relational.scd2History(
+      existing.unionByName(delta), "k", "t", "id", Seq("p", "st"))
+    assert(canon(applied) == canon(full))
+    // the closed A segment's valid_to is the SAME date the B segment opens
+    assert(canon(applied).exists(s => s._3 == "A" && s._6.contains(d(3))))
+  }
+
+  test("scd2Repair: backdated mid-run split equals the full rebuild; untouched keys pass through") {
+    import java.sql.Timestamp
+    def d(n: Long) = new Timestamp(n * 86400000L)
+    // key 1: one long A run (t=1..5); a BACKDATED B observation lands at
+    // t=3 and must SPLIT it into A[1,3) B[3,4) A[4,_) — the interior case
+    // scd2Apply cannot express. Key 2 is untouched.
+    val onTime = Seq(
+      (1L, 1L, d(1), "A", "O"), (1L, 2L, d(2), "A", "O"),
+      (1L, 4L, d(4), "A", "O"), (1L, 5L, d(5), "A", "O"),
+      (2L, 10L, d(1), "X", "O"), (2L, 11L, d(2), "X", "O"))
+      .toDF("k", "id", "t", "p", "st")
+    val late = Seq((1L, 3L, d(3), "B", "O")).toDF("k", "id", "t", "p", "st")
+    def canon(x: org.apache.spark.sql.DataFrame) =
+      x.collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("version"),
+        r.getAs[String]("p"),
+        r.getAs[Timestamp]("valid_from"), Option(r.getAs[Timestamp]("valid_to")),
+        r.getAs[Long]("n_orders"))).toSet
+    val existing = graft.operators.Relational
+      .scd2History(onTime, "k", "t", "id", Seq("p", "st"))
+    val repaired = graft.operators.Relational
+      .scd2Repair(existing, onTime, late, "k", "t", "id", Seq("p", "st"))
+    val full = graft.operators.Relational.scd2History(
+      onTime.unionByName(late), "k", "t", "id", Seq("p", "st"))
+    assert(canon(repaired) == canon(full))
+    // the split is real: key 1 now has THREE segments, A/B/A
+    assert(canon(repaired).count(_._1 == 1L) == 3)
+  }
+
+  test("scd2Repair: equals the full rebuild on random out-of-order late batches") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import java.sql.Timestamp
+    def d(n: Long) = new Timestamp(n * 86400000L)
+    val attrGen = Gen.oneOf(Option.empty[String], Some("A"), Some("B"))
+    val genCase = for {
+      n <- Gen.choose(1, 14)
+      ks <- Gen.listOfN(n, Gen.choose(1L, 3L))
+      ts <- Gen.listOfN(n, Gen.choose(0L, 6L))
+      ps <- Gen.listOfN(n, attrGen)
+      ss <- Gen.listOfN(n, attrGen)
+      lateMod <- Gen.choose(2, 4)
+    } yield (ks.indices.map(i => (ks(i), i.toLong, ts(i), ps(i), ss(i))), lateMod)
+    val prop = Prop.forAll(genCase) { case (rows, lateMod) =>
+      // the late set is chosen by ID, not time — backdated rows land
+      // ANYWHERE in each key's timeline (the contract scd2Apply excludes)
+      val late = rows.filter(_._2 % lateMod == 0)
+      val onTime = rows.filter(_._2 % lateMod != 0)
+      onTime.isEmpty || late.isEmpty || {
+        def df(rs: Seq[(Long, Long, Long, Option[String], Option[String])]) =
+          rs.map { case (k, id, t, p, st) => (k, id, d(t), p, st) }
+            .toDF("k", "id", "t", "p", "st")
+        def canon(x: org.apache.spark.sql.DataFrame) =
+          x.collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("version"),
+            Option(r.getAs[String]("p")), Option(r.getAs[String]("st")),
+            r.getAs[Timestamp]("valid_from"), Option(r.getAs[Timestamp]("valid_to")),
+            r.getAs[Long]("n_orders"))).toSet
+        val repaired = graft.operators.Relational.scd2Repair(
+          graft.operators.Relational.scd2History(df(onTime), "k", "t", "id", Seq("p", "st")),
+          df(onTime), df(late), "k", "t", "id", Seq("p", "st"))
+        val full = graft.operators.Relational
+          .scd2History(df(rows), "k", "t", "id", Seq("p", "st"))
+        canon(repaired) == canon(full)
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("scd2History multi-attr plan: every exchange hashes on the key") {
     import java.sql.Timestamp
     def d(n: Long) = new Timestamp(n * 86400000L)

@@ -19,7 +19,17 @@ class SmokeSpec extends AnyFunSuite {
   test("every declared query is oracle-checked (no rows-only rows)") {
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked.isEmpty, s"queries without an oracle: $unchecked")
-    assert(SparkEntry.queries.size == 110, s"inventory = ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 111, s"inventory = ${SparkEntry.queries.size}")
+  }
+
+  test("README's headline query count matches the inventory") {
+    val readme = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/root/repo/README.md"))
+    val expected = s"${SparkEntry.queries.size} "
+    assert(readme.contains(expected + "oracle-checked") ||
+      readme.contains(expected + "queries"),
+      s"README.md does not mention '${SparkEntry.queries.size} queries' — " +
+        "update its headline count to match SparkEntry.queries.size")
   }
 
   test("PlanDump headline list stays in sync with the query inventory") {
@@ -28,8 +38,9 @@ class SmokeSpec extends AnyFunSuite {
     assert(stale.isEmpty, s"PlanDump names not in inventory: $stale")
     assert(PlanDump.headline.distinct.size == PlanDump.headline.size)
     // every marquee operator since round 6 must have a committed plan —
-    // the r7 gap (q102 missing from PLANS.md) is exactly what this pins
-    val marquee = SparkEntry.queries.keySet.filter(_.matches("q10[0-9]_.*"))
+    // the r7 gap (q102 missing from PLANS.md) is exactly what this pins;
+    // q1[0-9][0-9] (not q10[0-9]) so q110+ keep tripping the guard
+    val marquee = SparkEntry.queries.keySet.filter(_.matches("q1[0-9][0-9]_.*"))
     val missing = marquee -- PlanDump.headline.toSet
     assert(missing.isEmpty, s"marquee queries without a plan dump: $missing")
   }
