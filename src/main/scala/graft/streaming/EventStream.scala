@@ -337,6 +337,97 @@ object EventStream {
       .toDF()
   }
 
+  final case class ForwardMatch(eventId: Long, userId: Long, tsMicros: Long,
+                                matchTsMicros: Option[Long], matchId: Option[Long],
+                                matchValue: Option[Double])
+
+  /** Streaming FORWARD AS-OF join — the state-store twin of
+    * [[graft.operators.EventOps.asofForward]] (q109), and the harder mirror
+    * of [[asofLookupExpiring]]: backward keeps O(1) state (the last
+    * reference row) because its answer lies in the PAST; forward must HOLD
+    * each unmatched left row (click) until its answer arrives from the
+    * FUTURE — the next same-key right row (purchase) at-or-after it — or
+    * until the event-time watermark passes `maxWaitMs` beyond the left
+    * row's timestamp, at which point the row is emitted UNMATCHED (NULL
+    * outputs): online time-to-conversion with an explicit answer-deadline
+    * instead of unbounded buffering.
+    *
+    * State per key = the pending (still-unanswered) left rows only — a
+    * right row drains every pending left at-or-before it in one pass, so
+    * state size tracks the conversion lag the `maxWaitMs` horizon bounds,
+    * never the stream length. Keys with no pending rows hold NO state
+    * (removed eagerly), and expiry runs both on data batches and on
+    * EventTimeTimeout wakeups, so an abandoned key's last pending rows
+    * still flush when the watermark passes their deadline.
+    *
+    * Exactness contract (same as [[asofLookup]]): within a micro-batch the
+    * group's rows process in (ts, side, event_id) order — LEFT before
+    * RIGHT on equal ts, so an equal-timestamp purchase answers the click
+    * (the batch operator's equal-ts-matches rule), and among equal-ts
+    * purchases the LOWEST event_id drains the pending set first (= the
+    * batch arg-min tieBreak). Across batches, per-key event-time monotone
+    * arrival (the partitioned-by-key deployment shape); a left row whose
+    * true match was expired away reports unmatched — the bounded-state
+    * tradeoff, chosen explicitly. */
+  def asofForwardStream(spark: SparkSession, clicks: DataFrame, purchases: DataFrame,
+                        watermarkDelay: String = "10 minutes",
+                        maxWaitMs: Long = 30L * 60 * 1000): DataFrame = {
+    import spark.implicits._
+    // ONE watermark, applied AFTER the union (see asofLookupExpiring: the
+    // global watermark is the min over per-side watermarks, so a quiet
+    // side would pin it in the past and nothing would ever expire)
+    def shaped(df: DataFrame, side: Int, value: Column): DataFrame = df
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id").as("_1"), col("event_id").as("_2"),
+        col("ts").as("_3"), lit(side).as("_4"), value.as("_5"))
+    val tagged = shaped(clicks, 0, lit(null).cast("double"))
+      .unionByName(shaped(purchases, 1, col("value")))
+      .withWatermark("_3", watermarkDelay)
+      .as[(Long, Long, java.sql.Timestamp, Int, Option[Double])]
+    val maxWaitUs = maxWaitMs * 1000
+    tagged.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Int, Option[Double])],
+         state: GroupState[List[(Long, Long)]]) => {
+          def us(t: java.sql.Timestamp): Long =
+            t.getTime * 1000 + (t.getNanos / 1000) % 1000
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          var pending = state.getOption.getOrElse(List.empty[(Long, Long)])
+          val out = Vector.newBuilder[ForwardMatch]
+          if (!state.hasTimedOut) {
+            val sorted = rows.toIndexedSeq
+              .map { case (_, eid, t, side, v) => (eid, us(t), side, v) }
+              .sortBy(r => (r._2, r._3, r._1))
+            sorted.foreach {
+              case (eid, u, 0, _) => pending = pending :+ ((eid, u))
+              case (rid, u, _, v) =>
+                val (answered, still) = pending.partition(_._2 <= u)
+                answered.foreach { case (leid, lus) =>
+                  out += ForwardMatch(leid, userId, lus, Some(u), Some(rid), v)
+                }
+                pending = still
+            }
+          }
+          // deadline expiry (data batches AND timeout wakeups): a pending
+          // left whose maxWait horizon the watermark has passed can no
+          // longer be answered under monotone arrival — flush unmatched
+          val (dead, alive) = pending.partition { case (_, u) => u + maxWaitUs < wmUs }
+          dead.foreach { case (leid, lus) =>
+            out += ForwardMatch(leid, userId, lus, None, None, None)
+          }
+          pending = alive
+          if (pending.nonEmpty) {
+            state.update(pending)
+            // earliest deadline, clamped above the current watermark (the
+            // engine rejects timeout timestamps at-or-before it)
+            val deadlineMs = pending.map(_._2).min / 1000 + maxWaitMs
+            state.setTimeoutTimestamp(math.max(deadlineMs, wmUs / 1000 + 1))
+          } else state.remove()
+          out.result().iterator
+        })
+      .toDF()
+  }
+
   final case class Scd2Segment(userId: Long, attr: Option[String],
                                validFromMicros: Long, validToMicros: Long, nEvents: Long)
 

@@ -470,6 +470,117 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(902L) == ((Some(us(ts("12:05"))), Some(8.0))))
   }
 
+  test("asofForwardStream matches batch asofForward on sf0.001 events (incl. unmatched flush)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    // batch reference: q109-shaped forward as-of (click -> next purchase,
+    // purchase id + value payload, arg-min tie)
+    val expected = graft.operators.EventOps.asofForward(
+        left = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        right = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("pid"),
+            col("value").as("purchase_value")),
+        key = "user_id", ts = "ts", out = "purchase_ts",
+        payload = Seq("pid", "purchase_value"), tieBreak = Some("pid"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        unix_micros(col("purchase_ts")).as("pus"), col("pid"), col("purchase_value"))
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Double])].collect().toSet
+    assert(expected.nonEmpty && expected.exists(_._4.isDefined)
+      && expected.exists(_._4.isEmpty)) // both matched and never-converting clicks
+
+    // ONE tagged MemoryStream split by side (see the asofLookup spec for
+    // why two sources race); event-time-ordered chunks = the monotone
+    // arrival contract. maxWait exceeds the dataset's largest conversion
+    // gap, so every batch match is reproduced; two far-future sentinel
+    // batches then push the watermark past every deadline so the
+    // never-converting clicks FLUSH as unmatched (the batch NULL rows).
+    val eventsIn = MemoryStream[(Long, Long, java.sql.Timestamp, Double, Int)]
+    val tagged = eventsIn.toDF().toDF("user_id", "event_id", "ts", "value", "side")
+    val maxWaitMs = 30L * 24 * 3600 * 1000 // 30 days
+    val q = EventStream.asofForwardStream(spark,
+        tagged.filter(col("side") === 0).drop("side"),
+        tagged.filter(col("side") === 1).drop("side"),
+        watermarkDelay = "10 minutes", maxWaitMs = maxWaitMs)
+      .writeStream.format("memory").queryName("asof_fwd").outputMode("append").start()
+    val all = ev.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        when(col("event_type") === "click", 0).otherwise(1).as("side"))
+      .as[(Long, Long, java.sql.Timestamp, Double, Int)]
+      .collect().sortBy(r => (r._3.getTime, r._5, r._2))
+    Seq(all.length / 3, 2 * all.length / 3, all.length).foldLeft(0) { (fed, until) =>
+      if (until > fed) { eventsIn.addData(all.slice(fed, until).toIndexedSeq); q.processAllAvailable() }
+      until
+    }
+    // sentinel clicks for a throwaway user far beyond every deadline: the
+    // first advances the watermark at its batch END; the second's batch
+    // runs WITH that watermark and fires the expiry. The sentinels' own
+    // pending rows stay in state (their deadline is far future) and are
+    // excluded below.
+    val maxTs = all.map(_._3.getTime).max
+    for (k <- 1 to 2) {
+      eventsIn.addData(Seq((999999L, 999990L + k,
+        new java.sql.Timestamp(maxTs + maxWaitMs + k * 3600_000L), 0.0, 0)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("asof_fwd")
+      .filter(col("userId") =!= 999999L)
+      .select("eventId", "userId", "tsMicros", "matchTsMicros", "matchId", "matchValue")
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Double])].collect().toSet
+    assert(got == expected,
+      s"streaming != batch: only-streaming=${(got -- expected).take(5)} only-batch=${(expected -- got).take(5)}")
+  }
+
+  test("asofForwardStream: equal-ts match, arg-min tie, cross-batch hold, deadline flush") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val eventsIn = MemoryStream[(Long, Long, java.sql.Timestamp, Option[Double], Int)]
+    val tagged = eventsIn.toDF().toDF("user_id", "event_id", "ts", "value", "side")
+    val q = EventStream.asofForwardStream(spark,
+        tagged.filter(col("side") === 0).drop("side"),
+        tagged.filter(col("side") === 1).drop("side"),
+        watermarkDelay = "10 seconds", maxWaitMs = 60_000L)
+      .writeStream.format("memory").queryName("asof_fwd_tie").outputMode("append").start()
+    // b1: user 1 clicks @100 and @150; TWO purchases @150 in the same batch
+    // (ids 901 < 902) — both clicks must match 901 (equal-ts click included,
+    // lowest purchase id wins = batch arg-min); 902 drains nothing. A NULL
+    // purchase value must ride through as None.
+    eventsIn.addData(Seq(
+      (1L, 1L, ts(100), Option.empty[Double], 0),
+      (1L, 2L, ts(150), Option.empty[Double], 0),
+      (1L, 901L, ts(150), Some(9.5), 1),
+      (1L, 902L, ts(150), Option.empty[Double], 1)))
+    q.processAllAvailable()
+    // b2: user 2 click @200 held across batches; user 1 new click @200
+    eventsIn.addData(Seq((2L, 3L, ts(200), Option.empty[Double], 0),
+      (1L, 4L, ts(200), Option.empty[Double], 0)))
+    q.processAllAvailable()
+    // b3: user 2's purchase @230 answers its pending click; user 1's click
+    // stays pending
+    eventsIn.addData(Seq((2L, 903L, ts(230), Some(7.0), 1)))
+    q.processAllAvailable()
+    // b4+b5: watermark pushed past user 1's deadline (200 + 60 s = 260;
+    // sentinel 400 - 10 s delay = 390 > 260) — click 4 flushes unmatched
+    for (k <- 0 to 1)  {
+      eventsIn.addData(Seq((9L, 800L + k, ts(400 + k), Option.empty[Double], 0)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("asof_fwd_tie")
+      .select("eventId", "matchTsMicros", "matchId", "matchValue")
+      .as[(Long, Option[Long], Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((Some(150000000L), Some(901L), Some(9.5))), s"click 1: ${got.get(1L)}")
+    assert(got(2L) == ((Some(150000000L), Some(901L), Some(9.5))), s"equal-ts click 2: ${got.get(2L)}")
+    assert(got(3L) == ((Some(230000000L), Some(903L), Some(7.0))), s"cross-batch click 3: ${got.get(3L)}")
+    assert(got(4L) == ((None, None, None)), s"deadline flush click 4: ${got.get(4L)}")
+  }
+
   test("scd2Stream: closed segments match the batch scd2History build on sf0.001 events") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
