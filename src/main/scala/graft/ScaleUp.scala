@@ -43,6 +43,10 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse(Bench.defaultSfDir)
     val dst = args.lift(1).getOrElse("/root/repo/scratch/sf1")
+    // optional 3rd arg: comma-separated table subset (e.g. "documents" for
+    // the sf10 clustering-family run — no need to write 100x lineitem to
+    // scale-test operators that never read it)
+    val tables = args.lift(2).map(_.split(",").toSet)
     val k = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -52,15 +56,17 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, src, dst, k) finally spark.stop()
+    try run(spark, src, dst, k, tables) finally spark.stop()
   }
 
-  def run(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+  def run(spark: SparkSession, src: String, dst: String, k: Int,
+          tables: Option[Set[String]] = None): Unit = {
     def load(t: String): DataFrame = Tables.load(spark, src, t)
-    def save(df: DataFrame, t: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
-      println(s"[scaleup] $t -> $dst/$t.parquet")
-    }
+    def save(df: => DataFrame, t: String): Unit =
+      if (tables.forall(_.contains(t))) {
+        df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+        println(s"[scaleup] $t -> $dst/$t.parquet")
+      }
     /** Key span of the SOURCE table (max+1) — the per-replica shift unit,
       * shared by the PK table and every FK that references it. */
     def span(t: String, c: String): Long =

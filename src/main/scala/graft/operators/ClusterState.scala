@@ -32,14 +32,37 @@ import org.apache.spark.sql.functions._
   */
 final case class ClusterState(labels: DataFrame, edges: DataFrame) {
 
-  /** Persist both tables (overwrite) under `root`. At cluster scale point
-    * this at durable storage and (for the edge table) a layout keyed on
-    * `label` so [[remove]]'s affected-component join prunes at the file
-    * level; plain parquet keeps the sandbox contract identical to
-    * [[IvfIndex.save]]. */
+  /** Persist both tables under `root`, VERSIONED: each save writes a fresh
+    * `v<N>/` directory and prunes superseded versions only after both
+    * writes commit. The naive overwrite-in-place is a trap this API must
+    * not have: the nightly loop is load → insert/remove → save TO THE SAME
+    * ROOT, and the maintenance plan still READS the loaded files while the
+    * save runs — an in-place overwrite deletes them mid-scan
+    * (FAILED_READ_FILE, caught by ClusterStateSpec's loop test). Versioning
+    * also gives crash atomicity for free: a save that dies between the two
+    * table writes leaves a version without both `_SUCCESS` markers, which
+    * [[ClusterState.load]] skips in favor of the last complete one
+    * (single writer assumed, as with [[DedupOps.appendToCorpusIndex]]; a
+    * transactional table format subsumes this at cluster scale). At 100 TB
+    * also key the edge layout on `label` so [[remove]]'s affected-component
+    * join prunes at the file level. */
   def save(root: String): Unit = {
-    labels.write.mode("overwrite").parquet(s"$root/labels")
-    edges.write.mode("overwrite").parquet(s"$root/edges")
+    val spark = labels.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // next = max over ALL version dirs (committed or crashed-partial) + 1:
+    // a partial left by a dead save is garbage to prune, never a directory
+    // to write into
+    val next = ClusterState.allVersions(fs, root).maxOption.getOrElse(-1L) + 1
+    labels.write.mode("overwrite").parquet(s"$root/v$next/labels")
+    edges.write.mode("overwrite").parquet(s"$root/v$next/edges")
+    // prune: every version but the one just committed (stale fulls AND
+    // crashed partials)
+    val gone = fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .map(_.getPath).filter { p =>
+        p.getName.startsWith("v") && p.getName != s"v$next"
+      }
+    gone.foreach(p => fs.delete(p, true))
   }
 
   /** Materialize both tables and cut lineage — the in-session stand-in for
@@ -119,9 +142,38 @@ object ClusterState {
     ClusterState(labels, edges)
   }
 
-  /** Load a state written by [[ClusterState.save]]. */
-  def load(spark: SparkSession, root: String): ClusterState =
+  /** Load the newest fully-committed version written by
+    * [[ClusterState.save]] (both tables carry `_SUCCESS`; a version a
+    * crashed save left half-written is skipped). */
+  def load(spark: SparkSession, root: String): ClusterState = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = committedVersions(fs, root).maxOption.getOrElse(
+      throw new IllegalStateException(
+        s"ClusterState.load: no fully-committed version under $root"))
     ClusterState(
-      spark.read.parquet(s"$root/labels"),
-      spark.read.parquet(s"$root/edges"))
+      spark.read.parquet(s"$root/v$v/labels"),
+      spark.read.parquet(s"$root/v$v/edges"))
+  }
+
+  /** Every `v<N>` directory under `root`, committed or not. */
+  private def allVersions(fs: org.apache.hadoop.fs.FileSystem,
+                          root: String): Seq[Long] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq.map(_.getPath)
+      .filter(_.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong)
+  }
+
+  /** Version numbers under `root` whose BOTH table writes committed. */
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+                                root: String): Seq[Long] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    allVersions(fs, root).filter { v =>
+      val p = new org.apache.hadoop.fs.Path(rootPath, s"v$v")
+      fs.exists(new org.apache.hadoop.fs.Path(p, "labels/_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "edges/_SUCCESS"))
+    }
+  }
 }

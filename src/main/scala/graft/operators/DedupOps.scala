@@ -346,6 +346,64 @@ object DedupOps {
   def ngramJaccardPairsOf(docs: DataFrame, minJac: Double): DataFrame =
     ngramJaccardPairsImpl(docs, Some(minJac))
 
+  /** BATCH-INCIDENT thresholded pairs: exactly the (a, b, jac ≥ minJac)
+    * pairs of [[ngramJaccardPairs]] where at least one endpoint satisfies
+    * `isIncident` — the per-batch edge discovery q87-style incremental
+    * clustering needs (batch~batch and batch~corpus edges, never
+    * corpus~corpus). Filtering the FULL pair output would be correct but
+    * useless at scale: a disjunction over both join outputs cannot push
+    * into either join side, so the whole corpus×corpus candidate set (and
+    * its verify working set — the r8 sf1 heap floor) would still
+    * materialize per batch. Here ONE side of the candidate join is
+    * restricted to the batch BEFORE the join; document frequencies, the
+    * prefix total order and the prefix/length bounds are still computed
+    * over the full document set, so both sides order by the SAME total
+    * order and the AllPairs exact-recall lemma holds for every incident
+    * pair — hash-checked by the q87 oracle, which replays the exhaustive
+    * join. Candidate and verify working sets shrink from O(corpus pairs)
+    * to O(batch-incident pairs). */
+  def ngramJaccardPairsIncident(docs: DataFrame, minJac: Double,
+                                isIncident: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minJac > 0 && minJac <= 1, s"minJac must be in (0, 1]; got $minJac")
+    val tGen = math.max(minJac - 1e-4 - 1e-9, 1e-9) // see ngramJaccardPairsImpl
+    val sh = TextOps.withShingles(docs.select("doc_id", "text")).select("doc_id", "sh")
+      .join(docs.select("doc_id", "n_chars"), "doc_id")
+      .withColumn("blk", (col("n_chars") / 50).cast("bigint"))
+      .withColumn("n_sh", size(col("sh")))
+    val postings = sh.select(col("doc_id"), col("blk"), col("n_sh"), explode(col("sh")).as("t"))
+    val df = postings.groupBy("blk", "t").agg(count(lit(1)).as("df"))
+    val ordered = postings.join(df, Seq("blk", "t"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("blk", "doc_id").orderBy(col("df"), col("t"))))
+    val prefix = ordered
+      .filter(col("pos") <= col("n_sh") - ceil(lit(tGen) * col("n_sh")).cast("bigint") + 1)
+      .select("doc_id", "blk", "n_sh", "t")
+    // the batch side leads the join; the symmetric length band (tGen·n_x ≤
+    // n_y and tGen·n_y ≤ n_x are each necessary for jac ≥ tGen) makes the
+    // generated pair set independent of which endpoint carried the batch
+    // tag, and least/greatest + distinct restores the a < b contract
+    // (both-endpoint-incident pairs are found from both sides — the
+    // distinct collapses them)
+    val px = prefix.filter(isIncident(col("doc_id")))
+    val candidates = px.as("x")
+      .join(prefix.as("y"),
+        col("x.blk") === col("y.blk") && col("x.t") === col("y.t") &&
+          col("x.doc_id") =!= col("y.doc_id") &&
+          col("y.n_sh") >= ceil(lit(tGen) * col("x.n_sh")) &&
+          col("y.n_sh") * lit(tGen) <= col("x.n_sh"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+      .distinct()
+    candidates
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+      .withColumn("jac",
+        round(graft.plans.JaccardSimilarity.of(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jac") >= minJac)
+      .select("a", "b", "jac")
+  }
+
   private def ngramJaccardPairsImpl(docs: DataFrame,
                                     minJac: Option[Double]): DataFrame = {
     val sh = TextOps.withShingles(docs.select("doc_id", "text")).select("doc_id", "sh")
@@ -507,8 +565,14 @@ object DedupOps {
             .filter(!isBatch(col("a")) && !isBatch(col("b"))),
           maxIter = 100)
           .localCheckpoint(eager = true))
-      val newPairs = ngramJaccardPairs(s, d, minJac = Some(0.5)).select("a", "b")
-        .filter(isBatch(col("a")) || isBatch(col("b")))
+      // batch-incident discovery ONLY (one candidate-join side restricted
+      // to the batch up front): the r8 shape computed the full corpus×corpus
+      // pair join and filtered after — the disjunction can't push into the
+      // join, so every trial (and the sf1 heap floor) paid the corpus-pair
+      // working set
+      val newPairs = ngramJaccardPairsIncident(
+        Tables.load(s, d, "documents").select("doc_id", "text", "n_chars"),
+        minJac = 0.5, isIncident = isBatch).select("a", "b")
       DedupPipeline.updateClusters(existing, newPairs, maxIter = 100)
         .select(col("node"), col("label"))
         .orderBy("node")

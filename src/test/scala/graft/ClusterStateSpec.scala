@@ -113,6 +113,76 @@ class ClusterStateSpec extends AnyFunSuite {
     assert(viaRaw.count() == 0L)
   }
 
+  test("nightly ingest loop: corpus index + ClusterState round-trip one batch end-to-end") {
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.DataFrame
+    // the production loop VERDICT r8 asked to close: at-rest MinHash index
+    // (bucketed tables) + at-rest ClusterState; per batch — load both,
+    // discover batch~corpus pairs through the index, insert into the
+    // cluster state, append the batch to the index, save the state. All
+    // state crosses a session boundary between every step.
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    // day 0: index + cluster the corpus, persist both
+    DedupOps.indexCorpus(corpus).saveAsTables("nightly_idx")
+    val pairs0 = DedupOps.minHashNearDupPairs(corpus).filter(col("jac") >= 0.8)
+    val root = java.nio.file.Files.createTempDirectory("graft-nightly").toString
+    ClusterState.build(pairs0.select("a", "b")).save(root)
+    // day 1, fresh session: load, discover, insert, append, save
+    val s2 = spark.newSession()
+    val st = ClusterState.load(s2, root)
+    val idx = DedupOps.loadCorpusIndex(s2, "nightly_idx")
+    val newPairs = DedupOps.minHashCrossDupPairs(batch, idx)
+      .filter(col("jac") >= 0.8)
+      .select(col("new_id").as("a"), col("corpus_id").as("b"))
+      .unionByName(DedupOps.minHashNearDupPairs(batch)
+        .filter(col("jac") >= 0.8).select("a", "b"))
+    val updated = st.insert(newPairs)
+    DedupOps.appendToCorpusIndex("nightly_idx", batch)
+    updated.save(root)
+    // the reloaded state equals the from-scratch build over corpus+batch
+    def labelMapD(df: DataFrame): Map[Long, Long] =
+      df.select("node", "label").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reloaded = ClusterState.load(spark, root)
+    val fullPairs = DedupOps.minHashNearDupPairs(docs).filter(col("jac") >= 0.8)
+    assert(labelMapD(reloaded.labels) ==
+      labelMapD(DedupPipeline.clusters(fullPairs.select("a", "b")).toDF()))
+    assertEdgeAnnotation(reloaded)
+    // and the appended index answers like a from-scratch index (spot check:
+    // a next batch sees identical duplicate candidates through both)
+    val probe = docs.limit(20)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    val viaAppended = DedupOps.minHashCrossDupPairs(
+      probe, DedupOps.loadCorpusIndex(spark, "nightly_idx"))
+      .filter(col("jac") >= 0.8)
+    val viaRebuilt = DedupOps.minHashCrossDupPairs(probe, docs)
+      .filter(col("jac") >= 0.8)
+    def pairSet(df: DataFrame) = df.select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(viaAppended) == pairSet(viaRebuilt))
+    assert(pairSet(viaAppended).nonEmpty)
+  }
+
+  test("versioned save: half-written version is skipped by load; next save prunes it") {
+    val st = ClusterState.build(Seq((1L, 2L), (10L, 11L)).toDF("a", "b"))
+    val root = java.nio.file.Files.createTempDirectory("graft-cluster-crash").toString
+    st.save(root) // v0, complete
+    // simulate a save that died between the two table writes: v1 has
+    // labels but no committed edges
+    st.labels.write.parquet(s"$root/v1/labels")
+    val loaded = ClusterState.load(spark, root) // must fall back to v0
+    assert(labelMap(loaded.labels) == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the recovery save commits a fresh complete version and prunes BOTH
+    // the stale v0 and the crashed partial v1
+    loaded.remove(Seq(10L).toDF("node")).save(root)
+    val dirs = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(dirs == Set("v2"), s"unexpected versions left: $dirs")
+    assert(labelMap(ClusterState.load(spark, root).labels) == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("remove of a node absent from every cluster is an identity") {
     val st = ClusterState.build(Seq((1L, 2L), (10L, 11L)).toDF("a", "b"))
     val out = st.remove(Seq(999L).toDF("node"))

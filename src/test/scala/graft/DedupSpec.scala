@@ -366,6 +366,22 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 0.55)), s"got ${got.toSeq}")
   }
 
+  test("ngramJaccardPairsIncident == full thresholded pairs filtered to incident endpoints") {
+    import graft.operators.DedupOps
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text", "n_chars")
+    val isBatch = (c: org.apache.spark.sql.Column) => c % 10 === 0
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b", "jac").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = canon(DedupOps.ngramJaccardPairsOf(docs, 0.5)
+      .filter(isBatch(col("a")) || isBatch(col("b"))))
+    val incident = canon(DedupOps.ngramJaccardPairsIncident(docs, 0.5, isBatch))
+    assert(incident == full,
+      s"only-incident=${(incident -- full).take(5)} only-full=${(full -- incident).take(5)}")
+    assert(full.nonEmpty) // non-vacuous at smoke scale
+  }
+
   test("appendToCorpusIndex: index(A) + append(B) answers like index(A∪B)") {
     import graft.operators.DedupOps
     val docs = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")

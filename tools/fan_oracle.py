@@ -7,7 +7,7 @@ queries take seconds), so a fixed chunking wastes cores. This driver runs
 a process pool with one query per task, LONGEST-FIRST so the heavy poles
 start immediately, and streams verdict lines as they land.
 
-q58/q87 are excluded by default: their ground truth is the recursive-CTE
+q58/q87/q110 are excluded by default: their ground truth is the recursive-CTE
 closure, intractable in DuckDB above sf0.1 — tools/closure_oracle.py is
 the fast external oracle for those two (run it separately).
 
@@ -20,7 +20,8 @@ top-k pairs via topk_pair_oracle.py) instead of the serial DuckDB compare.
 import sys, os, json, subprocess
 from concurrent.futures import ProcessPoolExecutor, as_completed
 
-CLOSURE = {"q58_dedup_clusters", "q87_incremental_clusters"}
+CLOSURE = {"q58_dedup_clusters", "q87_incremental_clusters",
+           "q110_cluster_deletion"}
 # longest-observed-first (sf1 sweep telemetry); everything else after
 HEAVY_ORDER = ["q53_ngram_jaccard", "q51_minhash_lsh", "q74_incremental_dedup",
                "q97_cross_source_dups", "q52_simhash", "q63_embedding_neardup",
@@ -61,7 +62,7 @@ def main():
             else:
                 nfail += 1
     print(f"\n{npass}/{npass + nfail} pass"
-          + (" (+ q58/q87 via closure_oracle.py)" if CLOSURE - names else ""))
+          + (" (+ q58/q87/q110 via closure_oracle.py)" if CLOSURE - names else ""))
     sys.exit(1 if nfail else 0)
 
 
