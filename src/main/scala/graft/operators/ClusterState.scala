@@ -43,9 +43,12 @@ final case class ClusterState(labels: DataFrame, edges: DataFrame) {
     * table writes leaves a version without both `_SUCCESS` markers, which
     * [[ClusterState.load]] skips in favor of the last complete one
     * (single writer assumed, as with [[DedupOps.appendToCorpusIndex]]; a
-    * transactional table format subsumes this at cluster scale). At 100 TB
-    * also key the edge layout on `label` so [[remove]]'s affected-component
-    * join prunes at the file level. */
+    * transactional table format subsumes this at cluster scale). NOTE:
+    * when this state derives from [[ClusterState.load]] of the same root,
+    * the pruning invalidates THIS instance's DataFrames — save is the
+    * terminal step of a maintenance cycle; re-[[ClusterState.load]] to
+    * continue. At 100 TB also key the edge layout on `label` so
+    * [[remove]]'s affected-component join prunes at the file level. */
   def save(root: String): Unit = {
     val spark = labels.sparkSession
     val fs = new org.apache.hadoop.fs.Path(root)

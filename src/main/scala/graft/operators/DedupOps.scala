@@ -173,11 +173,14 @@ object DedupOps {
     }
   }
 
-  /** Load an index written by [[MinHashCorpusIndex.saveAsTables]]. */
+  /** Load an index written by [[MinHashCorpusIndex.saveAsTables]], with
+    * any pending tombstones ([[removeFromCorpusIndex]]) applied — removed
+    * docs are invisible to every consumer without waiting for
+    * [[compactCorpusIndex]]. */
   def loadCorpusIndex(s: SparkSession, namePrefix: String): MinHashCorpusIndex =
     MinHashCorpusIndex(
-      s.table(s"${namePrefix}_shingles"),
-      s.table(s"${namePrefix}_bands"))
+      tombstoneFiltered(s, namePrefix, s.table(s"${namePrefix}_shingles")),
+      tombstoneFiltered(s, namePrefix, s.table(s"${namePrefix}_bands")))
 
   /** APPEND a new batch to an at-rest corpus index written by
     * [[MinHashCorpusIndex.saveAsTables]] — the admit step of the nightly
@@ -200,6 +203,20 @@ object DedupOps {
     * at cluster scale a transactional table format makes this one commit). */
   def appendToCorpusIndex(namePrefix: String, newDocs: DataFrame): Unit = {
     val spark = newDocs.sparkSession
+    // re-admitting an id whose TOMBSTONE is still pending is a silent data
+    // loss trap: the tombstone anti-join would hide the fresh rows at read
+    // time, and a later compaction would delete them outright. Fail fast;
+    // compact first, then re-admit.
+    if (spark.catalog.tableExists(s"${namePrefix}_tombstones")) {
+      val clash = newDocs.select("doc_id")
+        .join(spark.table(s"${namePrefix}_tombstones").select("doc_id"), "doc_id")
+        .limit(1).collect()
+      require(clash.isEmpty,
+        s"appendToCorpusIndex: doc_id ${clash.head.get(0)} has a pending " +
+          s"tombstone in ${namePrefix}_tombstones — run compactCorpusIndex " +
+          "before re-admitting purged ids (appending now would leave the " +
+          "rows hidden until compaction deletes them)")
+    }
     val nBuckets = bucketCountOf(spark, namePrefix)
     val sh = TextOps.withShingles(newDocs).select("doc_id", "sh")
     sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -236,6 +253,69 @@ object DedupOps {
       n
     } finally missing.unpersist()
   }
+
+  /** TAKEDOWN for the at-rest corpus index — the index-side half of the
+    * deletion story ([[ClusterState.remove]] is the cluster-side half):
+    * append the doc ids to a TOMBSTONE side-table, O(batch) — never a
+    * rewrite of the corpus tables. [[loadCorpusIndex]] applies tombstones
+    * with an anti-join on both tables (takedown-sized, broadcast by AQE —
+    * deliberately un-hinted so a mass purge degrades to a shuffle join,
+    * same policy as [[DedupPipeline.removeFromClusters]]); a broadcast
+    * anti-join preserves the band table's bucketed output partitioning, so
+    * the zero-corpus-shuffle batch join survives deletion. Fold the
+    * tombstones into the files with [[compactCorpusIndex]] once they
+    * accumulate. Idempotent (re-removing an id just adds a redundant
+    * tombstone row); removing an unknown id is a no-op at read time. */
+  def removeFromCorpusIndex(namePrefix: String, docIds: DataFrame): Unit =
+    docIds.select("doc_id").write.mode("append").format("parquet")
+      .saveAsTable(s"${namePrefix}_tombstones")
+
+  /** Fold accumulated tombstones into the index files: rewrite both tables
+    * WITHOUT the tombstoned docs (same bucket spec, read from catalog
+    * metadata), swap them in, drop the tombstone table. Staging-and-rename
+    * because Spark (correctly) refuses to overwrite a table it is reading.
+    * Crash protocol: the swap is per-table drop+rename. A crash between a
+    * table's DROP and its RENAME leaves that name dangling with the data
+    * safe in `_compact` — the next compactCorpusIndex call HEALS it first
+    * (rename `_compact` into the missing live name) before doing any new
+    * work. A crash between the two table swaps leaves one table compacted
+    * and one not, which is CONSISTENT (tombstones are only dropped last,
+    * and applying a tombstone to an already-compacted table is a no-op);
+    * a crash before any swap leaves stale `_compact` staging tables the
+    * next run overwrites. Single writer assumed, as with
+    * [[appendToCorpusIndex]]. */
+  def compactCorpusIndex(spark: SparkSession, namePrefix: String): Unit = {
+    // heal a previous run that died between DROP and RENAME
+    for (t <- Seq("shingles", "bands"))
+      if (!spark.catalog.tableExists(s"${namePrefix}_$t") &&
+          spark.catalog.tableExists(s"${namePrefix}_${t}_compact"))
+        spark.sql(s"ALTER TABLE ${namePrefix}_${t}_compact RENAME TO ${namePrefix}_$t")
+    val ts = s"${namePrefix}_tombstones"
+    if (!spark.catalog.tableExists(ts)) return
+    val nBuckets = bucketCountOf(spark, namePrefix)
+    val dead = spark.table(ts).select("doc_id").distinct()
+    spark.table(s"${namePrefix}_shingles")
+      .join(dead, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${namePrefix}_shingles_compact")
+    spark.table(s"${namePrefix}_bands")
+      .join(dead, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "bucket_key", "band", "bsig")
+      .saveAsTable(s"${namePrefix}_bands_compact")
+    for (t <- Seq("shingles", "bands")) {
+      spark.sql(s"DROP TABLE IF EXISTS ${namePrefix}_$t")
+      spark.sql(s"ALTER TABLE ${namePrefix}_${t}_compact RENAME TO ${namePrefix}_$t")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $ts")
+  }
+
+  private def tombstoneFiltered(spark: SparkSession, namePrefix: String,
+                                df: DataFrame): DataFrame =
+    if (!spark.catalog.tableExists(s"${namePrefix}_tombstones")) df
+    else df.join(
+      spark.table(s"${namePrefix}_tombstones").select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
 
   private def bucketCountOf(spark: SparkSession, namePrefix: String): Int =
     spark.sessionState.catalog

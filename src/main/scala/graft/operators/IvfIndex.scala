@@ -86,6 +86,21 @@ final case class IvfIndex(centroids: DataFrame, assigned: DataFrame) {
     else (appended, false)
   }
 
+  /** TAKEDOWN: drop a batch of vec_ids from the index — the ANN-index
+    * member of the deletion triple ([[graft.operators.ClusterState.remove]]
+    * for clusters, [[DedupOps.removeFromCorpusIndex]] for the MinHash
+    * index). One anti-join over the assignment (the removal batch is
+    * takedown-sized; AQE broadcasts it — deliberately un-hinted, same
+    * mass-purge policy as the other two); centroids are frozen, so search
+    * mechanics and every surviving assignment stay bit-identical, and the
+    * removed vectors can never be returned (they are gone from the only
+    * table search scans). Like [[append]] drift, heavy deletion can skew
+    * occupancy — the same [[imbalanceFactor]] monitoring applies; emptied
+    * cells simply stop matching probes. */
+  def remove(vecIds: DataFrame): IvfIndex =
+    IvfIndex(centroids,
+      assigned.join(vecIds.select("vec_id"), Seq("vec_id"), "left_anti"))
+
   /** Per-cell occupancy — the drift signal an appending pipeline watches.
     * One row per NON-EMPTY cell: (cell, n_vectors). */
   def occupancy: DataFrame =

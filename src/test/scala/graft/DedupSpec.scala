@@ -366,6 +366,67 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 0.55)), s"got ${got.toSeq}")
   }
 
+  test("corpus index takedown: tombstones hide docs at read time; compaction folds them in") {
+    import graft.operators.DedupOps
+    val docs = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")
+    val keep = docs.filter(col("doc_id") % 3 =!= 0)
+    val purge = docs.filter(col("doc_id") % 3 === 0)
+    val batch = docs.limit(40)
+      .select((col("doc_id") + 700000L).as("doc_id"), col("text"))
+    DedupOps.indexCorpus(docs).saveAsTables("graft_rm_idx", nBuckets = 4)
+    def pairs(idx: DedupOps.MinHashCorpusIndex) =
+      DedupOps.minHashCrossDupPairs(batch, idx).filter(col("jac") >= 0.5)
+        .select("new_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = pairs(DedupOps.indexCorpus(keep)) // ground truth: index of the remainder
+    val before = pairs(DedupOps.loadCorpusIndex(spark, "graft_rm_idx"))
+    assert(before != expect, "purge set must actually matter at smoke scale")
+    // tombstone the purge batch: O(batch) append, removed docs invisible
+    DedupOps.removeFromCorpusIndex("graft_rm_idx", purge.select("doc_id"))
+    assert(pairs(DedupOps.loadCorpusIndex(spark, "graft_rm_idx")) == expect)
+    // re-removing is idempotent at read time
+    DedupOps.removeFromCorpusIndex("graft_rm_idx", purge.select("doc_id").limit(5))
+    assert(pairs(DedupOps.loadCorpusIndex(spark, "graft_rm_idx")) == expect)
+    // compaction folds tombstones into the files: same answers, tombstone
+    // table gone, bucket spec preserved (a post-compaction append works
+    // and the appended doc is visible)
+    DedupOps.compactCorpusIndex(spark, "graft_rm_idx")
+    assert(!spark.catalog.tableExists("graft_rm_idx_tombstones"))
+    assert(pairs(DedupOps.loadCorpusIndex(spark, "graft_rm_idx")) == expect)
+    assert(spark.table("graft_rm_idx_shingles")
+      .join(purge.select("doc_id"), Seq("doc_id")).count() == 0)
+    // unique synthetic text: the re-added id must be VISIBLE in the index
+    // without matching any batch doc (which would perturb `expect`)
+    val readd = purge.limit(1)
+      .withColumn("text", lit("zyx qwv readmitted sentinel document body unique"))
+    DedupOps.appendToCorpusIndex("graft_rm_idx", readd)
+    val readdId = readd.select("doc_id").head().getLong(0)
+    assert(spark.table("graft_rm_idx_bands")
+      .filter(col("doc_id") === readdId).count() > 0)
+    // compaction with no tombstone table is a no-op, not an error
+    DedupOps.compactCorpusIndex(spark, "graft_rm_idx")
+    // re-admitting an id with a PENDING tombstone fails fast (silently
+    // hidden rows that compaction would then delete are the alternative)
+    DedupOps.removeFromCorpusIndex("graft_rm_idx", readd.select("doc_id"))
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.appendToCorpusIndex("graft_rm_idx", readd)
+    }
+    assert(e.getMessage.contains("pending"))
+    DedupOps.compactCorpusIndex(spark, "graft_rm_idx")
+    DedupOps.appendToCorpusIndex("graft_rm_idx", readd) // now legal
+    // crash-heal: simulate a compaction that died between DROP and RENAME
+    // (live name gone, data in _compact) — the next compact restores it
+    spark.table("graft_rm_idx_bands").write.mode("overwrite").format("parquet")
+      .bucketBy(4, "bucket_key", "band", "bsig")
+      .saveAsTable("graft_rm_idx_bands_compact")
+    spark.sql("DROP TABLE graft_rm_idx_bands")
+    DedupOps.compactCorpusIndex(spark, "graft_rm_idx")
+    assert(spark.catalog.tableExists("graft_rm_idx_bands"))
+    assert(pairs(DedupOps.loadCorpusIndex(spark, "graft_rm_idx")) == expect)
+    spark.sql("DROP TABLE IF EXISTS graft_rm_idx_shingles")
+    spark.sql("DROP TABLE IF EXISTS graft_rm_idx_bands")
+  }
+
   test("ngramJaccardPairsIncident == full thresholded pairs filtered to incident endpoints") {
     import graft.operators.DedupOps
     val docs = Tables.load(spark, TestSpark.sf, "documents")

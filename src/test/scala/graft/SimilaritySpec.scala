@@ -130,6 +130,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(reloaded.assigned.count() == v.count() && reloaded.centroids.count() == k)
   }
 
+  test("IvfIndex.remove: purged vectors never surface; survivors' results are untouched") {
+    import graft.operators.IvfIndex
+    val v = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"), col("label"))
+    val queries = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val purge = v.filter(col("vec_id") % 7 === 0).select("vec_id")
+    val idx = IvfIndex.build(v)
+    val after = idx.remove(purge)
+    // exactly the purge set is gone from the assignment
+    assert(after.assigned.join(purge, Seq("vec_id")).count() == 0)
+    assert(after.assigned.count() == v.count() - purge.count())
+    // centroids frozen: surviving assignments bit-identical
+    assert(after.assigned.exceptAll(
+      idx.assigned.join(purge, Seq("vec_id"), "left_anti")).isEmpty)
+    // search parity: removing vectors ≡ never having indexed them (same
+    // frozen centroids), and no purged id appears in any result
+    val res = after.search(queries, k = 5, nprobe = 3)
+    assert(res.join(purge.select(col("vec_id").as("n_id")), Seq("n_id")).count() == 0)
+    val ghost = IvfIndex(idx.centroids,
+      IvfIndex.assignTo(v.join(purge, Seq("vec_id"), "left_anti")
+        .select("vec_id", "emb"), idx.centroids))
+    val ref = ghost.search(queries, k = 5, nprobe = 3)
+    assert(res.exceptAll(ref).isEmpty && ref.exceptAll(res).isEmpty)
+    // removing an unknown id is a no-op
+    import spark.implicits._
+    val noop = after.remove(Seq(999999L).toDF("vec_id"))
+    assert(noop.assigned.count() == after.assigned.count())
+  }
+
   test("IvfIndex.refine recovers true clusters from scrambled seeds") {
     import graft.operators.IvfIndex
     // three tight clusters around orthogonal axes in 8-dim; 30% of the
