@@ -443,6 +443,39 @@ class DedupSpec extends AnyFunSuite {
     assert(full.nonEmpty) // non-vacuous at smoke scale
   }
 
+  test("ngramJaccardPairsVsIndex == ngramJaccardPairsIncident (frozen-df order stays exact)") {
+    import graft.operators.DedupOps
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text", "n_chars")
+    val isBatch = (c: org.apache.spark.sql.Column) => c % 10 === 0
+    // batch docs get a token the corpus has NEVER seen appended, so the
+    // unseen-token (df = 0) ordering path is genuinely exercised —
+    // including a planted batch~batch near-dup pair built mostly of
+    // unseen tokens
+    val seeded = docs.withColumn("text",
+      when(isBatch(col("doc_id")), concat(col("text"), lit(" zzunseen")))
+        .otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")))
+    val planted = Seq( // both ids % 10 == 0 → a batch~batch pair
+      (800010L, "zq zw ze zr zt zy zu zi zo zp za zs zd zf zg", 0L),
+      (800020L, "zq zw ze zr zt zy zu zi zo zp za zs zd zh zj", 0L))
+      .toDF("doc_id", "text", "n_chars")
+      .withColumn("n_chars", length(col("text")))
+    val all = seeded.unionByName(planted)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b", "jac").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaIncident = canon(DedupOps.ngramJaccardPairsIncident(all, 0.5, isBatch))
+    val idx = DedupOps.indexNgramPrefix(all.filter(!isBatch(col("doc_id"))), 0.5)
+    val viaIndex = canon(DedupOps.ngramJaccardPairsVsIndex(
+      all.filter(isBatch(col("doc_id"))), idx))
+    assert(viaIndex == viaIncident,
+      s"only-index=${(viaIndex -- viaIncident).take(5)} only-incident=${(viaIncident -- viaIndex).take(5)}")
+    assert(viaIndex.exists { case (a, b, _) => a == 800010L && b == 800020L },
+      "planted unseen-token batch~batch pair not found")
+    assert(viaIndex.nonEmpty)
+  }
+
   test("appendToCorpusIndex: index(A) + append(B) answers like index(A∪B)") {
     import graft.operators.DedupOps
     val docs = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")
