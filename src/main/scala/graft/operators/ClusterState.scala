@@ -59,11 +59,13 @@ final case class ClusterState(labels: DataFrame, edges: DataFrame) {
     val next = ClusterState.allVersions(fs, root).maxOption.getOrElse(-1L) + 1
     labels.write.mode("overwrite").parquet(s"$root/v$next/labels")
     edges.write.mode("overwrite").parquet(s"$root/v$next/edges")
-    // prune: every version but the one just committed (stale fulls AND
-    // crashed partials)
+    // prune: every VERSION directory but the one just committed (stale
+    // fulls AND crashed partials). Match the same v<digits> shape
+    // allVersions/load recognize — a looser startsWith("v") would also
+    // destroy non-version sibling data a user parked under root
     val gone = fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
       .map(_.getPath).filter { p =>
-        p.getName.startsWith("v") && p.getName != s"v$next"
+        p.getName.matches("v\\d+") && p.getName != s"v$next"
       }
     gone.foreach(p => fs.delete(p, true))
   }
@@ -83,13 +85,21 @@ final case class ClusterState(labels: DataFrame, edges: DataFrame) {
     * from its `a` endpoint's new label (one equi-join against the label
     * table; only merged components' edges actually change labels, and a
     * transactional at-rest format rewrites only those partitions).
-    * Callers own batch-vs-corpus edge uniqueness (duplicate pairs are
-    * harmless for propagation but bloat the stored edge set). */
+    * The stored edge set CANNOT grow on re-ingest: the batch is deduped
+    * within itself and anti-joined against the stored edges on (a, b)
+    * before the union (pairs carry the a < b contract, so (a, b) is a
+    * canonical key), so replaying an overlapping batch — the nightly
+    * loop's natural failure retry — leaves the edge count fixed. Cost
+    * stays one linear pass over the stored edges, which the relabel join
+    * already pays; duplicate pairs were always harmless for propagation,
+    * this guards the AT-REST footprint (VERDICT r9 item 6). */
   def insert(newPairs: DataFrame, maxIter: Int = 10, strict: Boolean = true,
              checkpointDir: Option[String] = None): ClusterState = {
     val newLabels = DedupPipeline.updateClusters(
       labels, newPairs, maxIter, strict, checkpointDir)
-    val allEdges = edges.select("a", "b").unionByName(newPairs.select("a", "b"))
+    val fresh = newPairs.select("a", "b").dropDuplicates("a", "b")
+      .join(edges.select("a", "b"), Seq("a", "b"), "left_anti")
+    val allEdges = edges.select("a", "b").unionByName(fresh)
     val relabeled = allEdges
       .join(newLabels.select(col("node").as("a"), col("label")), "a")
       .select("label", "a", "b")

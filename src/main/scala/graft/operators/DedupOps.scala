@@ -57,8 +57,8 @@ object DedupOps {
     tag + "#" + dir
   }
 
-  private def corpusState(s: SparkSession, d: String, tag: String,
-                          build: () => DataFrame): DataFrame =
+  private[operators] def corpusState(s: SparkSession, d: String, tag: String,
+                                     build: () => DataFrame): DataFrame =
     corpusStateCache.computeIfAbsent((s, stateKey(d, tag)), _ => build())
 
   /** Session-cached FULL-corpus [[ClusterState]] (labels + label-annotated
@@ -78,9 +78,13 @@ object DedupOps {
         .cached())
 
   /** Session-cached [[NgramPrefixIndex]] over q87's corpus side (non-batch
-    * docs) — the at-rest artifact a nightly incremental-clustering
-    * pipeline keeps next to its [[ClusterState]]; built once, reused every
-    * batch, so the per-trial cost is the BATCH-side ranking + joins. */
+    * docs) — the in-memory stand-in for
+    * [[loadNgramPrefixIndex]]/[[NgramPrefixIndex.saveAsTables]] (the
+    * durable form a nightly pipeline keeps next to its [[ClusterState]];
+    * round-trip parity is spec-proven, exactly how q110's
+    * [[corpusClusterState]] stands in for [[ClusterState.load]]); built
+    * once, reused every batch, so the per-trial cost is the BATCH-side
+    * ranking + joins. */
   private val prefixIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), NgramPrefixIndex]()
 
@@ -232,7 +236,7 @@ object DedupOps {
           "before re-admitting purged ids (appending now would leave the " +
           "rows hidden until compaction deletes them)")
     }
-    val nBuckets = bucketCountOf(spark, namePrefix)
+    val nBuckets = bucketCountOf(spark, s"${namePrefix}_bands")
     val sh = TextOps.withShingles(newDocs).select("doc_id", "sh")
     sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -251,7 +255,7 @@ object DedupOps {
     * Idempotent (a healthy index repairs zero docs). Returns the number of
     * repaired doc_ids. */
   def repairCorpusIndex(spark: SparkSession, namePrefix: String): Long = {
-    val nBuckets = bucketCountOf(spark, namePrefix)
+    val nBuckets = bucketCountOf(spark, s"${namePrefix}_bands")
     val sh = spark.table(s"${namePrefix}_shingles")
     val missing = sh.select("doc_id").distinct()
       .join(spark.table(s"${namePrefix}_bands").select("doc_id").distinct(),
@@ -307,7 +311,7 @@ object DedupOps {
         spark.sql(s"ALTER TABLE ${namePrefix}_${t}_compact RENAME TO ${namePrefix}_$t")
     val ts = s"${namePrefix}_tombstones"
     if (!spark.catalog.tableExists(ts)) return
-    val nBuckets = bucketCountOf(spark, namePrefix)
+    val nBuckets = bucketCountOf(spark, s"${namePrefix}_bands")
     val dead = spark.table(ts).select("doc_id").distinct()
     spark.table(s"${namePrefix}_shingles")
       .join(dead, Seq("doc_id"), "left_anti")
@@ -332,14 +336,14 @@ object DedupOps {
       spark.table(s"${namePrefix}_tombstones").select("doc_id").distinct(),
       Seq("doc_id"), "left_anti")
 
-  private def bucketCountOf(spark: SparkSession, namePrefix: String): Int =
+  private def bucketCountOf(spark: SparkSession, table: String): Int =
     spark.sessionState.catalog
       .getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(s"${namePrefix}_bands"))
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
       .bucketSpec.map(_.numBuckets)
       .getOrElse(throw new IllegalStateException(
-        s"${namePrefix}_bands exists but carries no bucket spec — not an " +
-          "index written by MinHashCorpusIndex.saveAsTables"))
+        s"$table exists but carries no bucket spec — not a table written " +
+          "by a graft index saveAsTables writer"))
 
   /** Index a (doc_id, text) corpus for incremental dedup. */
   def indexCorpus(corpus: DataFrame): MinHashCorpusIndex = {
@@ -575,9 +579,17 @@ object DedupOps {
     *
     * Tables: `prefix` (doc_id, blk, n_sh, t — prefix postings only, the
     * candidate join's corpus side), `df` (blk, t, df — the frozen order,
-    * batch-side ranking joins it), `shingles` (doc_id, sh — the verify
-    * side). `threshold` is baked in: prefix lengths depend on it, so one
-    * index serves one threshold. */
+    * batch-side ranking joins it), `shingles` (doc_id, blk, sh — the
+    * verify side; blk rides along because it derives from n_chars, which
+    * is not otherwise at rest, and crash repair needs it). `threshold` is
+    * baked in: prefix lengths depend on it, so one index serves one
+    * threshold.
+    *
+    * The DURABLE form is [[saveAsTables]]/[[loadNgramPrefixIndex]]
+    * (+ [[appendToNgramPrefixIndex]]/[[removeFromNgramPrefixIndex]]/
+    * [[compactNgramPrefixIndex]] for the nightly loop);
+    * [[persist]]/[[localCheckpointed]] are the in-session stand-ins a
+    * bench/test JVM warms so trials pay only the per-batch path. */
   final case class NgramPrefixIndex(prefix: DataFrame, df: DataFrame,
                                     shingles: DataFrame, threshold: Double) {
     def persist(): this.type = {
@@ -590,11 +602,189 @@ object DedupOps {
       NgramPrefixIndex(prefix.localCheckpoint(eager = true),
         df.localCheckpoint(eager = true),
         shingles.localCheckpoint(eager = true), threshold)
+
+    /** Persist the index AT REST as catalog tables, with the prefix table
+      * BUCKETED on exactly the candidate join's equi-keys (blk, t) — the
+      * loaded corpus side then reaches every batch's candidate join with
+      * its scan's HashPartitioning already covering the join's clustering
+      * requirement: ZERO corpus-side shuffle per batch (spec-asserted on
+      * the sort-merge path). `df` is bucketed the same way (the batch
+      * ranking join keys on (blk, t) too); `shingles` is plain parquet
+      * (the verify join reads it under two doc_id aliases); `_meta` pins
+      * the threshold the prefix lengths were computed at, so a load can
+      * never silently mix thresholds. Write order df → prefix → shingles →
+      * meta: `prefix` was derived FROM the `df` frame, so persisting `df`
+      * first lets the prefix write reuse the cached order instead of
+      * re-aggregating postings. Single writer assumed, as with
+      * [[MinHashCorpusIndex.saveAsTables]]. */
+    def saveAsTables(namePrefix: String, nBuckets: Int = 32): Unit = {
+      val s = prefix.sparkSession
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        df.write.mode("overwrite").format("parquet")
+          .bucketBy(nBuckets, "blk", "t")
+          .saveAsTable(s"${namePrefix}_df")
+        prefix.write.mode("overwrite").format("parquet")
+          .bucketBy(nBuckets, "blk", "t")
+          .saveAsTable(s"${namePrefix}_prefix")
+        shingles.write.mode("overwrite").format("parquet")
+          .saveAsTable(s"${namePrefix}_shingles")
+        import s.implicits._
+        Seq(threshold).toDF("threshold")
+          .write.mode("overwrite").format("parquet")
+          .saveAsTable(s"${namePrefix}_meta")
+      } finally df.unpersist()
+    }
+  }
+
+  /** Load a prefix index written by [[NgramPrefixIndex.saveAsTables]],
+    * with any pending tombstones ([[removeFromNgramPrefixIndex]]) applied
+    * to the doc-keyed tables — removed docs are invisible to every
+    * consumer without waiting for [[compactNgramPrefixIndex]]. The `df`
+    * order table is NOT tombstone-filtered: it carries no doc rows, only
+    * the frozen (blk, t) → df ranking every stored prefix was computed
+    * under. */
+  def loadNgramPrefixIndex(s: SparkSession, namePrefix: String): NgramPrefixIndex =
+    NgramPrefixIndex(
+      tombstoneFiltered(s, namePrefix, s.table(s"${namePrefix}_prefix")),
+      s.table(s"${namePrefix}_df"),
+      tombstoneFiltered(s, namePrefix, s.table(s"${namePrefix}_shingles")),
+      s.table(s"${namePrefix}_meta").head().getDouble(0))
+
+  /** APPEND a new batch of (doc_id, text, n_chars) docs to an at-rest
+    * prefix index — the admit step of the nightly loop. O(batch): the
+    * batch's prefixes are ranked under the index's FROZEN df order
+    * (unseen tokens df = 0, exactly [[ngramJaccardPairsVsIndex]]'s batch
+    * ranking, so an appended doc's stored prefix is byte-identical to the
+    * prefix it carried as a batch), and only batch-sized files land —
+    * the prefix append declares the SAME bucket spec read from the
+    * catalog, so later batch joins stay corpus-stationary. The df order
+    * stays FROZEN (see [[compactNgramPrefixIndex]] for why it must).
+    * Recall remains exact: the AllPairs lemma needs one COMMON total
+    * order, and (coalesce(df, 0), t) is the same order for every past and
+    * future doc — parity with a from-scratch rebuild over the union is
+    * spec-asserted.
+    *
+    * CRASH PROTOCOL: shingles are written FIRST; prefixes are a pure
+    * function of shingles + the frozen order, so after a failed append
+    * call [[repairNgramPrefixIndex]] and SKIP re-appending the batch
+    * (a blind retry duplicates shingle rows). Fails fast when a batch id
+    * still has a pending tombstone — same data-loss trap as
+    * [[appendToCorpusIndex]]: compact first, then re-admit. Callers own
+    * batch-vs-corpus doc_id uniqueness. */
+  def appendToNgramPrefixIndex(namePrefix: String, newDocs: DataFrame): Unit = {
+    val spark = newDocs.sparkSession
+    if (spark.catalog.tableExists(s"${namePrefix}_tombstones")) {
+      val clash = newDocs.select("doc_id")
+        .join(spark.table(s"${namePrefix}_tombstones").select("doc_id"), "doc_id")
+        .limit(1).collect()
+      require(clash.isEmpty,
+        s"appendToNgramPrefixIndex: doc_id ${clash.head.get(0)} has a " +
+          s"pending tombstone in ${namePrefix}_tombstones — run " +
+          "compactNgramPrefixIndex before re-admitting purged ids")
+    }
+    val nBuckets = bucketCountOf(spark, s"${namePrefix}_prefix")
+    val t0 = spark.table(s"${namePrefix}_meta").head().getDouble(0)
+    val shB = shingleBlocks(newDocs)
+    shB.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      shB.select("doc_id", "blk", "sh").write.mode("append").format("parquet")
+        .saveAsTable(s"${namePrefix}_shingles")
+      rankedPrefix(shB, spark.table(s"${namePrefix}_df"), genThreshold(t0))
+        .write.mode("append").format("parquet")
+        .bucketBy(nBuckets, "blk", "t")
+        .saveAsTable(s"${namePrefix}_prefix")
+    } finally shB.unpersist()
+  }
+
+  /** Heal a prefix index after a crashed [[appendToNgramPrefixIndex]]:
+    * recompute prefixes under the frozen order for exactly the doc_ids
+    * that have shingle rows but no prefix rows, and append them into the
+    * same bucket layout. Idempotent up to empty-shingle docs (a doc whose
+    * text yields zero shingles legitimately has no prefix rows and
+    * recomputes to zero rows again). Returns the number of doc_ids
+    * examined as missing. */
+  def repairNgramPrefixIndex(spark: SparkSession, namePrefix: String): Long = {
+    val nBuckets = bucketCountOf(spark, s"${namePrefix}_prefix")
+    val t0 = spark.table(s"${namePrefix}_meta").head().getDouble(0)
+    val sh = spark.table(s"${namePrefix}_shingles")
+    val missing = sh.select("doc_id").distinct()
+      .join(spark.table(s"${namePrefix}_prefix").select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = missing.count()
+      if (n > 0) {
+        // the shingle table stores blk (derived from n_chars at index
+        // time, not recoverable otherwise); n_sh re-derives from sh
+        val shM = sh.join(missing, "doc_id")
+          .withColumn("n_sh", size(col("sh")))
+        rankedPrefix(shM, spark.table(s"${namePrefix}_df"), genThreshold(t0))
+          .write.mode("append").format("parquet")
+          .bucketBy(nBuckets, "blk", "t")
+          .saveAsTable(s"${namePrefix}_prefix")
+      }
+      n
+    } finally missing.unpersist()
+  }
+
+  /** TAKEDOWN for the at-rest prefix index — the index-side half of a
+    * near-dup deletion ([[ClusterState.remove]] is the cluster-side half,
+    * [[removeFromCorpusIndex]] the MinHash-index half): append the ids to
+    * the index's TOMBSTONE side-table, O(batch), never a rewrite.
+    * [[loadNgramPrefixIndex]] applies tombstones with an anti-join on the
+    * prefix and shingle tables (takedown-sized, AQE-broadcast —
+    * deliberately un-hinted so a mass purge degrades to a shuffle join; a
+    * broadcast anti-join preserves the prefix table's bucketed output
+    * partitioning, so the zero-corpus-shuffle batch join survives
+    * deletion). Idempotent; unknown ids are read-time no-ops. Give each
+    * index family its own namePrefix — the tombstone table is per-prefix. */
+  def removeFromNgramPrefixIndex(namePrefix: String, docIds: DataFrame): Unit =
+    docIds.select("doc_id").write.mode("append").format("parquet")
+      .saveAsTable(s"${namePrefix}_tombstones")
+
+  /** Fold accumulated tombstones into the prefix-index files: rewrite the
+    * two DOC-KEYED tables (prefix, shingles) without the tombstoned docs
+    * — same bucket spec, read from catalog metadata — swap them in, drop
+    * the tombstone table. The `df` ORDER TABLE IS NEVER REWRITTEN: it is
+    * the frozen total order every surviving prefix was ranked under;
+    * recomputing df over the survivors would change that order and
+    * silently invalidate every stored prefix (recall would no longer be
+    * exact). Re-freeze only via a full [[indexNgramPrefix]] rebuild.
+    * Crash protocol mirrors [[compactCorpusIndex]]: per-table
+    * drop+rename, healed on the next call; tombstones dropped last. */
+  def compactNgramPrefixIndex(spark: SparkSession, namePrefix: String): Unit = {
+    for (t <- Seq("prefix", "shingles"))
+      if (!spark.catalog.tableExists(s"${namePrefix}_$t") &&
+          spark.catalog.tableExists(s"${namePrefix}_${t}_compact"))
+        spark.sql(s"ALTER TABLE ${namePrefix}_${t}_compact RENAME TO ${namePrefix}_$t")
+    val ts = s"${namePrefix}_tombstones"
+    if (!spark.catalog.tableExists(ts)) return
+    val nBuckets = bucketCountOf(spark, s"${namePrefix}_prefix")
+    val dead = spark.table(ts).select("doc_id").distinct()
+    spark.table(s"${namePrefix}_prefix")
+      .join(dead, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "blk", "t")
+      .saveAsTable(s"${namePrefix}_prefix_compact")
+    spark.table(s"${namePrefix}_shingles")
+      .join(dead, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${namePrefix}_shingles_compact")
+    for (t <- Seq("prefix", "shingles")) {
+      spark.sql(s"DROP TABLE IF EXISTS ${namePrefix}_$t")
+      spark.sql(s"ALTER TABLE ${namePrefix}_${t}_compact RENAME TO ${namePrefix}_$t")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $ts")
   }
 
   /** Build the prefix index over a (doc_id, text, n_chars) corpus at
     * `minJac`. Same shingle/block/df/prefix pipeline as
-    * [[ngramJaccardPairsIncident]], minus any batch side. */
+    * [[ngramJaccardPairsIncident]], minus any batch side. The shingle
+    * table keeps `blk` alongside (doc_id, sh): blk derives from n_chars,
+    * which is NOT stored at rest, so without it
+    * [[repairNgramPrefixIndex]] could not re-rank a crashed append's
+    * prefixes. */
   def indexNgramPrefix(corpus: DataFrame, minJac: Double): NgramPrefixIndex = {
     import org.apache.spark.sql.expressions.Window
     val tGen = genThreshold(minJac)
@@ -606,7 +796,26 @@ object DedupOps {
         Window.partitionBy("blk", "doc_id").orderBy(col("df"), col("t"))))
       .filter(col("pos") <= col("n_sh") - ceil(lit(tGen) * col("n_sh")).cast("bigint") + 1)
       .select("doc_id", "blk", "n_sh", "t")
-    NgramPrefixIndex(prefix, dfT, sh.select("doc_id", "sh"), minJac)
+    NgramPrefixIndex(prefix, dfT, sh.select("doc_id", "blk", "sh"), minJac)
+  }
+
+  /** Rank a (doc_id, blk, n_sh, sh) frame's postings under a frozen
+    * (blk, t) → df order — unseen tokens df = 0 (they sort first:
+    * maximally selective, and the SAME extension for every doc, so the
+    * common-total-order requirement of the AllPairs lemma holds) — and
+    * keep each doc's prefix window. Shared by [[ngramJaccardPairsVsIndex]]
+    * (batch side), [[appendToNgramPrefixIndex]] (admit) and
+    * [[repairNgramPrefixIndex]] (crash heal). */
+  private def rankedPrefix(shB: DataFrame, dfFrozen: DataFrame,
+                           tGen: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    shB.select(col("doc_id"), col("blk"), col("n_sh"), explode(col("sh")).as("t"))
+      .join(dfFrozen, Seq("blk", "t"), "left")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("blk", "doc_id")
+          .orderBy(coalesce(col("df"), lit(0L)), col("t"))))
+      .filter(col("pos") <= col("n_sh") - ceil(lit(tGen) * col("n_sh")).cast("bigint") + 1)
+      .select("doc_id", "blk", "n_sh", "t")
   }
 
   /** Batch-incident thresholded pairs AGAINST a prebuilt prefix index —
@@ -614,34 +823,43 @@ object DedupOps {
     * (corpus ∪ batch) with the batch as the incident set, but the only
     * per-batch work is batch-sized: shingle the batch, rank its postings
     * under the index's frozen df order (left join; unseen tokens df 0),
-    * one candidate join against (corpus prefix ∪ batch prefix), exact
-    * verify. The corpus prefix table streams through the candidate join
-    * unchanged — no corpus-wide window, no df recompute. Returns
-    * (a, b, jac ≥ threshold), a < b, batch~batch pairs included. Callers
-    * own batch-vs-corpus doc_id uniqueness. */
+    * a candidate join against the corpus prefix plus a batch-sized
+    * self-join for batch~batch pairs, exact verify. The corpus prefix
+    * table streams through its candidate join unchanged — no corpus-wide
+    * window, no df recompute, and the two candidate joins are kept
+    * SEPARATE rather than joining against (corpus ∪ batch): a union node
+    * would discard the corpus table's storage partitioning, whereas here
+    * a [[NgramPrefixIndex.saveAsTables]]-bucketed corpus scan reaches its
+    * join with zero corpus-side shuffle (the (blk, t) bucketing covers
+    * the join's clustering keys; spec-asserted). The batch self-join uses
+    * doc_id < to emit each batch pair once; the length band is symmetric
+    * in x/y (tGen·n_x ≤ n_y ⇔ n_y·tGen ≤ n_x reversed), so restricting
+    * to one orientation loses nothing — the same argument
+    * [[ngramJaccardPairsIncident]] makes for least/greatest+distinct.
+    * Returns (a, b, jac ≥ threshold), a < b, batch~batch pairs included.
+    * Callers own batch-vs-corpus doc_id uniqueness. */
   def ngramJaccardPairsVsIndex(batch: DataFrame, idx: NgramPrefixIndex): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t0 = idx.threshold
     val tGen = genThreshold(t0)
     val shB = shingleBlocks(batch)
-    val postB = shB.select(col("doc_id"), col("blk"), col("n_sh"), explode(col("sh")).as("t"))
-    val prefixB = postB
-      .join(idx.df, Seq("blk", "t"), "left")
-      .withColumn("pos", row_number().over(
-        Window.partitionBy("blk", "doc_id")
-          .orderBy(coalesce(col("df"), lit(0L)), col("t"))))
-      .filter(col("pos") <= col("n_sh") - ceil(lit(tGen) * col("n_sh")).cast("bigint") + 1)
-      .select("doc_id", "blk", "n_sh", "t")
-    val candidates = prefixB.as("x")
-      .join(idx.prefix.unionByName(prefixB).as("y"),
+    val prefixB = rankedPrefix(shB, idx.df, tGen)
+    def lengthBand(x: String, y: String) =
+      col(s"$y.n_sh") >= ceil(lit(tGen) * col(s"$x.n_sh")) &&
+        col(s"$y.n_sh") * lit(tGen) <= col(s"$x.n_sh")
+    val candCorpus = prefixB.as("x")
+      .join(idx.prefix.as("y"),
         col("x.blk") === col("y.blk") && col("x.t") === col("y.t") &&
-          col("x.doc_id") =!= col("y.doc_id") &&
-          col("y.n_sh") >= ceil(lit(tGen) * col("x.n_sh")) &&
-          col("y.n_sh") * lit(tGen) <= col("x.n_sh"))
+          col("x.doc_id") =!= col("y.doc_id") && lengthBand("x", "y"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
-      .distinct()
-    val allSh = idx.shingles.unionByName(shB.select("doc_id", "sh"))
+    val candBatch = prefixB.as("x")
+      .join(prefixB.as("y"),
+        col("x.blk") === col("y.blk") && col("x.t") === col("y.t") &&
+          col("x.doc_id") < col("y.doc_id") && lengthBand("x", "y"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val candidates = candCorpus.unionByName(candBatch).distinct()
+    val allSh = idx.shingles.select("doc_id", "sh")
+      .unionByName(shB.select("doc_id", "sh"))
     candidates
       .join(allSh.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
       .join(allSh.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")

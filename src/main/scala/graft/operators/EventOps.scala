@@ -67,7 +67,11 @@ object EventOps {
     * value wins deterministically (arg-max semantics, matching an
     * `arg_max(·, id)` pre-dedup) WITHOUT the extra shuffle a groupBy
     * pre-aggregation would cost: the tie column just extends the ordering
-    * of the one timeline sort.
+    * of the one timeline sort. A NULL tie value LOSES to any non-null tie
+    * in BOTH directions (NULLs sort first in traversal order; since r9 —
+    * earlier builds let a NULL tie win forward matches), and a tied run
+    * that is all-NULL still matches with an arbitrary winner — pinned by
+    * the NULL-tieBreak regression spec.
     */
   def asofBackward(left: DataFrame, right: DataFrame,
                    key: String, ts: String, out: String,

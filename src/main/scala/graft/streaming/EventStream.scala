@@ -399,7 +399,11 @@ object EventStream {
               .map { case (_, eid, t, side, v) => (eid, us(t), side, v) }
               .sortBy(r => (r._2, r._3, r._1))
             sorted.foreach {
-              case (eid, u, 0, _) => pending = pending :+ ((eid, u))
+              // PREPEND, not append: :+ on List is O(n), and a key with a
+              // large pending backlog would pay O(n²) per micro-batch.
+              // The drain below partitions on the horizon predicate and
+              // never depends on backlog order (ADVICE r9).
+              case (eid, u, 0, _) => pending = ((eid, u)) :: pending
               case (rid, u, _, v) =>
                 val (answered, still) = pending.partition(_._2 <= u)
                 answered.foreach { case (leid, lus) =>

@@ -466,6 +466,36 @@ class AuditSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("NULL tieBreak among equal-ts right rows LOSES to any non-null tie, both directions") {
+    // pins the r9 contract (ADVICE r9): NULL ties sort FIRST in traversal
+    // order for BOTH directions (asc_nulls_first backward,
+    // desc_nulls_first forward), so running last() always prefers a
+    // non-null tie; a NULL-tie row wins only when every tied row is NULL
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val left = Seq((1L, 10L, ts(200)), (2L, 20L, ts(200))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      // user 10: a NULL-tie and a non-null-tie row at the SAME ts
+      (Some(10L), Some(ts(100)), None, "null-tie"),
+      (Some(10L), Some(ts(100)), Some(3L), "non-null"),
+      (Some(10L), Some(ts(300)), None, "null-tie-fwd"),
+      (Some(10L), Some(ts(300)), Some(4L), "non-null-fwd"),
+      // user 20: ONLY NULL-tie rows at the tied ts — still a valid match
+      (Some(20L), Some(ts(100)), None, "only-null"),
+      (Some(20L), Some(ts(300)), None, "only-null-fwd"))
+      .toDF("user_id", "ts", "rid", "tag")
+    val back = EventOps.asofBackward(left, right, "user_id", "ts", "m_ts",
+        payload = Seq("tag"), tieBreak = Some("rid"))
+      .select("event_id", "tag").as[(Long, String)].collect().toMap
+    assert(back(1L) == "non-null", s"backward NULL tie must lose: $back")
+    assert(back(2L) == "only-null")
+    val fwd = EventOps.asofForward(left, right, "user_id", "ts", "m_ts",
+        payload = Seq("tag"), tieBreak = Some("rid"))
+      .select("event_id", "tag").as[(Long, String)].collect().toMap
+    assert(fwd(1L) == "non-null-fwd", s"forward NULL tie must lose: $fwd")
+    assert(fwd(2L) == "only-null-fwd")
+  }
+
   test("asofBackward: NULL-key/NULL-ts rows never match (SQL equi-ASOF parity)") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000L)

@@ -183,6 +183,25 @@ class ClusterStateSpec extends AnyFunSuite {
     assert(labelMap(ClusterState.load(spark, root).labels) == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("re-ingesting an overlapping batch leaves the stored edge set fixed") {
+    val st = ClusterState.build(Seq((1L, 2L), (10L, 11L)).toDF("a", "b"))
+    // batch overlaps the corpus (1,2), repeats itself ((20,21) twice), and
+    // brings one genuinely new pair — the nightly retry-after-crash shape
+    val batch = Seq((1L, 2L), (20L, 21L), (20L, 21L), (2L, 3L)).toDF("a", "b")
+    val once = st.insert(batch)
+    assert(once.edges.count() == 4L, // (1,2) (10,11) (20,21) (2,3)
+      "overlapping/self-duplicate batch rows bloated the edge set")
+    // a blind full replay of the same batch changes NOTHING
+    val twice = once.insert(batch)
+    assert(twice.edges.count() == 4L)
+    assert(labelMap(twice.labels) == labelMap(once.labels))
+    assertEdgeAnnotation(twice)
+    // and the maintained state still matches the from-scratch build
+    val full = DedupPipeline.clusters(
+      Seq((1L, 2L), (10L, 11L), (20L, 21L), (2L, 3L)).toDF("a", "b"))
+    assert(labelMap(twice.labels) == labelMap(full.toDF()))
+  }
+
   test("remove of a node absent from every cluster is an identity") {
     val st = ClusterState.build(Seq((1L, 2L), (10L, 11L)).toDF("a", "b"))
     val out = st.remove(Seq(999L).toDF("node"))
