@@ -140,6 +140,18 @@ object Bench {
     // list across orders) is the reliable signal.
     val heapPeaks = scala.collection.mutable.Map.empty[String, Long]
       .withDefaultValue(0L)
+    // NOTE on definitions (VERDICT r9 item 7): poolPeakMb SUMS per-pool
+    // peaks, and pools peak at DIFFERENT instants (eden fills, collects,
+    // then old grows), so the sum is an UPPER BOUND that can legitimately
+    // exceed -Xmx — it is NOT comparable to heap_max_mb. The emitted
+    // record says so ("heap_peak_def") and additionally carries
+    // heap_used_peak_mb: the max over per-query SNAPSHOT readings of
+    // total used heap — the same quantity heap_max_mb caps, ≤ it by
+    // construction (a sampled lower bound on the true peak; the two
+    // bracket it). heap_warn stays a statement about the CAP vs the
+    // documented requirement, which is already like-for-like.
+    val memBean = java.lang.management.ManagementFactory.getMemoryMXBean
+    var heapUsedPeakMb = 0L
     def poolPeakMb(): Long = heapPools.map(p =>
       try p.getPeakUsage.getUsed catch { case _: Throwable => 0L }).sum / (1024 * 1024)
     for (sweep <- 1 to trials) {
@@ -165,6 +177,8 @@ object Bench {
           }
         samples(name) = samples(name) :+ dt
         heapPeaks(name) = math.max(heapPeaks(name), poolPeakMb())
+        heapUsedPeakMb = math.max(heapUsedPeakMb,
+          memBean.getHeapMemoryUsage.getUsed / (1024 * 1024))
       }
       maxLoad = math.max(maxLoad, osBean.getSystemLoadAverage)
     }
@@ -237,7 +251,7 @@ object Bench {
     // stores a bounded tail of stdout, which truncates the FRONT of this
     // line — total_sec at the end survives that
     def line(queries: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queries,"queries_min":$qsMin,"sf":"$sfDir","trials":$trials,"failed":$failedJson,"gc_sec":$gcSec,"gc_frac":$gcFrac,"heap_mb":$heapMb,"heap_peak_mb":$heapPeakMb,"heap_max_mb":$heapMaxMb,"heap_warn":$heapWarn,"cpu_cores":$cpuCores,"load_avg":${math.rint(maxLoad * 100) / 100},"noise_spread":$noise,"contended":$contended,"wall_sec":${math.rint(wallSec * 10) / 10},"total_min_sec":${math.rint(totalMin * 1000) / 1000},"total_sec":$total}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queries,"queries_min":$qsMin,"sf":"$sfDir","trials":$trials,"failed":$failedJson,"gc_sec":$gcSec,"gc_frac":$gcFrac,"heap_mb":$heapMb,"heap_peak_mb":$heapPeakMb,"heap_peak_def":"sum of per-pool JVM peaks (non-simultaneous upper bound; may exceed heap_max_mb)","heap_used_peak_mb":$heapUsedPeakMb,"heap_max_mb":$heapMaxMb,"heap_warn":$heapWarn,"cpu_cores":$cpuCores,"load_avg":${math.rint(maxLoad * 100) / 100},"noise_spread":$noise,"contended":$contended,"wall_sec":${math.rint(wallSec * 10) / 10},"total_min_sec":${math.rint(totalMin * 1000) / 1000},"total_sec":$total}"""
     // full-precision copy the driver can read WHOLE — BENCH_r04's stdout
     // tail lost 29 of 86 per-query numbers (VERDICT r4 item 8). The file
     // also carries every per-trial sample ("samples"): a grader can see

@@ -442,10 +442,11 @@ object EventStream {
     * change in the observed attribute CLOSES the segment, which is emitted
     * with `valid_to` = the new segment's start, exactly the batch
     * operator's [valid_from, valid_to) contract. Append-mode semantics:
-    * only CLOSED segments are emitted (the open segment per key is
-    * unfinished state — the batch operator emits it with valid_to NULL;
-    * read it back by running the batch build over the compacted history,
-    * or snapshot state via a final drain). NULL attr observations are
+    * only CLOSED segments are emitted; the open segment per key — the
+    * CURRENT value, the first thing a dimension consumer asks for — is
+    * state, snapshotted on demand by [[scd2OpenSnapshot]] from the
+    * query's checkpoint (closed emissions ∪ snapshot ≡ the full batch
+    * build, valid_to-NULL rows included). NULL attr observations are
     * first-class values (None): None→None is NOT a change, None→Some is —
     * the same null-safe struct compare as batch. Exactness needs per-key
     * event-time monotone arrival across batches, same as [[asofLookup]];
@@ -479,6 +480,32 @@ object EventStream {
         })
       .toDF()
   }
+
+  /** DRAIN for [[scd2Stream]]'s open segments — the answer to "what is
+    * the CURRENT value per key", which append-mode emissions alone cannot
+    * give (they carry only CLOSED segments). Reads the query's group
+    * state through Spark's state data source (`format("statestore")`)
+    * from the CHECKPOINT, so it composes with the
+    * `Trigger.AvailableNow` lifecycle with no side-channel: run the
+    * scheduled drain ([[drainToParquet]]/[[drainToTable]] with a
+    * checkpoint), then call this on the same checkpoint after
+    * termination — closed emissions ∪ this snapshot ≡ the batch
+    * [[graft.operators.Relational.scd2History]] output INCLUDING its
+    * `valid_to IS NULL` rows (spec-asserted). Reading state instead of
+    * keeping a shadow table means the snapshot can never drift from what
+    * the stream actually holds; the state source reads the last COMMITTED
+    * batch's store, so snapshot a stopped (or between-triggers) query.
+    * Schema matches [[Scd2Segment]] with `validToMicros` NULL (open). */
+  def scd2OpenSnapshot(spark: SparkSession, checkpoint: String): DataFrame =
+    // (flat)MapGroupsWithState wraps the user state in a `groupState`
+    // struct (alongside timeout bookkeeping); the key is the grouping
+    // encoder's single `value` field
+    spark.read.format("statestore").option("path", checkpoint).load()
+      .select(col("key.value").as("userId"),
+        col("value.groupState._1").as("attr"),
+        col("value.groupState._2").as("validFromMicros"),
+        lit(null).cast("long").as("validToMicros"),
+        col("value.groupState._3").as("nEvents"))
 
   /** Run any of the above to an in-memory sink and block until the source is
     * drained — used by tests and local smoke runs. */

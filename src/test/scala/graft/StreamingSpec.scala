@@ -616,6 +616,55 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming != batch: only-streaming=${(got -- expected).take(3)} only-batch=${(expected -- got).take(3)}")
   }
 
+  test("scd2 drain: closed emissions + open-segment snapshot == FULL batch scd2History (valid_to NULL rows included)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    // the FULL batch reference this time — open segments and all: the
+    // drain exists precisely to answer "what is the CURRENT value per key"
+    val expected = graft.operators.Relational
+      .scd2History(ev, "user_id", "ts", "event_id", Seq("event_type"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("valid_from")).as("from_us"),
+        unix_micros(col("valid_to")).as("to_us"), col("n_orders"))
+      .as[(Long, Option[String], Long, Option[Long], Long)].collect().toSet
+    val nOpen = expected.count(_._4.isEmpty)
+    // exactly ONE open segment per observed key — the "current value"
+    val nKeys = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select("user_id").distinct().count()
+    assert(nOpen.toLong == nKeys && nOpen > 5, s"open=$nOpen keys=$nKeys")
+
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft-scd2-drain").toString
+    val eventsIn = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val q = EventStream.scd2Stream(spark,
+        eventsIn.toDF().toDF("user_id", "event_id", "ts", "event_type"))
+      .writeStream.format("memory").queryName("scd2_drain")
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .start()
+    val all = ev.select("user_id", "event_id", "ts", "event_type")
+      .as[(Long, Long, java.sql.Timestamp, String)]
+      .collect().sortBy(r => (r._3.getTime, r._2))
+    eventsIn.addData(all.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    // the AvailableNow-shaped lifecycle: query terminated, snapshot the
+    // open segments straight from the checkpoint's state store
+    val closed = spark.table("scd2_drain")
+      .select("userId", "attr", "validFromMicros", "validToMicros", "nEvents")
+      .withColumn("validToMicros", col("validToMicros").cast("long"))
+      .as[(Long, Option[String], Long, Option[Long], Long)].collect().toSet
+    val open = EventStream.scd2OpenSnapshot(spark, checkpoint)
+      .as[(Long, Option[String], Long, Option[Long], Long)].collect().toSet
+    assert(open.size == nOpen, s"snapshot rows ${open.size} != open segments $nOpen")
+    assert(open.forall(_._4.isEmpty))
+    val union = closed ++ open
+    assert(union == expected,
+      s"drain != batch: only-stream=${(union -- expected).take(3)} only-batch=${(expected -- union).take(3)}")
+  }
+
   test("flatMapGroupsWithState running totals accumulate per user") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

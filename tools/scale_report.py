@@ -9,10 +9,18 @@ floor; medians inherit sandbox noise). A query is flagged super-linear when
 ratio > k * MARGIN; sub-second base times get an absolute floor so fixed
 overhead (session setup, tiny-table scans) doesn't read as super-linear
 scaling. Purely a dev tool — the engine itself never depends on this.
+
+Caveat when reading ratios near the flag line: k counts ROWS. The driver's
+document tables grow in mean length with sf (sf0.1 -> sf1 is 10x rows but
+13.3x characters), so a chars-linear text query legitimately reads ~13x at
+"10x"; and single-row-group test files cap scan parallelism at one task,
+so pre-shuffle per-row work cannot spread over cores the way a multi-file
+100 TB layout would. Check sum(n_chars) and row-group counts before calling
+a 10-14x ratio super-linear (see BUILDLOG round 10, q33/q35 adjudication).
 """
 import sys, json
 
-MARGIN = 2.0      # ratio above k*MARGIN => flagged
+MARGIN = 1.5      # ratio above k*MARGIN => flagged (tightened from 2.0, r10)
 ABS_FLOOR = 0.35  # base seconds below which fixed overhead dominates
 
 def main():
