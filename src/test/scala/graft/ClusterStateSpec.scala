@@ -149,7 +149,7 @@ class ClusterStateSpec extends AnyFunSuite {
     val reloaded = ClusterState.load(spark, root)
     val fullPairs = DedupOps.minHashNearDupPairs(docs).filter(col("jac") >= 0.8)
     assert(labelMapD(reloaded.labels) ==
-      labelMapD(DedupPipeline.clusters(fullPairs.select("a", "b")).toDF()))
+      labelMapD(DedupPipeline.clusters(fullPairs.select("a", "b"), maxIter = 100).toDF()))
     assertEdgeAnnotation(reloaded)
     // and the appended index answers like a from-scratch index (spot check:
     // a next batch sees identical duplicate candidates through both)
@@ -164,6 +164,69 @@ class ClusterStateSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairSet(viaAppended) == pairSet(viaRebuilt))
     assert(pairSet(viaAppended).nonEmpty)
+  }
+
+  test("nightly loop with BOTH at-rest artifacts: prefix index + ClusterState survive a session boundary, takedown reaches both") {
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.DataFrame
+    // the n-gram twin of the MinHash nightly-loop test above, PLUS the
+    // takedown leg VERDICT r9 demanded: a doc removed from the clusters
+    // must also stop haunting the prefix index, or the next batch emits
+    // pairs against deleted docs.
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select("doc_id", "text", "n_chars")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    def labelMapD(df: DataFrame): Map[Long, Long] =
+      df.select("node", "label").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      // day 0: index + cluster the corpus, persist both artifacts
+      DedupOps.indexNgramPrefix(corpus, 0.5).saveAsTables("nightly_np", nBuckets = 4)
+      val pairs0 = DedupOps.ngramJaccardPairsOf(corpus, 0.5)
+      val root = java.nio.file.Files.createTempDirectory("graft-nightly-np").toString
+      ClusterState.build(pairs0.select("a", "b"), maxIter = 100).save(root)
+      // day 1, FRESH session: load both, discover batch-incident pairs
+      // through the index, insert, append the batch, save
+      val s2 = spark.newSession()
+      val st = ClusterState.load(s2, root)
+      val idx = DedupOps.loadNgramPrefixIndex(s2, "nightly_np")
+      val batch2 = Tables.load(s2, TestSpark.sf, "documents")
+        .select("doc_id", "text", "n_chars").filter(col("doc_id") % 10 === 0)
+      val newPairs = DedupOps.ngramJaccardPairsVsIndex(batch2, idx).select("a", "b")
+      val updated = st.insert(newPairs, maxIter = 100)
+      DedupOps.appendToNgramPrefixIndex("nightly_np", batch2)
+      updated.save(root)
+      // the reloaded state equals the from-scratch build over corpus+batch
+      val reloaded = ClusterState.load(spark, root)
+      val fullPairs = DedupOps.ngramJaccardPairsOf(docs, 0.5)
+      assert(labelMapD(reloaded.labels) ==
+        labelMapD(DedupPipeline.clusters(fullPairs.select("a", "b"), maxIter = 100).toDF()))
+      // day 2: TAKEDOWN of a clustered doc — remove from the cluster state
+      // AND tombstone the prefix index; afterwards no probe pair may touch
+      // it through either artifact
+      // collect the victim id FIRST: save() prunes the version the loaded
+      // frames read from (the documented terminal-step contract), so the
+      // post-save takedown frames must be literals, not lineage over v1
+      val victimId = reloaded.labels.select("node").orderBy("node")
+        .limit(1).head().getLong(0)
+      reloaded.remove(Seq(victimId).toDF("node"), maxIter = 100).save(root)
+      DedupOps.removeFromNgramPrefixIndex("nightly_np",
+        Seq(victimId).toDF("doc_id"))
+      val s3 = spark.newSession()
+      val probe = Tables.load(s3, TestSpark.sf, "documents")
+        .select("doc_id", "text", "n_chars").filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text"), col("n_chars"))
+      val afterPairs = DedupOps.ngramJaccardPairsVsIndex(
+        probe, DedupOps.loadNgramPrefixIndex(s3, "nightly_np"))
+      assert(afterPairs.filter(col("a") === victimId || col("b") === victimId)
+        .count() == 0, s"removed doc $victimId still pairs through the index")
+      assert(ClusterState.load(spark, root).labels
+        .filter(col("node") === victimId).count() == 0)
+    } finally {
+      for (t <- Seq("prefix", "df", "shingles", "meta", "tombstones"))
+        spark.sql(s"DROP TABLE IF EXISTS nightly_np_$t")
+    }
   }
 
   test("versioned save: half-written version is skipped by load; next save prunes it") {
