@@ -86,19 +86,24 @@ final case class ClusterState(labels: DataFrame, edges: DataFrame) {
     * table; only merged components' edges actually change labels, and a
     * transactional at-rest format rewrites only those partitions).
     * The stored edge set CANNOT grow on re-ingest: the batch is deduped
-    * within itself and anti-joined against the stored edges on (a, b)
-    * before the union (pairs carry the a < b contract, so (a, b) is a
-    * canonical key), so replaying an overlapping batch — the nightly
-    * loop's natural failure retry — leaves the edge count fixed. Cost
-    * stays one linear pass over the stored edges, which the relabel join
-    * already pays; duplicate pairs were always harmless for propagation,
-    * this guards the AT-REST footprint (VERDICT r9 item 6). */
+    * within itself, already-stored pairs are identified by SEMI-joining
+    * the stored edges against the batch (batch-sized build side — AQE
+    * broadcasts it, so the corpus edge set STREAMS; a naive batch-side
+    * left-anti against the corpus would build on the corpus and force a
+    * full (a, b) shuffle of the stored edges per insert), and only the
+    * genuinely-new pairs union in (pairs carry the a < b contract, so
+    * (a, b) is a canonical key). Replaying an overlapping batch — the
+    * nightly loop's natural failure retry — leaves the edge count fixed;
+    * duplicate pairs were always harmless for propagation, this guards
+    * the AT-REST footprint (VERDICT r9 item 6). */
   def insert(newPairs: DataFrame, maxIter: Int = 10, strict: Boolean = true,
              checkpointDir: Option[String] = None): ClusterState = {
     val newLabels = DedupPipeline.updateClusters(
       labels, newPairs, maxIter, strict, checkpointDir)
-    val fresh = newPairs.select("a", "b").dropDuplicates("a", "b")
-      .join(edges.select("a", "b"), Seq("a", "b"), "left_anti")
+    val batchPairs = newPairs.select("a", "b").dropDuplicates("a", "b")
+    val dupes = edges.select("a", "b")
+      .join(batchPairs, Seq("a", "b"), "left_semi")
+    val fresh = batchPairs.join(dupes, Seq("a", "b"), "left_anti")
     val allEdges = edges.select("a", "b").unionByName(fresh)
     val relabeled = allEdges
       .join(newLabels.select(col("node").as("a"), col("label")), "a")

@@ -10,10 +10,11 @@ ratio > k * MARGIN; sub-second base times get an absolute floor so fixed
 overhead (session setup, tiny-table scans) doesn't read as super-linear
 scaling. Purely a dev tool — the engine itself never depends on this.
 
-Caveat when reading ratios near the flag line: k counts ROWS. The driver's
-document tables grow in mean length with sf (sf0.1 -> sf1 is 10x rows but
-13.3x characters), so a chars-linear text query legitimately reads ~13x at
-"10x"; and single-row-group test files cap scan parallelism at one task,
+Caveat when reading ratios near the flag line: k counts ROWS. The sf1/sf10
+inputs derive from ScaleUp, whose per-replica dedup-preserving token
+suffixes lengthen every document (sf0.1 -> sf1 is 10x rows but 13.3x
+characters: 1.49M -> 19.7M), so a chars-linear text query legitimately
+reads ~13x at "10x"; and single-row-group test files cap scan parallelism,
 so pre-shuffle per-row work cannot spread over cores the way a multi-file
 100 TB layout would. Check sum(n_chars) and row-group counts before calling
 a 10-14x ratio super-linear (see BUILDLOG round 10, q33/q35 adjudication).
