@@ -271,6 +271,64 @@ class StreamingSpec extends AnyFunSuite {
       out2.columns.indexOf("dup_of")), "novel doc spuriously flagged")
   }
 
+  test("admissionDrain: later batches dedup against earlier ADMISSIONS; within-batch juniors rejected; no double-admit") {
+    import graft.operators.DedupOps
+    import spark.implicits._
+    val w = (1 to 40).map(i => f"cw$i%02d").mkString(" ") // corpus doc text
+    val y = (1 to 40).map(i => f"ny$i%02d").mkString(" ") // novel, admitted in batch 0
+    val v = (1 to 40).map(i => f"wv$i%02d").mkString(" ") // batch-1 senior
+    val corpus = Seq((100L, w)).toDF("doc_id", "text")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-adm-src")
+    val sinkRoot = java.nio.file.Files.createTempDirectory("graft-adm-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-adm-ckpt").toString
+    try {
+      DedupOps.indexCorpus(corpus).saveAsTables("graft_adm_idx", nBuckets = 4)
+      // batch 0: an exact corpus twin (reject) + a novel doc (admit).
+      // ONE part file per logical batch: maxFilesPerTrigger=1 makes each
+      // file a micro-batch, and the within-batch pair below must co-arrive.
+      Seq((1L, w), (2L, y)).toDF("doc_id", "text").repartition(1)
+        .write.mode("overwrite").parquet(srcDir.resolve("b0").toString)
+      val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+      def drain(): Unit = graft.streaming.DocStream.admissionDrain(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString + "/*"),
+        "graft_adm_idx", 0.8, sinkRoot, ckpt)
+      drain()
+      val out1 = spark.read.parquet(sinkRoot)
+        .select("doc_id", "admitted", "dup_of").collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+      assert(out1(1L) == ((false, 100L)), s"corpus twin: ${out1.get(1L)}")
+      assert(out1(2L) == ((true, -1L)), s"novel doc: ${out1.get(2L)}")
+      assert(spark.table("graft_adm_idx_shingles")
+        .filter(col("doc_id") === 2L).count() == 1, "admitted doc not in index")
+      // batch 1: a near-dup of the batch-0 ADMISSION (the cross-batch
+      // property incrementalDedupDrain lacks), the same doc re-sent, and
+      // a within-batch near-dup pair (senior admitted, junior rejected)
+      Seq((3L, y + " extra"), (2L, y), (5L, v), (6L, v + " tail"))
+        .toDF("doc_id", "text").repartition(1)
+        .write.mode("overwrite").parquet(srcDir.resolve("b1").toString)
+      drain()
+      // doc 2 has audit rows in BOTH batches (admitted in 0, rejected as a
+      // re-send in 1) — scope to batch 1's partition
+      val out2 = spark.read.parquet(sinkRoot).filter(col("batch_id") === 1L)
+        .select("doc_id", "admitted", "dup_of").collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+      assert(out2(3L) == ((false, 2L)), s"dup of an earlier ADMISSION: ${out2.get(3L)}")
+      assert(out2(2L) == ((false, 2L)), s"re-sent doc must match its corpus copy: ${out2.get(2L)}")
+      assert(out2(6L) == ((false, 5L)), s"within-batch junior: ${out2.get(6L)}")
+      assert(out2(5L)._1, s"within-batch senior must be admitted: ${out2.get(5L)}")
+      // the index gained exactly the senior; the re-sent doc was not
+      // double-admitted
+      val ids = spark.table("graft_adm_idx_shingles").groupBy("doc_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ids.keySet == Set(100L, 2L, 5L), s"index ids: ${ids.keySet}")
+      assert(ids.values.forall(_ == 1L), s"duplicated index rows: $ids")
+    } finally {
+      for (t <- Seq("shingles", "bands", "tombstones"))
+        spark.sql(s"DROP TABLE IF EXISTS graft_adm_idx_$t")
+    }
+  }
+
   test("foreachBatch streams into the idempotent partitioned sink") {
     val root = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
     val stream = EventStream.fromDirectory(spark, eventsDir)
