@@ -22,12 +22,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ EventOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
-      SamplingOps.queries
+      SamplingOps.queries ++ CorpusOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextOps.oracleSql ++ EventOps.oracleSql ++
       DedupOps.oracleSql ++ SimilarityOps.oracleSql ++ MultimodalOps.oracleSql ++
-      SamplingOps.oracleSql
+      SamplingOps.oracleSql ++ CorpusOps.oracleSql
 }

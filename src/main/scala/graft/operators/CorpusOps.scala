@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-evolution analytics over `documents`: the questions a
+  * training-data curator asks about a corpus AS IT GROWS — how much genuinely
+  * new content each arriving document contributes (novelty), and how the
+  * vocabulary accumulates over arrival order (Heaps'-law growth curve).
+  *
+  * Both are arrival-order cumulative metrics, which is exactly where naive
+  * Spark plans go single-task: a global `ORDER BY` window funnels the whole
+  * corpus through one partition. The operators here keep every corpus-sized
+  * stage key-partitioned (shingle / token / doc bucket) and reserve
+  * single-task work for frames already reduced by ≥ the bucket width.
+  */
+object CorpusOps {
+
+  /** Per-document n-gram novelty: the share of a doc's distinct 3-gram
+    * shingles whose FIRST occurrence (min doc_id) in the whole corpus is
+    * this doc. The per-batch novelty curve of an ingest pipeline — a
+    * near-zero-novelty doc is a rephrasing of earlier content even when no
+    * single earlier doc crosses a pair-dedup threshold (novelty is
+    * corpus-cumulative, not pairwise like q51/q53).
+    *
+    * Shape: explode shingles → groupBy(shingle).min(doc_id) (map-side
+    * partial min, one shuffle on the shingle key) → join first-seen back to
+    * the exploded postings (same key, same partitioning — AQE reuses the
+    * exchange) → groupBy(doc_id). Output is |postings| rows into the last
+    * shuffle, never |postings|² — no pair materialization anywhere.
+    */
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val sh = TextOps.withShingles(docs)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val first = sh.groupBy("g").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "g")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") / col("n_shingles"), 4))
+  }
+
+  /** Vocabulary growth curve: per doc_id (arrival order), the number of
+    * whitespace tokens first seen at that doc and the cumulative distinct
+    * vocabulary up to and including it (Heaps'-law curve; its flattening is
+    * the classic signal a crawl has started re-collecting itself).
+    *
+    * The cumulative sum is a DISTRIBUTED TWO-LEVEL PREFIX SUM, not a global
+    * `ORDER BY` window: docs bucket by `doc_id / bucketWidth`, the running
+    * sum within each bucket is a window PARTITIONED by bucket (parallel),
+    * and each bucket's offset is an exclusive prefix over the per-bucket
+    * totals — a frame already reduced bucketWidth-fold before it crosses
+    * the one single-task window in the plan. At 10⁹+ docs, recurse the same
+    * trick on the bucket frame; one level is ample below that.
+    */
+  def vocabGrowth(docs: DataFrame, bucketWidth: Int = 64): DataFrame = {
+    require(bucketWidth >= 2, s"vocabGrowth: bucketWidth $bucketWidth")
+    val firstSeen = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .groupBy("tok").agg(min("doc_id").as("doc_id"))
+    val perDoc = firstSeen.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    val base = docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("new_tokens", coalesce(col("nt"), lit(0L)))
+      .withColumn("bkt", floor(col("doc_id") / bucketWidth))
+    val intra = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // exclusive prefix of per-bucket totals; coalesce covers the first bucket
+    val offsets = base.groupBy("bkt").agg(sum("new_tokens").as("bt"))
+      .withColumn("off", coalesce(
+        sum("bt").over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "off")
+    base.join(offsets, "bkt")
+      .withColumn("cum_vocab", col("off") + sum("new_tokens").over(intra))
+      .select("doc_id", "new_tokens", "cum_vocab")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_ngram_novelty" -> ((s, d) =>
+      ngramNovelty(Tables.load(s, d, "documents")).orderBy("doc_id")),
+    "q113_vocab_growth" -> ((s, d) =>
+      vocabGrowth(Tables.load(s, d, "documents")).orderBy("doc_id")))
+
+  val oracleSql: Map[String, String] = Map(
+    "q112_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         | sh AS (SELECT doc_id, unnest(${TextOps.shinglesSql.replace("\n", " ")}) AS g FROM t),
+         | f AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+         |SELECT sh.doc_id AS doc_id, count(*) AS n_shingles,
+         | CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         | round(CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |   / count(*), 4) AS novelty
+         |FROM sh JOIN f USING (g) GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+    "q113_vocab_growth" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |   FROM documents),
+        | f AS (SELECT tok, min(doc_id) AS doc_id FROM tok GROUP BY tok),
+        | pd AS (SELECT doc_id, count(*) AS nt FROM f GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id,
+        | CAST(coalesce(pd.nt, 0) AS BIGINT) AS new_tokens,
+        | CAST(sum(coalesce(pd.nt, 0)) OVER (ORDER BY d.doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+        |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin)
+}
