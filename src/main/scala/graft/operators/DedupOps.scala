@@ -445,6 +445,59 @@ object DedupOps {
   def ngramJaccardPairsOf(docs: DataFrame, minJac: Double): DataFrame =
     ngramJaccardPairsImpl(docs, Some(minJac))
 
+  /** Thresholded shingle-CONTAINMENT pairs: (a, b, containment) with a < b
+    * and containment = |sh_a ∩ sh_b| / min(|sh_a|, |sh_b|) ≥ minC — the
+    * subset-duplication detector. A short doc pasted whole into a long one
+    * has containment ≈ 1 but Jaccard ≈ |A|/|B|, far below any sane pair
+    * threshold, so [[ngramJaccardPairsOf]] structurally cannot flag it; for
+    * the same reason this operator uses NO length blocking (small-in-large
+    * is exactly the cross-length case blocks exclude).
+    *
+    * Candidate generation is the one-sided prefix filter: order each doc's
+    * shingles by ascending (global document frequency, shingle) and join
+    * the SMALLER doc's first n_sh − ⌈t·n_sh⌉ + 1 postings against the
+    * larger doc's FULL postings — if fewer than ⌈t·na⌉ of A's shingles hit
+    * B then some prefix shingle must miss too, so recall at the threshold
+    * is exact under any common total order. Ascending-df ordering keeps
+    * prefixes to RARE shingles (short posting lists), which is what bounds
+    * the prefix×full join: a hot boilerplate shingle only enters a prefix
+    * for docs made almost entirely of boilerplate. Generation runs at
+    * [[genThreshold]]'s slack below minC; candidates verify with the exact
+    * `array_intersect` count, so output equals the exhaustive join
+    * (hash-checked by q114's oracle, which replays it in DuckDB). */
+  def ngramContainmentPairs(docs: DataFrame, minC: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tGen = genThreshold(minC)
+    val sh = TextOps.withShingles(docs.select("doc_id", "text")).select("doc_id", "sh")
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+    val postings = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("t"))
+    val df = postings.groupBy("t").agg(count(lit(1)).as("df"))
+    val ordered = postings.join(df, "t")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("t"))))
+    val prefix = ordered
+      .filter(col("pos") <= col("n_sh") - ceil(lit(tGen) * col("n_sh")).cast("bigint") + 1)
+      .select("doc_id", "n_sh", "t")
+    // x (prefix) is the smaller endpoint; equal sizes generate from both
+    // sides and the least/greatest + distinct collapses them to a < b
+    val candidates = prefix.as("x")
+      .join(postings.as("y"),
+        col("x.t") === col("y.t") &&
+          (col("x.n_sh") < col("y.n_sh") ||
+            (col("x.n_sh") === col("y.n_sh") && col("x.doc_id") =!= col("y.doc_id"))))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+      .distinct()
+    candidates
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a"), col("n_sh").as("na")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b"), col("n_sh").as("nb")), "b")
+      .withColumn("c_raw",
+        size(array_intersect(col("sh_a"), col("sh_b"))) / least(col("na"), col("nb")))
+      .filter(col("c_raw") >= minC)
+      .select(col("a"), col("b"), round(col("c_raw"), 4).as("containment"))
+  }
+
   /** BATCH-INCIDENT thresholded pairs: exactly the (a, b, jac ≥ minJac)
     * pairs of [[ngramJaccardPairs]] where at least one endpoint satisfies
     * `isIncident` — the per-batch edge discovery q87-style incremental
@@ -941,6 +994,14 @@ object DedupOps {
         .limit(20)
     }),
 
+    // Subset-duplication audit: containment ≥ 0.8 pairs (short-doc-inside-
+    // long-doc near-dups that Jaccard thresholds structurally miss).
+    "q114_containment_pairs" -> ((s, d) => {
+      ngramContainmentPairs(
+        Tables.load(s, d, "documents").select("doc_id", "text"), 0.8)
+        .orderBy("a", "b")
+    }),
+
     // Cluster ASSIGNMENT for the near-dup graph: n-gram-Jaccard edges at
     // threshold 0.5 → connected components via DedupPipeline.clusters
     // (min-label propagation: one join + agg per iteration — the shape that
@@ -1185,6 +1246,21 @@ object DedupOps {
          | round(len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))), 4) AS jac
          |FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
          |ORDER BY jac DESC, a, b LIMIT 20""".stripMargin,
+
+    // Exhaustive shared-shingle join — the oracle replays containment
+    // without the prefix filter, so a green row proves exact recall.
+    "q114_containment_pairs" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         | sh AS (SELECT doc_id, ${TextOps.shinglesSql} AS s FROM t),
+         | sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+         | p AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         | pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+         |           FROM p x JOIN p y ON x.g = y.g AND x.doc_id < y.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT a, b, round(shared / least(sa.n, sb.n), 4) AS containment
+         |FROM pairs JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+         |WHERE shared / least(sa.n, sb.n) >= 0.8
+         |ORDER BY a, b""".stripMargin,
 
     // Transitive closure over the same edge set; min reachable id per node
     // is exactly what min-label propagation converges to.

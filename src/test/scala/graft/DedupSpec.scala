@@ -726,4 +726,46 @@ class DedupSpec extends AnyFunSuite {
       assert(DedupOps.repairNgramPrefixIndex(spark, "graft_np_app") === emptyC)
     } finally dropNpTables("graft_np_app")
   }
+
+  test("ngramContainmentPairs: flags a short doc embedded in a long one that Jaccard misses") {
+    import spark.implicits._
+    val small = (1 to 10).map(i => f"s$i%02d").mkString(" ")
+    val big = small + " " + (1 to 60).map(i => f"b$i%02d").mkString(" ")
+    val other = (1 to 30).map(i => f"o$i%02d").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+    val got = graft.operators.DedupOps.ngramContainmentPairs(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // doc 1's 8 shingles all appear in doc 2 (plus the 2 seam shingles miss)
+    assert(got == Set((1L, 2L, 1.0)), s"got $got")
+    // the same pair is invisible to Jaccard at the same threshold:
+    // jac = 8 / (8 + 69 - 8) ≈ 0.12
+    val jac = graft.operators.DedupOps.ngramJaccardPairsOf(
+      docs.withColumn("n_chars", length(col("text")).cast("bigint")), 0.8)
+      .collect()
+    assert(jac.isEmpty, s"jaccard unexpectedly flagged: ${jac.toSeq}")
+  }
+
+  test("ngramContainmentPairs == exhaustive shared-shingle join at the threshold (exact recall)") {
+    import graft.operators.{DedupOps, TextOps}
+    val docs = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fast = canon(DedupOps.ngramContainmentPairs(docs, 0.8))
+    // brute force: every pair sharing any shingle, no prefix filter
+    val sh = TextOps.withShingles(docs).select(col("doc_id"), col("sh"))
+      .withColumn("n", size(col("sh"))).filter(col("n") > 0)
+    val p = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val brute = canon(p.as("x").join(p.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sh.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("c_raw", col("shared") / least(col("na"), col("nb")))
+      .filter(col("c_raw") >= 0.8)
+      .select(col("a"), col("b"), round(col("c_raw"), 4).as("containment")))
+    assert(fast == brute,
+      s"only-fast=${(fast -- brute).take(5)} only-brute=${(brute -- fast).take(5)}")
+    assert(brute.nonEmpty) // non-vacuous at smoke scale
+  }
 }
