@@ -464,7 +464,16 @@ object DedupOps {
     * for docs made almost entirely of boilerplate. Generation runs at
     * [[genThreshold]]'s slack below minC; candidates verify with the exact
     * `array_intersect` count, so output equals the exhaustive join
-    * (hash-checked by q114's oracle, which replays it in DuckDB). */
+    * (hash-checked by q114's oracle, which replays it in DuckDB).
+    *
+    * Why not the exhaustive count-join (q53's unthresholded shape)? At
+    * sf0.1's synthetic near-uniform shingle frequencies (max df 25) it is
+    * actually ~1.5× faster — the prefix pipeline's df join + per-doc-order
+    * window is the dominant fixed cost at this scale. But its candidate
+    * volume is Σ_t df(t)², which detonates on the boilerplate hot keys
+    * real corpora have (the r4 verdict on q53); the prefix filter removes
+    * exactly those keys from the join. Constants at toy scale were traded
+    * for the shape that survives 100 TB. */
   def ngramContainmentPairs(docs: DataFrame, minC: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tGen = genThreshold(minC)
@@ -473,6 +482,11 @@ object DedupOps {
       .filter(col("n_sh") > 0)
     val postings = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("t"))
     val df = postings.groupBy("t").agg(count(lit(1)).as("df"))
+    // the df-join + per-doc-order window pipeline runs on the PREFIX side
+    // only — the full side joins the raw postings, so the operator pays one
+    // ordering pass, not two. (A PPJoin positional bound on the full side
+    // was measured to prune <4% of candidates here while forcing the
+    // ordering pipeline onto both join inputs — not worth it.)
     val ordered = postings.join(df, "t")
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("t"))))
