@@ -80,11 +80,99 @@ object CorpusOps {
       .select("doc_id", "new_tokens", "cum_vocab")
   }
 
+  /** (g, first_doc) — one row per distinct corpus shingle with the doc that
+    * introduced it. The reusable state behind [[ngramNovelty]]: novelty of
+    * any later batch is O(batch) against this frame instead of O(corpus)
+    * re-shingling. */
+  def firstSeenOf(docs: DataFrame): DataFrame =
+    TextOps.withShingles(docs)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .groupBy("g").agg(min("doc_id").as("first_doc"))
+
+  /** Persist a first-seen index AT REST, bucketed on the shingle — the
+    * batch novelty join's key — so [[noveltyVsIndex]] against the loaded
+    * table is corpus-stationary (the scan's HashPartitioning covers the
+    * join's clustering requirement; zero corpus-side shuffle). */
+  def saveFirstSeenIndex(docs: DataFrame, namePrefix: String,
+                         nBuckets: Int = 32): Unit =
+    firstSeenOf(docs).write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "g")
+      .saveAsTable(s"${namePrefix}_firstseen")
+
+  def loadFirstSeenIndex(s: SparkSession, namePrefix: String): DataFrame =
+    s.table(s"${namePrefix}_firstseen")
+
+  /** O(batch) novelty of a NEW batch against an existing first-seen index:
+    * [[ngramNovelty]]'s output for exactly the batch docs, without touching
+    * corpus text. A shingle absent from the index but shared by two batch
+    * docs is novel only for the smaller doc_id (within-batch first-seen).
+    * CONTRACT: equality with a full [[ngramNovelty]] over corpus ∪ batch
+    * (the q115 oracle) requires batch doc_ids above all corpus ids —
+    * arrival order IS id order, the append-only ingest invariant; a stored
+    * first_doc always wins over any batch id regardless. */
+  def noveltyVsIndex(index: DataFrame, batch: DataFrame): DataFrame = {
+    val bsh = TextOps.withShingles(batch)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val bmin = bsh.groupBy("g").agg(min("doc_id").as("bfirst"))
+    bsh.join(bmin, "g")
+      .join(index.select(col("g"), col("first_doc").as("idx_first")), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("idx_first").isNull && col("bfirst") === col("doc_id"), 1L)
+          .otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") / col("n_shingles"), 4))
+  }
+
+  /** Admit a batch into an at-rest first-seen index: append one (g,
+    * first_doc = within-batch min) row per shingle the index has never
+    * seen — later batches then measure novelty against earlier admissions.
+    * O(batch) work; appended files land in the existing bucket layout. */
+  def appendToFirstSeenIndex(s: SparkSession, namePrefix: String,
+                             batch: DataFrame): Unit = {
+    val bmin = TextOps.withShingles(batch)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .groupBy("g").agg(min("doc_id").as("first_doc"))
+    val nBuckets = DedupOps.bucketCountOf(s, s"${namePrefix}_firstseen")
+    bmin.join(s.table(s"${namePrefix}_firstseen").select("g"), Seq("g"), "left_anti")
+      .write.mode("append").format("parquet")
+      .bucketBy(nBuckets, "g")
+      .saveAsTable(s"${namePrefix}_firstseen")
+  }
+
+  /** Session cache for q115's corpus-side index (the q87PrefixIndex
+    * warm-state pattern): built once per (session, dir), localCheckpointed
+    * so benched trials pay the BATCH cost the incremental operator exists
+    * to isolate, not the corpus build. */
+  private val firstSeenCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Long, DataFrame)]()
+
+  private def q115State(s: SparkSession, d: String): (Long, DataFrame) =
+    firstSeenCache.computeIfAbsent((s, d), _ => {
+      val docs = Tables.load(s, d, "documents")
+      // 1-row aggregate: the order-respecting corpus/batch split point
+      val thr = math.floor(
+        docs.agg(max("doc_id")).collect()(0).getLong(0) * 0.9).toLong
+      (thr, firstSeenOf(docs.filter(col("doc_id") <= thr))
+        .localCheckpoint(true))
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_ngram_novelty" -> ((s, d) =>
       ngramNovelty(Tables.load(s, d, "documents")).orderBy("doc_id")),
     "q113_vocab_growth" -> ((s, d) =>
-      vocabGrowth(Tables.load(s, d, "documents")).orderBy("doc_id")))
+      vocabGrowth(Tables.load(s, d, "documents")).orderBy("doc_id")),
+
+    // INCREMENTAL novelty: the last-arrived 10% of docs audited against the
+    // warm corpus first-seen index — answer-checked against the full q112
+    // computation restricted to the batch (the oracle replays it), proving
+    // the O(batch) path ≡ the O(corpus) recompute.
+    "q115_incremental_novelty" -> ((s, d) => {
+      val (thr, index) = q115State(s, d)
+      noveltyVsIndex(index,
+        Tables.load(s, d, "documents").filter(col("doc_id") > thr))
+        .orderBy("doc_id")
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q112_ngram_novelty" ->
@@ -96,6 +184,22 @@ object CorpusOps {
          | round(CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
          |   / count(*), 4) AS novelty
          |FROM sh JOIN f USING (g) GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+    // The incremental path must equal the full novelty pass BY
+    // CONSTRUCTION, so its oracle IS q112's computation restricted to the
+    // batch — a green row means O(batch) maintenance and O(corpus)
+    // recompute agree exactly.
+    "q115_incremental_novelty" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         | sh AS (SELECT doc_id, unnest(${TextOps.shinglesSql.replace("\n", " ")}) AS g FROM t),
+         | f AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g),
+         | thr AS (SELECT CAST(floor(max(doc_id) * 0.9) AS BIGINT) AS mx FROM documents)
+         |SELECT sh.doc_id AS doc_id, count(*) AS n_shingles,
+         | CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         | round(CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |   / count(*), 4) AS novelty
+         |FROM sh JOIN f USING (g), thr WHERE sh.doc_id > thr.mx
+         |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+
     "q113_vocab_growth" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
         |   FROM documents),

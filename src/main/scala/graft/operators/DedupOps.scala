@@ -336,7 +336,7 @@ object DedupOps {
       spark.table(s"${namePrefix}_tombstones").select("doc_id").distinct(),
       Seq("doc_id"), "left_anti")
 
-  private def bucketCountOf(spark: SparkSession, table: String): Int =
+  private[operators] def bucketCountOf(spark: SparkSession, table: String): Int =
     spark.sessionState.catalog
       .getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(table))

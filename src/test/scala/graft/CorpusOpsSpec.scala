@@ -66,4 +66,69 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(plan.contains("windowspecdefinition(bkt"),
       s"expected a bkt-partitioned window in:\n$plan")
   }
+
+  private def noveltyRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "n_shingles", "n_novel", "novelty").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+  test("noveltyVsIndex == full ngramNovelty restricted to the batch (monotone ids)") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")
+    val thr = docs.agg(max("doc_id")).collect()(0).getLong(0) * 9 / 10
+    val corpus = docs.filter(col("doc_id") <= thr)
+    val batch = docs.filter(col("doc_id") > thr)
+    val incremental = noveltyRows(
+      CorpusOps.noveltyVsIndex(CorpusOps.firstSeenOf(corpus), batch))
+    val full = noveltyRows(
+      CorpusOps.ngramNovelty(docs).filter(col("doc_id") > thr))
+    assert(incremental == full)
+    assert(full.nonEmpty)
+  }
+
+  test("first-seen index: at-rest round-trip, batch-over-batch append visibility, bucketed join") {
+    import spark.implicits._
+    val mk = (ws: Seq[String]) => ws.mkString(" ")
+    val corpus = Seq((0L, mk((1 to 10).map(i => f"c$i%02d")))).toDF("doc_id", "text")
+    // batch 1 doc 10 introduces new shingles; doc 11 repeats doc 10 exactly
+    val b1 = Seq(
+      (10L, mk((1 to 8).map(i => f"n$i%02d"))),
+      (11L, mk((1 to 8).map(i => f"n$i%02d")))).toDF("doc_id", "text")
+    // batch 2 repeats batch 1's content — must be zero-novel ONLY if the
+    // append made batch 1's admissions visible
+    val b2 = Seq((20L, mk((1 to 8).map(i => f"n$i%02d")))).toDF("doc_id", "text")
+    try {
+      CorpusOps.saveFirstSeenIndex(corpus, "graft_fs", nBuckets = 4)
+      val idx = CorpusOps.loadFirstSeenIndex(spark, "graft_fs")
+      val out1 = noveltyRows(CorpusOps.noveltyVsIndex(idx, b1))
+      assert(out1(10L) == ((10L, 6L, 6L, 1.0)), s"${out1.get(10L)}")
+      assert(out1(11L) == ((11L, 6L, 0L, 0.0)), s"${out1.get(11L)}")
+      // parity with the in-session frame (round-trip loses nothing)
+      assert(out1 == noveltyRows(
+        CorpusOps.noveltyVsIndex(CorpusOps.firstSeenOf(corpus), b1)))
+      CorpusOps.appendToFirstSeenIndex(spark, "graft_fs", b1)
+      val out2 = noveltyRows(CorpusOps.noveltyVsIndex(
+        CorpusOps.loadFirstSeenIndex(spark, "graft_fs"), b2))
+      assert(out2(20L) == ((20L, 6L, 0L, 0.0)), s"${out2.get(20L)}")
+      // the index stores batch 1's shingles under the SENIOR doc once
+      val stored = spark.table("graft_fs_firstseen")
+        .filter(col("first_doc") === 10L).count()
+      assert(stored == 6L, s"stored $stored")
+      assert(spark.table("graft_fs_firstseen")
+        .filter(col("first_doc") === 11L).count() == 0L)
+      // idempotent append: nothing new to admit
+      CorpusOps.appendToFirstSeenIndex(spark, "graft_fs", b1)
+      assert(spark.table("graft_fs_firstseen").groupBy("g").count()
+        .filter(col("count") > 1).count() == 0L, "duplicate shingle rows")
+      // the batch joins the loaded table without shuffling the corpus side
+      val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+      val prevBc = spark.conf.get(bcKey)
+      try {
+        spark.conf.set(bcKey, "-1")
+        val q = CorpusOps.noveltyVsIndex(
+          CorpusOps.loadFirstSeenIndex(spark, "graft_fs"), b2)
+        q.collect()
+        assert(q.queryExecution.executedPlan.toString.contains("Bucketed: true"))
+      } finally spark.conf.set(bcKey, prevBc)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_fs_firstseen")
+  }
 }
