@@ -148,7 +148,9 @@ object CorpusOps {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Long, DataFrame)]()
 
   private def q115State(s: SparkSession, d: String): (Long, DataFrame) =
-    firstSeenCache.computeIfAbsent((s, d), _ => {
+    firstSeenCache.computeIfAbsent(
+      (s, try java.nio.file.Paths.get(d).toRealPath().toString
+          catch { case _: java.io.IOException => d }), _ => {
       val docs = Tables.load(s, d, "documents")
       // 1-row aggregate: the order-respecting corpus/batch split point
       val thr = math.floor(
