@@ -127,7 +127,15 @@ object CorpusOps {
   /** Admit a batch into an at-rest first-seen index: append one (g,
     * first_doc = within-batch min) row per shingle the index has never
     * seen — later batches then measure novelty against earlier admissions.
-    * O(batch) work; appended files land in the existing bucket layout. */
+    * O(batch) work; appended files land in the existing bucket layout.
+    *
+    * CRASH PROTOCOL: single table, and the anti-join re-derives exactly
+    * the not-yet-admitted shingles — so a crashed append is healed by
+    * simply RE-RUNNING it (the committed files' shingles are skipped, the
+    * missing ones admitted; duplicates are impossible). Simpler than the
+    * MinHash index's two-table repair because first-seen state has no
+    * cross-table invariant. Single writer assumed, as with every graft
+    * index writer. */
   def appendToFirstSeenIndex(s: SparkSession, namePrefix: String,
                              batch: DataFrame): Unit = {
     val bmin = TextOps.withShingles(batch)
