@@ -49,14 +49,17 @@ object CorpusOps {
     * vocabulary up to and including it (Heaps'-law curve; its flattening is
     * the classic signal a crawl has started re-collecting itself).
     *
-    * The cumulative sum is a DISTRIBUTED TWO-LEVEL PREFIX SUM, not a global
-    * `ORDER BY` window: docs bucket by `doc_id / bucketWidth`, the running
-    * sum within each bucket is a window PARTITIONED by bucket (parallel),
-    * and each bucket's offset is an exclusive prefix over the per-bucket
-    * totals — a frame already reduced bucketWidth-fold before it crosses
-    * the one single-task window in the plan. At 10⁹+ docs, recurse the same
-    * trick on the bucket frame; one level is ample below that.
-    */
+    * The cumulative sum is a DISTRIBUTED MULTI-LEVEL PREFIX SUM, not a
+    * global `ORDER BY` window: docs bucket by `doc_id / bucketWidth`, the
+    * running sum within each bucket is a window PARTITIONED by bucket
+    * (parallel), and each bucket's offset comes from an exclusive prefix
+    * over the per-bucket totals — a frame already reduced bucketWidth-fold.
+    * The SAME trick recurses on the totals frame until it fits under
+    * `bucketWidth` rows, so the only unpartitioned window in the plan runs
+    * over ≤ bucketWidth rows NO MATTER the corpus size — ⌈log_w(maxId)⌉
+    * levels, e.g. 5 key-partitioned shuffles at 10⁹ docs and w = 64. The
+    * level count is pinned by one 1-row `max(doc_id)` aggregate up front
+    * (the plan stays deterministic; data can't grow a level mid-query). */
   def vocabGrowth(docs: DataFrame, bucketWidth: Int = 64): DataFrame = {
     require(bucketWidth >= 2, s"vocabGrowth: bucketWidth $bucketWidth")
     val firstSeen = docs
@@ -66,17 +69,32 @@ object CorpusOps {
     val base = docs.select("doc_id")
       .join(perDoc, Seq("doc_id"), "left")
       .withColumn("new_tokens", coalesce(col("nt"), lit(0L)))
-      .withColumn("bkt", floor(col("doc_id") / bucketWidth))
-    val intra = Window.partitionBy("bkt").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // exclusive prefix of per-bucket totals; coalesce covers the first bucket
-    val offsets = base.groupBy("bkt").agg(sum("new_tokens").as("bt"))
-      .withColumn("off", coalesce(
-        sum("bt").over(Window.orderBy("bkt")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("bkt", "off")
-    base.join(offsets, "bkt")
-      .withColumn("cum_vocab", col("off") + sum("new_tokens").over(intra))
+    val span = docs.agg(max("doc_id")).head() match {
+      case r if r.isNullAt(0) => 1L
+      case r                  => r.getLong(0) + 1
+    }
+    // EXCLUSIVE prefix sum of `v` over ascending `key`: single-task only
+    // once the frame is ≤ bucketWidth rows, else bucket + recurse
+    def exclusive(frame: DataFrame, key: String, v: String,
+                  span: Long, lvl: Int): DataFrame =
+      if (span <= bucketWidth)
+        frame.withColumn("off", coalesce(
+          sum(v).over(Window.orderBy(key)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      else {
+        val bkt = s"bkt$lvl"
+        val up = frame.withColumn(bkt, floor(col(key) / bucketWidth))
+        val totals = up.groupBy(bkt).agg(sum(v).as(s"bt$lvl"))
+        val upper = exclusive(totals, bkt, s"bt$lvl",
+          span / bucketWidth + 1, lvl + 1)
+        up.join(upper.select(col(bkt), col("off").as(s"boff$lvl")), bkt)
+          .withColumn("off", col(s"boff$lvl") + coalesce(
+            sum(v).over(Window.partitionBy(bkt).orderBy(key)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .drop(bkt, s"boff$lvl")
+      }
+    exclusive(base, "doc_id", "new_tokens", span, 0)
+      .withColumn("cum_vocab", col("off") + col("new_tokens"))
       .select("doc_id", "new_tokens", "cum_vocab")
   }
 
@@ -92,15 +110,59 @@ object CorpusOps {
   /** Persist a first-seen index AT REST, bucketed on the shingle — the
     * batch novelty join's key — so [[noveltyVsIndex]] against the loaded
     * table is corpus-stationary (the scan's HashPartitioning covers the
-    * join's clustering requirement; zero corpus-side shuffle). */
+    * join's clustering requirement; zero corpus-side shuffle). Alongside
+    * the rows, `_meta` records the corpus (lo, hi) doc_id span: the id
+    * WATERMARK the append-only contract ([[noveltyVsIndex]]) is checked
+    * against at O(1) instead of a per-call max over the index. Give the
+    * family its own namePrefix — `_meta`/`_tombstones` are per-prefix,
+    * shared spelling with the other index families. */
   def saveFirstSeenIndex(docs: DataFrame, namePrefix: String,
-                         nBuckets: Int = 32): Unit =
+                         nBuckets: Int = 32): Unit = {
+    val s = docs.sparkSession
     firstSeenOf(docs).write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "g")
       .saveAsTable(s"${namePrefix}_firstseen")
+    import s.implicits._
+    val span = docs.agg(min("doc_id"), max("doc_id")).head()
+    val rows = if (span.isNullAt(0)) Seq.empty[(Long, Long)]
+               else Seq((span.getLong(0), span.getLong(1)))
+    rows.toDF("lo", "hi").write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${namePrefix}_meta")
+  }
 
-  def loadFirstSeenIndex(s: SparkSession, namePrefix: String): DataFrame =
-    s.table(s"${namePrefix}_firstseen")
+  /** Load a first-seen index, with pending tombstones
+    * ([[removeFromFirstSeenIndex]]) applied: rows ATTRIBUTED to a removed
+    * doc are dropped at read, so between takedown and
+    * [[compactFirstSeenIndex]] the removed doc's shingles read as
+    * never-seen — novel again, and re-admittable by a later batch. That
+    * interim semantics is deliberately the forgetting direction (a
+    * removed doc must never keep suppressing future novelty); EXACT
+    * parity with a from-scratch index over the surviving corpus — where a
+    * shingle the removed doc merely introduced FIRST re-attributes to the
+    * next-senior surviving doc that contains it — is restored by
+    * compaction, which is the only point the index can see surviving
+    * TEXT again (it stores one (g, first_doc) row per shingle, not
+    * postings). */
+  def loadFirstSeenIndex(s: SparkSession, namePrefix: String): DataFrame = {
+    val fs = s.table(s"${namePrefix}_firstseen")
+    if (!s.catalog.tableExists(s"${namePrefix}_tombstones")) fs
+    else {
+      val dead = s.table(s"${namePrefix}_tombstones").select("doc_id").distinct()
+      fs.join(dead, fs("first_doc") === dead("doc_id"), "left_anti")
+    }
+  }
+
+  /** The highest doc_id ever admitted to the index (save + appends), read
+    * from `_meta` at O(1) — None for an index written before the meta
+    * table existed. Ids are append-only and NEVER reused after a
+    * takedown, so the watermark only advances; compaction does not touch
+    * it. */
+  def firstSeenWatermark(s: SparkSession, namePrefix: String): Option[Long] =
+    if (!s.catalog.tableExists(s"${namePrefix}_meta")) None
+    else s.table(s"${namePrefix}_meta").agg(max("hi")).head() match {
+      case r if r.isNullAt(0) => None
+      case r                  => Some(r.getLong(0))
+    }
 
   /** O(batch) novelty of a NEW batch against an existing first-seen index:
     * [[ngramNovelty]]'s output for exactly the batch docs, without touching
@@ -109,7 +171,13 @@ object CorpusOps {
     * CONTRACT: equality with a full [[ngramNovelty]] over corpus ∪ batch
     * (the q115 oracle) requires batch doc_ids above all corpus ids —
     * arrival order IS id order, the append-only ingest invariant; a stored
-    * first_doc always wins over any batch id regardless. */
+    * first_doc always wins over any batch id regardless, so a violation
+    * degrades to ARRIVAL-order novelty (novel relative to what the index
+    * had admitted when the batch arrived), never to nonsense — but it no
+    * longer equals the id-ordered recompute. This raw-frame form trusts
+    * the caller (the in-session q115 state constructs the split to
+    * satisfy it); the named-table overload REQUIRES it against the
+    * `_meta` watermark at O(batch) + O(1). */
   def noveltyVsIndex(index: DataFrame, batch: DataFrame): DataFrame = {
     val bsh = TextOps.withShingles(batch)
       .select(col("doc_id"), explode(col("sh")).as("g"))
@@ -124,28 +192,157 @@ object CorpusOps {
       .withColumn("novelty", round(col("n_novel") / col("n_shingles"), 4))
   }
 
+  /** Named-table [[noveltyVsIndex]] with the append-only contract
+    * ENFORCED: fails fast when the batch's smallest doc_id is not above
+    * the index's `_meta` watermark (in which case the O(batch) result
+    * would silently diverge from the id-ordered recompute the q115 oracle
+    * replays). O(batch) for the min + O(1) for the watermark; a pre-meta
+    * index (no `_meta` table) falls back to the documented caller-owned
+    * contract. */
+  def noveltyVsIndex(s: SparkSession, namePrefix: String,
+                     batch: DataFrame): DataFrame = {
+    firstSeenWatermark(s, namePrefix).foreach { wm =>
+      val bmin = batch.agg(min("doc_id")).head()
+      require(bmin.isNullAt(0) || bmin.getLong(0) > wm,
+        s"noveltyVsIndex: batch doc_id ${bmin.getLong(0)} is not above the " +
+          s"index watermark $wm — the append-only id contract is violated " +
+          "and the O(batch) result would not equal the id-ordered recompute")
+    }
+    noveltyVsIndex(loadFirstSeenIndex(s, namePrefix), batch)
+  }
+
   /** Admit a batch into an at-rest first-seen index: append one (g,
-    * first_doc = within-batch min) row per shingle the index has never
-    * seen — later batches then measure novelty against earlier admissions.
-    * O(batch) work; appended files land in the existing bucket layout.
+    * first_doc = within-batch min) row per shingle the LIVE index (after
+    * tombstones — an orphaned shingle is re-admittable, matching what
+    * [[loadFirstSeenIndex]] told the batch's own novelty read) has never
+    * seen — later batches then measure novelty against earlier
+    * admissions. O(batch) work; appended files land in the existing
+    * bucket layout, and `_meta` gains the batch's id span LAST.
     *
-    * CRASH PROTOCOL: single table, and the anti-join re-derives exactly
-    * the not-yet-admitted shingles — so a crashed append is healed by
-    * simply RE-RUNNING it (the committed files' shingles are skipped, the
-    * missing ones admitted; duplicates are impossible). Simpler than the
-    * MinHash index's two-table repair because first-seen state has no
-    * cross-table invariant. Single writer assumed, as with every graft
-    * index writer. */
+    * GUARDS: the append-only id contract is REQUIRED against the `_meta`
+    * watermark — a batch whose min id is not above every admitted id is
+    * rejected (unless its exact (lo, hi) span is already recorded: that
+    * is the crash-recovery re-run below, which must pass). A batch id
+    * with a PENDING TOMBSTONE also fails fast — ids are never reused
+    * after takedown, and admitting one would hide the new rows at read
+    * time until compaction deletes them (the
+    * [[DedupOps.appendToCorpusIndex]] data-loss trap).
+    *
+    * CRASH PROTOCOL: rows are written FIRST, the `_meta` span row LAST,
+    * and the anti-join re-derives exactly the not-yet-admitted shingles —
+    * so a crashed append is healed by simply RE-RUNNING it (committed
+    * shingles are skipped, missing ones admitted, the span row appended;
+    * duplicates are impossible, and a replay of a COMPLETED batch is a
+    * recorded no-op). Simpler than the MinHash index's two-table repair
+    * because first-seen state has no cross-table invariant. Single writer
+    * assumed, as with every graft index writer. */
   def appendToFirstSeenIndex(s: SparkSession, namePrefix: String,
                              batch: DataFrame): Unit = {
+    val span = batch.agg(min("doc_id"), max("doc_id")).head()
+    if (span.isNullAt(0)) return // empty batch
+    val (bLo, bHi) = (span.getLong(0), span.getLong(1))
+    if (s.catalog.tableExists(s"${namePrefix}_tombstones")) {
+      val clash = batch.select("doc_id")
+        .join(s.table(s"${namePrefix}_tombstones").select("doc_id"), "doc_id")
+        .limit(1).collect()
+      require(clash.isEmpty,
+        s"appendToFirstSeenIndex: doc_id ${clash.head.get(0)} has a pending " +
+          s"tombstone in ${namePrefix}_tombstones — ids are never reused; " +
+          "run compactFirstSeenIndex before admitting new batches")
+    }
+    val replay = s.catalog.tableExists(s"${namePrefix}_meta") &&
+      s.table(s"${namePrefix}_meta")
+        .filter(col("lo") === bLo && col("hi") === bHi).limit(1).collect().nonEmpty
+    if (!replay) firstSeenWatermark(s, namePrefix).foreach { wm =>
+      require(bLo > wm,
+        s"appendToFirstSeenIndex: batch doc_id $bLo is not above the index " +
+          s"watermark $wm — out-of-order admission would silently break the " +
+          "id-ordered novelty contract (re-running a crashed append of the " +
+          "SAME batch is the one sanctioned overlap)")
+    }
     val bmin = TextOps.withShingles(batch)
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .groupBy("g").agg(min("doc_id").as("first_doc"))
     val nBuckets = DedupOps.bucketCountOf(s, s"${namePrefix}_firstseen")
-    bmin.join(s.table(s"${namePrefix}_firstseen").select("g"), Seq("g"), "left_anti")
+    bmin.join(loadFirstSeenIndex(s, namePrefix).select("g"), Seq("g"), "left_anti")
       .write.mode("append").format("parquet")
       .bucketBy(nBuckets, "g")
       .saveAsTable(s"${namePrefix}_firstseen")
+    if (!replay) {
+      import s.implicits._
+      Seq((bLo, bHi)).toDF("lo", "hi").write.mode("append").format("parquet")
+        .saveAsTable(s"${namePrefix}_meta")
+    }
+  }
+
+  /** TAKEDOWN for the at-rest first-seen index — the novelty-side half of
+    * a document deletion ([[DedupOps.removeFromCorpusIndex]] /
+    * [[DedupOps.removeFromNgramPrefixIndex]] / ClusterState.remove are
+    * the other artifacts'): append the ids to the family's TOMBSTONE
+    * side-table, O(batch), never a rewrite. The index stores RAW shingle
+    * text attributed to the introducing doc, so this is the path that
+    * stops a purged doc's verbatim trigrams (and its `first_doc`
+    * attribution) from outliving it: [[loadFirstSeenIndex]] drops its
+    * rows at read (shingles it introduced become novel — and
+    * re-admittable — again), [[appendToFirstSeenIndex]]'s anti-join stops
+    * blocking them, and [[compactFirstSeenIndex]] folds the removal into
+    * the files. Idempotent; unknown ids are read-time no-ops. */
+  def removeFromFirstSeenIndex(namePrefix: String, docIds: DataFrame): Unit =
+    docIds.select("doc_id").write.mode("append").format("parquet")
+      .saveAsTable(s"${namePrefix}_tombstones")
+
+  /** Fold accumulated tombstones into the first-seen files and RESTORE
+    * exact parity with a from-scratch index over the surviving corpus:
+    * live rows (surviving first_doc) are kept verbatim — their attribution
+    * is still the global surviving minimum — and each ORPHANED shingle
+    * (first_doc tombstoned) is RE-ATTRIBUTED to the smallest surviving doc
+    * that contains it, or dropped when none does (it becomes genuinely
+    * novel again). Re-attribution needs surviving TEXT, which the index
+    * deliberately does not store (one row per shingle, not postings), so
+    * the caller passes `survivingDocs` — every (doc_id, text) still
+    * admitted to the index; tombstoned ids in it are ignored
+    * defensively, and live rows a later batch re-admitted onto an
+    * orphaned shingle compete in the same min, so an incomplete frame can
+    * never lose an existing attribution. Cost: one shingle pass over the
+    * survivors SEMI-JOINED to the orphan set — compaction-cadence work,
+    * exactly like the other families' rewrites.
+    *
+    * Crash protocol mirrors [[DedupOps.compactCorpusIndex]]: staging
+    * write, then drop+rename (a dangling `_compact` from a previous crash
+    * is healed first); the tombstone table is dropped LAST. The `_meta`
+    * watermark is untouched — ids are never reused, so it stays the
+    * append-only fence. */
+  def compactFirstSeenIndex(spark: SparkSession, namePrefix: String,
+                            survivingDocs: DataFrame): Unit = {
+    val fsName = s"${namePrefix}_firstseen"
+    if (!spark.catalog.tableExists(fsName) &&
+        spark.catalog.tableExists(s"${fsName}_compact"))
+      spark.sql(s"ALTER TABLE ${fsName}_compact RENAME TO $fsName")
+    val ts = s"${namePrefix}_tombstones"
+    if (!spark.catalog.tableExists(ts)) return
+    val nBuckets = DedupOps.bucketCountOf(spark, fsName)
+    val dead = spark.table(ts).select("doc_id").distinct()
+    val fs = spark.table(fsName)
+    val live = fs.join(dead, fs("first_doc") === dead("doc_id"), "left_anti")
+    val orphanG = fs.join(dead, fs("first_doc") === dead("doc_id"), "left_semi")
+      .select("g").distinct()
+    val survivorPostings = TextOps.withShingles(
+        survivingDocs.select("doc_id", "text")
+          .join(dead, Seq("doc_id"), "left_anti"))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(orphanG, Seq("g"), "left_semi")
+    val reattributed = survivorPostings.select("g", "doc_id")
+      .unionByName(live.join(orphanG, Seq("g"), "left_semi")
+        .select(col("g"), col("first_doc").as("doc_id")))
+      .groupBy("g").agg(min("doc_id").as("first_doc"))
+    live.join(orphanG, Seq("g"), "left_anti")
+      .unionByName(reattributed)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "g")
+      .saveAsTable(s"${fsName}_compact")
+    spark.sql(s"DROP TABLE IF EXISTS $fsName")
+    spark.sql(s"ALTER TABLE ${fsName}_compact RENAME TO $fsName")
+    spark.sql(s"DROP TABLE IF EXISTS $ts")
   }
 
   /** Session cache for q115's corpus-side index (the q87PrefixIndex

@@ -229,6 +229,98 @@ class ClusterStateSpec extends AnyFunSuite {
     }
   }
 
+  test("nightly loop, ALL FOUR at-rest artifacts: MinHash index + prefix index + first-seen index + ClusterState; takedown reaches every artifact") {
+    import graft.operators.{DedupOps, CorpusOps}
+    // compact four-way loop on a planted corpus: docs 0/1 are exact dups,
+    // batch doc 10 is an exact dup of corpus doc 2, 11/12 are unique. The
+    // takedown victim is doc 2 — after removal NO artifact may keep
+    // pairing, labeling, or novelty-suppressing through it.
+    def mk(i: Long, tag: String) =
+      (i, (0 until 12).map(j => s"${tag}_$j").mkString(" "))
+    val corpusRows = Seq(mk(0L, "a"), (1L, mk(0L, "a")._2)) ++
+      (2L to 9L).map(i => mk(i, s"c$i"))
+    val batchRows = Seq((10L, mk(2L, "c2")._2), mk(11L, "u11"), mk(12L, "u12"))
+    val corpus = corpusRows.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+    val root = java.nio.file.Files.createTempDirectory("graft-nightly4").toString
+    try {
+      // day 0: build + persist all four artifacts
+      DedupOps.indexCorpus(corpus).saveAsTables("n4_mh", nBuckets = 4)
+      DedupOps.indexNgramPrefix(corpus, 0.5).saveAsTables("n4_np", nBuckets = 4)
+      CorpusOps.saveFirstSeenIndex(corpus, "n4_fs", nBuckets = 4)
+      ClusterState.build(DedupOps.ngramJaccardPairsOf(corpus, 0.5)
+        .select("a", "b"), maxIter = 50).save(root)
+      // day 1, FRESH session: load everything, admit the batch through
+      // every artifact
+      val s2 = spark.newSession()
+      val batch = batchRows.toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text")).cast("bigint"))
+      val novelty = CorpusOps.noveltyVsIndex(s2, "n4_fs", batch)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(novelty(10L) == 0.0 && novelty(11L) == 1.0 && novelty(12L) == 1.0,
+        s"$novelty")
+      val npPairs = DedupOps.ngramJaccardPairsVsIndex(
+        batch, DedupOps.loadNgramPrefixIndex(s2, "n4_np")).select("a", "b")
+      val st = ClusterState.load(s2, root).insert(npPairs, maxIter = 50)
+      DedupOps.appendToCorpusIndex("n4_mh", batch.select("doc_id", "text"))
+      DedupOps.appendToNgramPrefixIndex("n4_np", batch)
+      CorpusOps.appendToFirstSeenIndex(s2, "n4_fs", batch)
+      st.save(root)
+      // sanity: doc 10 clustered with its corpus twin 2
+      val labels1 = ClusterState.load(spark, root).labels
+        .select("node", "label").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels1.contains(10L) && labels1(10L) == labels1(2L), s"$labels1")
+      // day 2: TAKEDOWN of doc 2 from all four artifacts
+      val victim = Seq(2L)
+      ClusterState.load(spark, root)
+        .remove(victim.toDF("node"), maxIter = 50).save(root)
+      DedupOps.removeFromCorpusIndex("n4_mh", victim.toDF("doc_id"))
+      DedupOps.removeFromNgramPrefixIndex("n4_np", victim.toDF("doc_id"))
+      CorpusOps.removeFromFirstSeenIndex("n4_fs", victim.toDF("doc_id"))
+      // day 3, FRESH session: no artifact still answers through doc 2
+      val s3 = spark.newSession()
+      val probe = Seq((1000L, mk(2L, "c2")._2)).toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text")).cast("bigint"))
+      val viaMh = DedupOps.minHashCrossDupPairs(
+        probe.select("doc_id", "text"), DedupOps.loadCorpusIndex(s3, "n4_mh"))
+        .filter(col("jac") >= 0.8)
+      assert(viaMh.filter(col("corpus_id") === 2L).count() == 0L)
+      assert(viaMh.filter(col("corpus_id") === 10L).count() == 1L,
+        "surviving twin must still be found")
+      val viaNp = DedupOps.ngramJaccardPairsVsIndex(
+        probe, DedupOps.loadNgramPrefixIndex(s3, "n4_np"))
+      assert(viaNp.filter(col("a") === 2L || col("b") === 2L).count() == 0L)
+      assert(viaNp.filter(col("a") === 10L || col("b") === 10L).count() > 0L)
+      assert(ClusterState.load(s3, root).labels
+        .filter(col("node") === 2L).count() == 0L)
+      // first-seen INTERIM semantics: doc 2's introductions read novel
+      // again (doc 10's copy was anti-joined away at admit time)...
+      val interim = CorpusOps.noveltyVsIndex(s3, "n4_fs", probe)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(interim(1000L) == 1.0, s"$interim")
+      // ...and COMPACTION re-attributes them to the surviving twin,
+      // restoring exact parity with a from-scratch index over survivors
+      val survivors = corpus.filter(col("doc_id") =!= 2L)
+        .unionByName(batch).select("doc_id", "text")
+      CorpusOps.compactFirstSeenIndex(s3, "n4_fs", survivors)
+      val probe2 = Seq((2000L, mk(2L, "c2")._2)).toDF("doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows(CorpusOps.noveltyVsIndex(s3, "n4_fs", probe2)) ==
+        rows(CorpusOps.noveltyVsIndex(CorpusOps.firstSeenOf(survivors), probe2)))
+      assert(rows(CorpusOps.noveltyVsIndex(s3, "n4_fs", probe2))
+        .head._4 == 0.0, "compaction must re-attribute to the surviving twin")
+    } finally {
+      for (t <- Seq("shingles", "bands", "tombstones"))
+        spark.sql(s"DROP TABLE IF EXISTS n4_mh_$t")
+      for (t <- Seq("prefix", "df", "shingles", "meta", "tombstones"))
+        spark.sql(s"DROP TABLE IF EXISTS n4_np_$t")
+      for (t <- Seq("firstseen", "firstseen_compact", "meta", "tombstones"))
+        spark.sql(s"DROP TABLE IF EXISTS n4_fs_$t")
+    }
+  }
+
   test("versioned save: half-written version is skipped by load; next save prunes it") {
     val st = ClusterState.build(Seq((1L, 2L), (10L, 11L)).toDF("a", "b"))
     val root = java.nio.file.Files.createTempDirectory("graft-cluster-crash").toString

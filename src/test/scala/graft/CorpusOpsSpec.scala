@@ -55,16 +55,43 @@ class CorpusOpsSpec extends AnyFunSuite {
       "doc 3 repeats earlier tokens — zero new")
   }
 
-  test("vocabGrowth plan: no corpus-sized global-sort window (only the bucket frame crosses one)") {
-    val docs = Seq((0L, "x"), (1L, "y")).toDF("doc_id", "text")
-    val plan = CorpusOps.vocabGrowth(docs).queryExecution.optimizedPlan.toString
-    // the intra-bucket window must be partitioned by bkt; the only
-    // unpartitioned window may run over the per-bucket totals frame
+  test("vocabGrowth plan: every corpus-sized window is bucket-partitioned; levels recurse until the top frame fits") {
+    // span 10 / width 4 → one bucketed level, totals frame (3 rows) fits
+    val docs = (0L to 9L).map(i => (i, s"w$i")).toDF("doc_id", "text")
+    val plan = CorpusOps.vocabGrowth(docs, bucketWidth = 4)
+      .queryExecution.optimizedPlan.toString
     // the per-doc running sum must carry a bkt partition spec — the spec
     // string puts partition columns before the order spec, so the intra
-    // window renders as windowspecdefinition(bkt…, doc_id… ASC …)
-    assert(plan.contains("windowspecdefinition(bkt"),
-      s"expected a bkt-partitioned window in:\n$plan")
+    // window renders as windowspecdefinition(bkt0…, doc_id… ASC …)
+    assert(plan.contains("windowspecdefinition(bkt0"),
+      s"expected a bkt0-partitioned window in:\n$plan")
+    // span 1000 / width 4 → the totals frame itself recurses: 1000 → 251
+    // → 63 → 16 → 5 → 2: five bucketed levels before a frame fits
+    val big = Seq((999L, "deep")).toDF("doc_id", "text")
+    val planB = CorpusOps.vocabGrowth(big, bucketWidth = 4)
+      .queryExecution.optimizedPlan.toString
+    for (l <- 0 to 4)
+      assert(planB.contains(s"windowspecdefinition(bkt$l"),
+        s"expected level-$l bucketed window in:\n$planB")
+  }
+
+  test("vocabGrowth: three-plus recursion levels equal the global running sum") {
+    val docs = (0L to 100L).filter(i => i % 3 != 1)
+      .map(i => (i, s"w${i % 7} w${i % 13} w$i")).toDF("doc_id", "text")
+    val got = CorpusOps.vocabGrowth(docs, bucketWidth = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val firstSeen = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .groupBy("tok").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    val ref = docs.select("doc_id").join(firstSeen, Seq("doc_id"), "left")
+      .withColumn("new_tokens", coalesce(col("nt"), lit(0L)))
+      .withColumn("cum_vocab", sum("new_tokens").over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("doc_id", "new_tokens", "cum_vocab").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == ref.toSeq)
   }
 
   private def noveltyRows(df: org.apache.spark.sql.DataFrame) =
@@ -129,6 +156,107 @@ class CorpusOpsSpec extends AnyFunSuite {
         q.collect()
         assert(q.queryExecution.executedPlan.toString.contains("Bucketed: true"))
       } finally spark.conf.set(bcKey, prevBc)
-    } finally spark.sql("DROP TABLE IF EXISTS graft_fs_firstseen")
+    } finally
+      for (t <- Seq("firstseen", "meta", "tombstones"))
+        spark.sql(s"DROP TABLE IF EXISTS graft_fs_$t")
+  }
+
+  private def dropFsTables(prefix: String): Unit =
+    for (t <- Seq("firstseen", "firstseen_compact", "meta", "tombstones"))
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t")
+
+  test("first-seen takedown: interim drop semantics, compact re-attributes to next-senior survivor, parity with from-scratch") {
+    // doc 0 introduces x1x2x3 (shared with doc 2), x2x3x4, x3x4x5 (its own);
+    // doc 1 and doc 2 carry their own shingles
+    val corpus = Seq(
+      (0L, "x1 x2 x3 x4 x5"),
+      (1L, "y1 y2 y3 y4"),
+      (2L, "x1 x2 x3 z1 z2 z3")).toDF("doc_id", "text")
+    try {
+      CorpusOps.saveFirstSeenIndex(corpus, "graft_fst", nBuckets = 4)
+      CorpusOps.removeFromFirstSeenIndex("graft_fst", Seq(0L).toDF("doc_id"))
+      // INTERIM (pre-compact): every shingle doc 0 introduced reads as
+      // never-seen — novel again, including the one doc 2 also contains
+      val probe1 = Seq((100L, "x1 x2 x3 x4")).toDF("doc_id", "text")
+      val interim = noveltyRows(CorpusOps.noveltyVsIndex(spark, "graft_fst", probe1))
+      assert(interim(100L) == ((100L, 2L, 2L, 1.0)), s"${interim.get(100L)}")
+      // an orphaned shingle is RE-ADMITTABLE: batch doc 50 re-introduces
+      // x2x3x4 and the index stores it under 50
+      CorpusOps.appendToFirstSeenIndex(spark, "graft_fst",
+        Seq((50L, "x2 x3 x4 q1")).toDF("doc_id", "text"))
+      assert(spark.table("graft_fst_firstseen")
+        .filter(col("g") === "x2 x3 x4" && col("first_doc") === 50L).count() == 1L)
+      // COMPACT with survivors {1, 2} only — doc 50's text deliberately
+      // omitted: its live row must still win its shingle (the defensive
+      // union), while x1x2x3 re-attributes to doc 2 and x3x4x5 vanishes
+      CorpusOps.compactFirstSeenIndex(spark, "graft_fst",
+        corpus.filter(col("doc_id") =!= 0L))
+      val rows = spark.table("graft_fst_firstseen").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows("x1 x2 x3") == 2L, s"$rows")
+      assert(rows("x2 x3 x4") == 50L, s"$rows")
+      assert(!rows.contains("x3 x4 x5"), s"$rows")
+      assert(!spark.catalog.tableExists("graft_fst_tombstones"))
+      // parity: a probe batch answers identically through the compacted
+      // index and a from-scratch first-seen frame over the survivors
+      val survivors = corpus.filter(col("doc_id") =!= 0L)
+        .unionByName(Seq((50L, "x2 x3 x4 q1")).toDF("doc_id", "text"))
+      val probe2 = Seq((200L, "x1 x2 x3 x4 x5"), (201L, "y2 y3 y4 y5"))
+        .toDF("doc_id", "text")
+      assert(noveltyRows(CorpusOps.noveltyVsIndex(spark, "graft_fst", probe2)) ==
+        noveltyRows(CorpusOps.noveltyVsIndex(CorpusOps.firstSeenOf(survivors), probe2)))
+    } finally dropFsTables("graft_fst")
+  }
+
+  test("first-seen guards: out-of-order append and novelty fail fast; crashed-append re-run passes; tombstoned id rejected") {
+    val corpus = Seq((0L, "a1 a2 a3 a4"), (9L, "b1 b2 b3")).toDF("doc_id", "text")
+    try {
+      CorpusOps.saveFirstSeenIndex(corpus, "graft_fsg", nBuckets = 4)
+      assert(CorpusOps.firstSeenWatermark(spark, "graft_fsg").contains(9L))
+      // batch below the watermark: both the append and the checked
+      // novelty read reject it with a clear error, not silent wrong rows
+      val low = Seq((5L, "c1 c2 c3")).toDF("doc_id", "text")
+      val e1 = intercept[IllegalArgumentException](
+        CorpusOps.appendToFirstSeenIndex(spark, "graft_fsg", low))
+      assert(e1.getMessage.contains("watermark"))
+      val e2 = intercept[IllegalArgumentException](
+        CorpusOps.noveltyVsIndex(spark, "graft_fsg", low))
+      assert(e2.getMessage.contains("watermark"))
+      // a good batch admits and advances the watermark; re-running the
+      // SAME batch (the crash-recovery protocol) is a sanctioned no-op
+      val b = Seq((10L, "c1 c2 c3"), (12L, "d1 d2 d3")).toDF("doc_id", "text")
+      CorpusOps.appendToFirstSeenIndex(spark, "graft_fsg", b)
+      assert(CorpusOps.firstSeenWatermark(spark, "graft_fsg").contains(12L))
+      CorpusOps.appendToFirstSeenIndex(spark, "graft_fsg", b)
+      assert(spark.table("graft_fsg_firstseen").groupBy("g").count()
+        .filter(col("count") > 1).count() == 0L, "duplicate shingle rows")
+      assert(spark.table("graft_fsg_meta").count() == 2L, "duplicate meta span")
+      // a tombstoned id can never be re-admitted before compaction
+      CorpusOps.removeFromFirstSeenIndex("graft_fsg", Seq(10L).toDF("doc_id"))
+      val e3 = intercept[IllegalArgumentException](
+        CorpusOps.appendToFirstSeenIndex(spark, "graft_fsg",
+          Seq((10L, "e1 e2 e3")).toDF("doc_id", "text")))
+      assert(e3.getMessage.contains("tombstone"))
+    } finally dropFsTables("graft_fsg")
+  }
+
+  test("first-seen compact crash-heal: dangling _compact staging is renamed back before new work") {
+    val corpus = Seq((0L, "h1 h2 h3 h4")).toDF("doc_id", "text")
+    try {
+      CorpusOps.saveFirstSeenIndex(corpus, "graft_fsc", nBuckets = 2)
+      val before = spark.table("graft_fsc_firstseen").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      // simulate a crash between DROP and RENAME: live name missing, data
+      // safe in the staging table
+      spark.table("graft_fsc_firstseen").write.mode("overwrite")
+        .format("parquet").bucketBy(2, "g")
+        .saveAsTable("graft_fsc_firstseen_compact")
+      spark.sql("DROP TABLE graft_fsc_firstseen")
+      CorpusOps.compactFirstSeenIndex(spark, "graft_fsc",
+        corpus.limit(0)) // no tombstones: heal, then no-op
+      assert(spark.table("graft_fsc_firstseen").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet == before)
+      assert(!spark.catalog.tableExists("graft_fsc_firstseen_compact"))
+    } finally dropFsTables("graft_fsc")
   }
 }
