@@ -96,6 +96,25 @@ object DedupOps {
         minJac = 0.5)
         .localCheckpointed())
 
+  /** Session-cached [[NgramContainmentIndex]] over q116's corpus side (the
+    * last-arrived 10% of ids play the batch, the q115 split) — the
+    * in-memory stand-in for [[loadNgramContainmentIndex]] (round-trip
+    * parity is spec-proven), so benched trials pay the per-batch ingest
+    * cost the incremental operator exists to isolate. Returns (split
+    * threshold, index). */
+  private val containmentIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Long, NgramContainmentIndex)]()
+
+  private def q116ContainmentIndex(s: SparkSession, d: String): (Long, NgramContainmentIndex) =
+    containmentIndexCache.computeIfAbsent((s, stateKey(d, "q116containment")), _ => {
+      val docs = Tables.load(s, d, "documents")
+      val thr = math.floor(
+        docs.agg(max("doc_id")).collect()(0).getLong(0) * 0.9).toLong
+      (thr, indexNgramContainment(
+        docs.select("doc_id", "text").filter(col("doc_id") <= thr), 0.8)
+        .localCheckpointed())
+    })
+
   /** doc_id → distinct word-3-gram shingle array. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
     TextOps.withShingles(Tables.load(s, d, "documents")).select("doc_id", "sh")
@@ -936,6 +955,277 @@ object DedupOps {
       .select("a", "b", "jac")
   }
 
+  /** AT-REST n-gram CONTAINMENT index — the corpus side of incremental
+    * subset-duplication audits. [[ngramContainmentPairs]] is full-corpus:
+    * recomputing it per ingest batch pays the corpus document-frequency
+    * aggregation and the corpus-wide ordering window every time, for an
+    * answer that only concerns batch-incident pairs. This index freezes
+    * the corpus side once; [[ngramContainmentPairsVsIndex]] then answers
+    * the ingest question — "is this batch doc pasted inside something we
+    * already have (or vice versa)?" — with batch-sized incremental work,
+    * the q74/q87/q115 maintenance contract applied to containment.
+    *
+    * EXACTNESS needs NO common total order, unlike the Jaccard prefix
+    * index: the containment prefix lemma is pure pigeonhole. For a pair
+    * (x, y) with n_x ≤ n_y and |sh_x ∩ sh_y| ≥ ⌈t·n_x⌉, any
+    * n_x − ⌈t·n_x⌉ + 1 of x's shingles must include one that hits y —
+    * the other side is probed in FULL, so ANY stored prefix of the right
+    * length has exact recall, whatever order chose it. The frozen
+    * ascending-(df, t) order is therefore a pure PERFORMANCE choice
+    * (prefixes prefer rare shingles → short posting lists); df drift
+    * after appends can only admit extra candidates for the exact verify
+    * to discard, never lose a pair.
+    *
+    * Tables: `postings` (doc_id, n_sh, t, pos) — the FULL posting list
+    * with each token's frozen-order position, so ONE table serves both
+    * candidate-join roles: the full probed side as-is, and the prefix
+    * side as its `pos ≤ n_sh − ⌈t·n_sh⌉ + 1` slice ([[prefixSide]]).
+    * `df` (t, df) is the frozen order batch ranking joins; `shingles`
+    * (doc_id, n_sh, sh) is the verify side. `postings` and `df` bucket
+    * on `t` — the candidate joins' single equi-key (containment has NO
+    * length blocking: small-in-large is exactly the cross-length case
+    * blocks exclude) — so the loaded corpus reaches every batch's
+    * candidate joins with zero corpus-side shuffle (spec-asserted).
+    * `_meta` pins the threshold the stored positions price. Give each
+    * index family its own namePrefix — table spellings are shared. */
+  final case class NgramContainmentIndex(postings: DataFrame, df: DataFrame,
+                                         shingles: DataFrame, threshold: Double) {
+    /** The stored-prefix slice of [[postings]] — the corpus side of the
+      * corpus-smaller candidate join. */
+    def prefixSide: DataFrame = {
+      val tGen = genThreshold(threshold)
+      postings.filter(
+        col("pos") <= col("n_sh") - ceil(lit(tGen) * col("n_sh")).cast("bigint") + 1)
+    }
+
+    def localCheckpointed(): NgramContainmentIndex =
+      NgramContainmentIndex(postings.localCheckpoint(eager = true),
+        df.localCheckpoint(eager = true),
+        shingles.localCheckpoint(eager = true), threshold)
+
+    /** Persist at rest; write order df → postings → shingles → meta (the
+      * postings were ranked FROM the df frame, so persisting df first
+      * reuses the cached aggregation). Single writer assumed. */
+    def saveAsTables(namePrefix: String, nBuckets: Int = 32): Unit = {
+      val s = postings.sparkSession
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        df.write.mode("overwrite").format("parquet")
+          .bucketBy(nBuckets, "t")
+          .saveAsTable(s"${namePrefix}_df")
+        postings.write.mode("overwrite").format("parquet")
+          .bucketBy(nBuckets, "t")
+          .saveAsTable(s"${namePrefix}_postings")
+        shingles.write.mode("overwrite").format("parquet")
+          .saveAsTable(s"${namePrefix}_shingles")
+        import s.implicits._
+        Seq(threshold).toDF("threshold")
+          .write.mode("overwrite").format("parquet")
+          .saveAsTable(s"${namePrefix}_meta")
+      } finally df.unpersist()
+    }
+  }
+
+  /** Build the containment index over a (doc_id, text) corpus at `minC`:
+    * one shingle pass, one df aggregation, one doc-partitioned ranking
+    * window — the costs [[ngramContainmentPairsVsIndex]] never re-pays. */
+  def indexNgramContainment(corpus: DataFrame, minC: Double): NgramContainmentIndex = {
+    import org.apache.spark.sql.expressions.Window
+    genThreshold(minC) // validates the range
+    val sh = TextOps.withShingles(corpus.select("doc_id", "text"))
+      .select("doc_id", "sh")
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+    val postings = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("t"))
+    val dfT = postings.groupBy("t").agg(count(lit(1)).as("df"))
+    val pos = postings.join(dfT, "t")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("t"))))
+      .select("doc_id", "n_sh", "t", "pos")
+    NgramContainmentIndex(pos, dfT, sh.select("doc_id", "n_sh", "sh"), minC)
+  }
+
+  /** Load a containment index written by
+    * [[NgramContainmentIndex.saveAsTables]], with pending tombstones
+    * ([[removeFromNgramContainmentIndex]]) applied to the two doc-keyed
+    * tables. The `df` order table is not filtered — it carries no doc
+    * rows, and (see the index scaladoc) a stale order can only cost
+    * candidate selectivity, never exactness. */
+  def loadNgramContainmentIndex(s: SparkSession, namePrefix: String): NgramContainmentIndex =
+    NgramContainmentIndex(
+      tombstoneFiltered(s, namePrefix, s.table(s"${namePrefix}_postings")),
+      s.table(s"${namePrefix}_df"),
+      tombstoneFiltered(s, namePrefix, s.table(s"${namePrefix}_shingles")),
+      s.table(s"${namePrefix}_meta").head().getDouble(0))
+
+  /** APPEND a batch to an at-rest containment index — O(batch): the
+    * batch's postings rank under the FROZEN df order (unseen tokens
+    * df = 0; any order is exact here, see the index scaladoc) and land in
+    * the existing bucket layout. CRASH PROTOCOL: shingles first, postings
+    * second — postings are a pure function of shingles + the frozen
+    * order, so a failed append heals via
+    * [[repairNgramContainmentIndex]]; do NOT blindly re-append (shingle
+    * rows would duplicate). Fails fast on a pending-tombstoned batch id
+    * (ids are never reused; compact first). Callers own batch-vs-corpus
+    * doc_id uniqueness. */
+  def appendToNgramContainmentIndex(namePrefix: String, newDocs: DataFrame): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = newDocs.sparkSession
+    if (spark.catalog.tableExists(s"${namePrefix}_tombstones")) {
+      val clash = newDocs.select("doc_id")
+        .join(spark.table(s"${namePrefix}_tombstones").select("doc_id"), "doc_id")
+        .limit(1).collect()
+      require(clash.isEmpty,
+        s"appendToNgramContainmentIndex: doc_id ${clash.head.get(0)} has a " +
+          s"pending tombstone in ${namePrefix}_tombstones — run " +
+          "compactNgramContainmentIndex before re-admitting purged ids")
+    }
+    val nBuckets = bucketCountOf(spark, s"${namePrefix}_postings")
+    val sh = TextOps.withShingles(newDocs.select("doc_id", "text"))
+      .select("doc_id", "sh")
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+    sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sh.select("doc_id", "n_sh", "sh").write.mode("append").format("parquet")
+        .saveAsTable(s"${namePrefix}_shingles")
+      sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("t"))
+        .join(spark.table(s"${namePrefix}_df"), Seq("t"), "left")
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("doc_id").orderBy(coalesce(col("df"), lit(0L)), col("t"))))
+        .select("doc_id", "n_sh", "t", "pos")
+        .write.mode("append").format("parquet")
+        .bucketBy(nBuckets, "t")
+        .saveAsTable(s"${namePrefix}_postings")
+    } finally sh.unpersist()
+  }
+
+  /** Heal after a crashed [[appendToNgramContainmentIndex]]: re-rank and
+    * append postings for exactly the doc_ids that have shingle rows but
+    * no posting rows. Idempotent; returns the missing-doc count. */
+  def repairNgramContainmentIndex(spark: SparkSession, namePrefix: String): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val nBuckets = bucketCountOf(spark, s"${namePrefix}_postings")
+    val sh = spark.table(s"${namePrefix}_shingles")
+    val missing = sh.select("doc_id").distinct()
+      .join(spark.table(s"${namePrefix}_postings").select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = missing.count()
+      if (n > 0) {
+        sh.join(missing, "doc_id")
+          .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("t"))
+          .join(spark.table(s"${namePrefix}_df"), Seq("t"), "left")
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("doc_id").orderBy(coalesce(col("df"), lit(0L)), col("t"))))
+          .select("doc_id", "n_sh", "t", "pos")
+          .write.mode("append").format("parquet")
+          .bucketBy(nBuckets, "t")
+          .saveAsTable(s"${namePrefix}_postings")
+      }
+      n
+    } finally missing.unpersist()
+  }
+
+  /** TAKEDOWN for the containment index: tombstone append, O(batch),
+    * never a rewrite — [[loadNgramContainmentIndex]] hides the doc at
+    * read time, [[compactNgramContainmentIndex]] folds it into the
+    * files. Idempotent; unknown ids are read-time no-ops. */
+  def removeFromNgramContainmentIndex(namePrefix: String, docIds: DataFrame): Unit =
+    docIds.select("doc_id").write.mode("append").format("parquet")
+      .saveAsTable(s"${namePrefix}_tombstones")
+
+  /** Fold tombstones into the containment-index files: rewrite the two
+    * doc-keyed tables without the dead docs (same bucket spec), swap,
+    * drop tombstones last. The `df` order table is never rewritten —
+    * stored positions were priced under it, and (index scaladoc) a stale
+    * order is a selectivity matter only. Crash protocol mirrors
+    * [[compactNgramPrefixIndex]]: per-table drop+rename, healed on the
+    * next call. */
+  def compactNgramContainmentIndex(spark: SparkSession, namePrefix: String): Unit = {
+    for (t <- Seq("postings", "shingles"))
+      if (!spark.catalog.tableExists(s"${namePrefix}_$t") &&
+          spark.catalog.tableExists(s"${namePrefix}_${t}_compact"))
+        spark.sql(s"ALTER TABLE ${namePrefix}_${t}_compact RENAME TO ${namePrefix}_$t")
+    val ts = s"${namePrefix}_tombstones"
+    if (!spark.catalog.tableExists(ts)) return
+    val nBuckets = bucketCountOf(spark, s"${namePrefix}_postings")
+    val dead = spark.table(ts).select("doc_id").distinct()
+    spark.table(s"${namePrefix}_postings")
+      .join(dead, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "t")
+      .saveAsTable(s"${namePrefix}_postings_compact")
+    spark.table(s"${namePrefix}_shingles")
+      .join(dead, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${namePrefix}_shingles_compact")
+    for (t <- Seq("postings", "shingles")) {
+      spark.sql(s"DROP TABLE IF EXISTS ${namePrefix}_$t")
+      spark.sql(s"ALTER TABLE ${namePrefix}_${t}_compact RENAME TO ${namePrefix}_$t")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $ts")
+  }
+
+  /** Batch-incident containment pairs AGAINST a prebuilt containment
+    * index — output-identical to [[ngramContainmentPairs]] over
+    * (corpus ∪ batch) restricted to pairs with a batch endpoint
+    * (hash-checked by q116's oracle, which replays the exhaustive join),
+    * but the only per-batch work is batch-sized: shingle the batch, rank
+    * its prefix under the frozen order, three candidate joins (batch
+    * prefix × corpus full, corpus prefix × batch full, batch × batch —
+    * the smaller endpoint always supplies the prefix, the larger its
+    * FULL postings, so the pigeonhole recall argument applies pairwise),
+    * exact `array_intersect` verify on the candidates. Both corpus scans
+    * read the `t`-bucketed postings table and reach their joins with
+    * zero corpus-side shuffle (spec-asserted); the corpus-full side
+    * STREAMS through its join — scanned, never repartitioned — which is
+    * the same corpus-stationary posture as [[noveltyVsIndex]]'s
+    * anti-join. Equal-size cross pairs are generated by the batch-prefix
+    * join (x ≤ y admits ties); least/greatest + distinct collapses any
+    * double generation. */
+  def ngramContainmentPairsVsIndex(batch: DataFrame,
+                                   idx: NgramContainmentIndex): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t0 = idx.threshold
+    val tGen = genThreshold(t0)
+    val shB = TextOps.withShingles(batch.select("doc_id", "text"))
+      .select("doc_id", "sh")
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+    val postB = shB.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("t"))
+    val prefB = postB.join(idx.df, Seq("t"), "left")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(coalesce(col("df"), lit(0L)), col("t"))))
+      .filter(col("pos") <= col("n_sh") - ceil(lit(tGen) * col("n_sh")).cast("bigint") + 1)
+      .select("doc_id", "n_sh", "t")
+    // x supplies the prefix and must be the smaller (or equal) endpoint
+    def xSmaller = col("x.n_sh") < col("y.n_sh") ||
+      (col("x.n_sh") === col("y.n_sh") && col("x.doc_id") =!= col("y.doc_id"))
+    def asPair(c: DataFrame) = c.select(
+      least(col("x.doc_id"), col("y.doc_id")).as("a"),
+      greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+    val corpusFull = idx.postings.select("doc_id", "n_sh", "t")
+    val corpusPrefix = idx.prefixSide.select("doc_id", "n_sh", "t")
+    val candidates = asPair(prefB.as("x")
+        .join(corpusFull.as("y"), col("x.t") === col("y.t") && xSmaller))
+      .unionByName(asPair(corpusPrefix.as("x")
+        .join(postB.as("y"), col("x.t") === col("y.t") && xSmaller)))
+      .unionByName(asPair(prefB.as("x")
+        .join(postB.as("y"), col("x.t") === col("y.t") && xSmaller)))
+      .distinct()
+    val allSh = idx.shingles.select("doc_id", "n_sh", "sh")
+      .unionByName(shB.select("doc_id", "n_sh", "sh"))
+    candidates
+      .join(allSh.select(col("doc_id").as("a"), col("sh").as("sh_a"), col("n_sh").as("na")), "a")
+      .join(allSh.select(col("doc_id").as("b"), col("sh").as("sh_b"), col("n_sh").as("nb")), "b")
+      .withColumn("c_raw",
+        size(array_intersect(col("sh_a"), col("sh_b"))) / least(col("na"), col("nb")))
+      .filter(col("c_raw") >= t0)
+      .select(col("a"), col("b"), round(col("c_raw"), 4).as("containment"))
+  }
+
   /** (doc_id, blk, n_sh, sh) for a (doc_id, text, n_chars) frame — the
     * shared head of every thresholded n-gram path. */
   private def shingleBlocks(docs: DataFrame): DataFrame =
@@ -1013,6 +1303,22 @@ object DedupOps {
     "q114_containment_pairs" -> ((s, d) => {
       ngramContainmentPairs(
         Tables.load(s, d, "documents").select("doc_id", "text"), 0.8)
+        .orderBy("a", "b")
+    }),
+
+    // INCREMENTAL containment: the last-arrived 10% of docs audited
+    // against the warm corpus containment index — the ingest form of
+    // q114 ("is this batch doc pasted inside something we already have,
+    // or vice versa?"), answer-checked against the full q114 computation
+    // restricted to batch-incident pairs (the oracle replays the
+    // exhaustive join), proving the O(batch) path ≡ the O(corpus)
+    // recompute — the q74/q87/q115 maintenance contract applied to
+    // containment.
+    "q116_containment_vs_index" -> ((s, d) => {
+      val (thr, idx) = q116ContainmentIndex(s, d)
+      ngramContainmentPairsVsIndex(
+        Tables.load(s, d, "documents").select("doc_id", "text")
+          .filter(col("doc_id") > thr), idx)
         .orderBy("a", "b")
     }),
 
@@ -1274,6 +1580,24 @@ object DedupOps {
          |SELECT a, b, round(shared / least(sa.n, sb.n), 4) AS containment
          |FROM pairs JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
          |WHERE shared / least(sa.n, sb.n) >= 0.8
+         |ORDER BY a, b""".stripMargin,
+
+    // The incremental path must equal the full containment pass BY
+    // CONSTRUCTION, so its oracle IS q114's exhaustive-join computation
+    // restricted to batch-incident pairs — a green row means the
+    // O(batch) index path and the O(corpus) recompute agree exactly.
+    "q116_containment_vs_index" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         | sh AS (SELECT doc_id, ${TextOps.shinglesSql} AS s FROM t),
+         | sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+         | p AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         | thr AS (SELECT CAST(floor(max(doc_id) * 0.9) AS BIGINT) AS mx FROM documents),
+         | pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+         |           FROM p x JOIN p y ON x.g = y.g AND x.doc_id < y.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT a, b, round(shared / least(sa.n, sb.n), 4) AS containment
+         |FROM pairs JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b, thr
+         |WHERE shared / least(sa.n, sb.n) >= 0.8 AND (a > thr.mx OR b > thr.mx)
          |ORDER BY a, b""".stripMargin,
 
     // Transitive closure over the same edge set; min reachable id per node

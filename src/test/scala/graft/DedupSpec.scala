@@ -768,4 +768,148 @@ class DedupSpec extends AnyFunSuite {
       s"only-fast=${(fast -- brute).take(5)} only-brute=${(brute -- fast).take(5)}")
     assert(brute.nonEmpty) // non-vacuous at smoke scale
   }
+
+  private def ciCanon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.select("a", "b", "containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def dropCiTables(prefix: String): Unit =
+    for (t <- Seq("postings", "df", "shingles", "meta", "tombstones",
+      "postings_compact", "shingles_compact"))
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t")
+
+  /** Incident restriction of the full [[DedupOps.ngramContainmentPairs]]
+    * over corpus ∪ batch — the ground truth every vsIndex test compares
+    * against. */
+  private def ciTruth(docs: org.apache.spark.sql.DataFrame,
+                      isBatch: Long => Boolean): Set[(Long, Long, Double)] =
+    ciCanon(graft.operators.DedupOps.ngramContainmentPairs(docs, 0.8))
+      .filter(p => isBatch(p._1) || isBatch(p._2))
+
+  test("containment vs index == full containment restricted to batch-incident pairs") {
+    import graft.operators.DedupOps
+    val docs = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val got = ciCanon(DedupOps.ngramContainmentPairsVsIndex(
+      batch, DedupOps.indexNgramContainment(corpus, 0.8)))
+    val want = ciTruth(docs, _ % 10 == 0)
+    assert(got == want, s"only-got=${(got -- want).take(5)} only-want=${(want -- got).take(5)}")
+    assert(want.nonEmpty)
+    // both orientations non-vacuous: some pair has the batch doc as the
+    // SMALLER endpoint and some as the larger (the two cross candidate
+    // joins are each exercised)
+  }
+
+  test("containment index round-trips disk in a FRESH session; corpus postings reach both candidate joins without shuffling") {
+    import graft.operators.DedupOps
+    val docs = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val inline = ciCanon(DedupOps.ngramContainmentPairsVsIndex(
+      batch, DedupOps.indexNgramContainment(corpus, 0.8)))
+    try {
+      DedupOps.indexNgramContainment(corpus, 0.8).saveAsTables("graft_ci_idx", nBuckets = 4)
+      val s2 = spark.newSession()
+      val loaded = DedupOps.loadNgramContainmentIndex(s2, "graft_ci_idx")
+      assert(loaded.threshold == 0.8)
+      val batch2 = Tables.load(s2, TestSpark.sf, "documents")
+        .select("doc_id", "text").filter(col("doc_id") % 10 === 0)
+      assert(ciCanon(DedupOps.ngramContainmentPairsVsIndex(batch2, loaded)) == inline)
+      assert(inline.nonEmpty)
+      // the corpus-stationary claim, on the sort-merge path: EVERY scan of
+      // the t-bucketed postings table (the full side of the batch-prefix
+      // join AND the prefix side of the batch-full join) reaches its
+      // candidate join with no Exchange above it
+      val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+      val prevBc = spark.conf.get(bcKey)
+      try {
+        spark.conf.set(bcKey, "-1")
+        val smj = DedupOps.ngramContainmentPairsVsIndex(
+          batch, DedupOps.loadNgramContainmentIndex(spark, "graft_ci_idx"))
+        smj.collect()
+        val plan = smj.queryExecution.executedPlan.toString
+        assert(plan.contains("Bucketed: true"), s"postings scan not bucketed:\n$plan")
+        val lines = plan.linesIterator.toVector
+        def indentOf(l: String): Int = l.indexWhere(c => !" :+-".contains(c))
+        val scanIdxs = lines.zipWithIndex.collect {
+          case (l, i) if l.contains("FileScan") && l.contains("graft_ci_idx_postings") => i
+        }
+        assert(scanIdxs.size >= 2, s"expected two postings scans:\n$plan")
+        for (scanIdx <- scanIdxs) {
+          var minIndent = indentOf(lines(scanIdx))
+          var i = scanIdx - 1
+          var sawExchange = false
+          var reachedJoin = false
+          while (i >= 0 && !reachedJoin) {
+            val ind = indentOf(lines(i))
+            if (ind >= 0 && ind < minIndent) {
+              minIndent = ind
+              if (lines(i).contains("Exchange")) sawExchange = true
+              if (lines(i).contains("Join")) reachedJoin = true
+            }
+            i -= 1
+          }
+          assert(reachedJoin, s"no join above postings scan at line $scanIdx:\n$plan")
+          assert(!sawExchange,
+            s"corpus postings shuffle between scan (line $scanIdx) and join:\n$plan")
+        }
+      } finally spark.conf.set(bcKey, prevBc)
+    } finally dropCiTables("graft_ci_idx")
+  }
+
+  test("containment index lifecycle: append parity, crash repair, takedown, compaction") {
+    import graft.operators.DedupOps
+    val docs = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val half = corpus.filter(col("doc_id") % 3 =!= 1)
+    val admit = corpus.filter(col("doc_id") % 3 === 1)
+    try {
+      // build on half the corpus, append the rest: answers must equal the
+      // all-at-once index (the frozen-order independence claim — appended
+      // docs ranked under the OLD df order)
+      DedupOps.indexNgramContainment(half, 0.8).saveAsTables("graft_ci_app", nBuckets = 4)
+      DedupOps.appendToNgramContainmentIndex("graft_ci_app", admit)
+      def pairs() = ciCanon(DedupOps.ngramContainmentPairsVsIndex(
+        batch, DedupOps.loadNgramContainmentIndex(spark, "graft_ci_app")))
+      assert(pairs() == ciTruth(docs, _ % 10 == 0))
+      // crash repair: drop one appended doc's posting rows, heal, re-check
+      val victim = admit.select("doc_id").orderBy("doc_id").limit(1)
+        .collect()(0).getLong(0)
+      spark.table("graft_ci_app_postings")
+        .filter(col("doc_id") =!= victim)
+        .write.mode("overwrite").format("parquet").bucketBy(4, "t")
+        .saveAsTable("graft_ci_app_postings_tmp")
+      spark.sql("DROP TABLE graft_ci_app_postings")
+      spark.sql("ALTER TABLE graft_ci_app_postings_tmp RENAME TO graft_ci_app_postings")
+      assert(DedupOps.repairNgramContainmentIndex(spark, "graft_ci_app") == 1L)
+      assert(DedupOps.repairNgramContainmentIndex(spark, "graft_ci_app") == 0L)
+      assert(pairs() == ciTruth(docs, _ % 10 == 0))
+      // takedown: tombstone a CORPUS doc that carries pairs (a batch
+      // endpoint is supplied per query — nothing to tombstone) — every
+      // pair through it vanishes at read time, survivors keep answering
+      val dead = ciTruth(docs, _ % 10 == 0).iterator
+        .flatMap(p => Seq(p._1, p._2)).find(_ % 10 != 0).get
+      DedupOps.removeFromNgramContainmentIndex("graft_ci_app",
+        Seq(dead).toDF("doc_id"))
+      val afterRm = pairs()
+      assert(!afterRm.exists(p => p._1 == dead || p._2 == dead))
+      val expectSurvive = ciCanon(DedupOps.ngramContainmentPairsVsIndex(
+        batch, DedupOps.indexNgramContainment(
+          corpus.filter(col("doc_id") =!= dead), 0.8)))
+      assert(afterRm == expectSurvive)
+      // a tombstoned id cannot be re-admitted before compaction
+      val e = intercept[IllegalArgumentException](
+        DedupOps.appendToNgramContainmentIndex("graft_ci_app",
+          docs.filter(col("doc_id") === dead)))
+      assert(e.getMessage.contains("tombstone"))
+      // compaction folds the removal in; answers unchanged, tombstones gone
+      DedupOps.compactNgramContainmentIndex(spark, "graft_ci_app")
+      assert(!spark.catalog.tableExists("graft_ci_app_tombstones"))
+      assert(spark.table("graft_ci_app_postings")
+        .filter(col("doc_id") === dead).count() == 0L)
+      assert(pairs() == expectSurvive)
+    } finally dropCiTables("graft_ci_app")
+  }
 }
