@@ -58,20 +58,40 @@ object DocStream {
     *
     * REPLAY safety for the index side: foreachBatch is at-least-once and
     * [[graft.operators.DedupOps.appendToCorpusIndex]] is not idempotent,
-    * so survivors are anti-joined against the index's existing doc_ids
-    * before the append — a replayed batch (or a doc re-sent in a later
-    * file) can never double-admit. The id probe reads one pruned column
-    * of the shingle table per batch; at 100 TB keep it cheap with the
-    * compaction cadence, or swap in a transactional table format and
-    * drop the probe. A batch doc whose id has a PENDING TOMBSTONE fails
-    * the drain fast (the [[graft.operators.DedupOps.appendToCorpusIndex]]
-    * data-loss guard): compact the index, then re-run — the checkpoint
-    * resumes at the failed batch. */
+    * so survivors are anti-joined against the `_admissions` MANIFEST —
+    * one (batch_id, doc_id) row per doc EVER admitted, seeded from the
+    * index's day-0 ids on first use — before the append: a replayed
+    * batch (or a doc re-sent in a later file) can never double-admit,
+    * and the steady-state probe is O(admitted docs) against a tiny
+    * two-column table, never a scan of the shingle table
+    * ([[replayProbe]]; plan-asserted). A probe-skipped survivor (its id
+    * was admitted by an EARLIER batch, the day-0 corpus, or was later
+    * purged — ids are never reused) audits as `admitted = false` with
+    * `dup_of` null, distinguishing it from a dedup reject.
+    *
+    * CRASH PROTOCOL: a (batch_id, null) marker row is written before a
+    * batch's index append, its (batch_id, doc_id) completion rows after.
+    * A replayed batch with a marker but no completion rows hits the
+    * RECOVERY path: the precise shingle-id probe (the O(corpus) scan —
+    * paid only here) splits its survivors into docs whose shingles
+    * already committed (manifest healed, bands healed via
+    * [[graft.operators.DedupOps.repairCorpusIndex]]) and docs still
+    * missing (appended normally); a replay of a COMPLETED batch takes
+    * the fast path and re-emits an identical audit partition.
+    *
+    * A batch doc whose id has a PENDING TOMBSTONE fails the drain fast
+    * BEFORE the audit write (the
+    * [[graft.operators.DedupOps.appendToCorpusIndex]] data-loss guard —
+    * and the dedup gate cannot catch it: the tombstoned copy is hidden
+    * from the loaded index, while the raw shingle table still holds its
+    * rows until compaction): compact the index, then re-run — the
+    * checkpoint resumes at the failed batch. */
   def admissionDrain(docsStream: DataFrame, namePrefix: String,
                      threshold: Double, root: String, checkpoint: String): Unit = {
     require(threshold >= 0.7,
       f"admissionDrain: LSH candidate recall at jaccard $threshold%.2f is too " +
         "low — same floor as DedupPipeline.dedupAgainstCorpus")
+    seedAdmissions(docsStream.sparkSession, namePrefix)
     val q = docsStream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -79,6 +99,18 @@ object DocStream {
         val b = batch.toDF().select("doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          // tombstone fail-fast FIRST — before any audit or index write
+          // claims anything about this batch
+          if (spark.catalog.tableExists(s"${namePrefix}_tombstones")) {
+            val clash = b.select("doc_id")
+              .join(spark.table(s"${namePrefix}_tombstones").select("doc_id"), "doc_id")
+              .limit(1).collect()
+            require(clash.isEmpty,
+              s"admissionDrain: doc_id ${clash.head.get(0)} has a pending " +
+                s"tombstone in ${namePrefix}_tombstones — ids are never " +
+                "reused; run compactCorpusIndex, then re-run the drain (the " +
+                "checkpoint resumes at this batch)")
+          }
           // loaded PER BATCH deliberately: the catalog read is footer-cheap
           // and must see the appends earlier batches committed
           val index = graft.operators.DedupOps.loadCorpusIndex(spark, namePrefix)
@@ -101,30 +133,83 @@ object DocStream {
             .groupBy("new_id")
             .agg(max_by(struct(col("dup_of"), col("dup_jac")), col("dup_jac").isNotNull).as("r"))
             .select(col("new_id"), col("r.dup_of").as("dup_of"), col("r.dup_jac").as("dup_jac"))
+          val survivors = b.join(rejects.select("new_id"),
+            b("doc_id") === rejects("new_id"), "left_anti")
+          val manifest = spark.table(s"${namePrefix}_admissions")
+          val started = manifest
+            .filter(col("batch_id") === batchId && col("doc_id").isNull)
+            .limit(1).collect().nonEmpty
+          // completion rows of a PRIOR attempt of this very batch — the
+          // replayed-completed-batch case; localCheckpoint severs them
+          // from the manifest table this batch appends to below (the
+          // append-invalidates-cached-plans trap, see `freshFinal`)
+          val thisBatchAdmitted = manifest
+            .filter(col("batch_id") === batchId && col("doc_id").isNotNull)
+            .select("doc_id").localCheckpoint(eager = true)
+          val fresh = replayProbe(spark, namePrefix, survivors)
+          // EAGER localCheckpoint, not persist: appendToCorpusIndex's
+          // FIRST write (shingles) invalidates any cached plan over the
+          // tables `fresh` derives from — its second write (bands) would
+          // then re-evaluate the probe against UPDATED tables and
+          // silently append ZERO band rows. Severing the lineage pins the
+          // batch's row set across both writes. (Batch-sized frames —
+          // checkpoint cost is the batch.)
+          val (freshFinal, healed) =
+            if (started && thisBatchAdmitted.limit(1).collect().isEmpty) {
+              // RECOVERY: a prior attempt crashed mid-append — the one
+              // path that pays the precise O(corpus) shingle-id probe
+              val committed = spark.table(s"${namePrefix}_shingles")
+                .select("doc_id").distinct()
+              (fresh.join(committed, Seq("doc_id"), "left_anti")
+                  .localCheckpoint(eager = true),
+                fresh.join(committed, Seq("doc_id"), "left_semi")
+                  .select("doc_id").localCheckpoint(eager = true))
+            } else
+              (fresh.localCheckpoint(eager = true),
+                spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0))
+          // the admit decision is now FINAL — only now write the audit:
+          // admitted = survived dedup AND actually entered the index (this
+          // attempt or a healed crashed one). A doc THIS batch already
+          // admitted (completion rows of a prior attempt) OVERRIDES the
+          // dedup verdict: on replay the doc near-dup-matches its own
+          // admitted copy, and without the override the rewritten audit
+          // partition would flip it to a self-rejection — replays must
+          // re-emit the original attempt's rows byte-for-byte
+          val admittedIds = freshFinal.select("doc_id").unionByName(healed).distinct()
           b.join(rejects, b("doc_id") === rejects("new_id"), "left")
-            .withColumn("admitted", col("new_id").isNull)
-            .drop("new_id")
+            .join(admittedIds.withColumn("adm", lit(true)), Seq("doc_id"), "left")
+            .join(thisBatchAdmitted.withColumn("mine", lit(true)), Seq("doc_id"), "left")
+            .withColumn("admitted",
+              (col("new_id").isNull && coalesce(col("adm"), lit(false))) ||
+                coalesce(col("mine"), lit(false)))
+            .withColumn("dup_of",
+              when(coalesce(col("mine"), lit(false)), lit(null).cast("long"))
+                .otherwise(col("dup_of")))
+            .withColumn("dup_jac",
+              when(coalesce(col("mine"), lit(false)), lit(null).cast("double"))
+                .otherwise(col("dup_jac")))
+            .drop("new_id", "adm", "mine")
             .withColumn("batch_id", lit(batchId))
             .write
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .mode("overwrite")
             .parquet(root)
-          val survivors = b.join(rejects.select("new_id"),
-            b("doc_id") === rejects("new_id"), "left_anti")
-          // EAGER localCheckpoint, not persist: `fresh` reads the shingle
-          // table it is about to extend, and appendToCorpusIndex's FIRST
-          // write (shingles) invalidates any cached plan over that table —
-          // its second write (bands) would then re-evaluate the anti-join
-          // against the UPDATED table and silently append ZERO band rows.
-          // Severing the lineage pins the batch's row set across both
-          // writes. (Batch-sized frame — checkpoint cost is the batch.)
-          val fresh = survivors.join(
-            spark.table(s"${namePrefix}_shingles").select("doc_id").distinct(),
-            Seq("doc_id"), "left_anti")
-            .localCheckpoint(eager = true)
-          if (fresh.limit(1).collect().nonEmpty)
-            graft.operators.DedupOps.appendToCorpusIndex(namePrefix, fresh)
+          val toAppend = freshFinal.limit(1).collect().nonEmpty
+          if (toAppend && !started)
+            spark.range(1)
+              .select(lit(batchId).as("batch_id"), lit(null).cast("long").as("doc_id"))
+              .write.mode("append").format("parquet")
+              .saveAsTable(s"${namePrefix}_admissions")
+          if (toAppend)
+            graft.operators.DedupOps.appendToCorpusIndex(namePrefix, freshFinal)
+          if (started && thisBatchAdmitted.limit(1).collect().isEmpty)
+            graft.operators.DedupOps.repairCorpusIndex(spark, namePrefix)
+          val newRows = freshFinal.select("doc_id").unionByName(healed)
+          if (toAppend || healed.limit(1).collect().nonEmpty)
+            newRows.select(lit(batchId).as("batch_id"), col("doc_id"))
+              .write.mode("append").format("parquet")
+              .saveAsTable(s"${namePrefix}_admissions")
         } finally b.unpersist()
       }
       .option("checkpointLocation", checkpoint)
@@ -136,10 +221,36 @@ object DocStream {
     // tables from a pre-drain read — invalidate so post-drain reads see
     // every admitted batch
     val caller = docsStream.sparkSession
-    for (t <- Seq("shingles", "bands", "tombstones"))
+    for (t <- Seq("shingles", "bands", "tombstones", "admissions"))
       if (caller.catalog.tableExists(s"${namePrefix}_$t"))
         caller.catalog.refreshTable(s"${namePrefix}_$t")
   }
+
+  /** The drain's FAST-PATH replay probe: batch survivors not yet in the
+    * admissions manifest. Reads ONLY the two-column `_admissions` table —
+    * O(docs ever admitted) — never the shingle table (spec plan-asserted);
+    * the null-doc_id marker rows are excluded so a crashed attempt's
+    * marker cannot mask its own docs. */
+  private[graft] def replayProbe(spark: org.apache.spark.sql.SparkSession,
+                                     namePrefix: String, survivors: DataFrame): DataFrame =
+    survivors.join(
+      spark.table(s"${namePrefix}_admissions")
+        .filter(col("doc_id").isNotNull).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
+  /** Create the `_admissions` manifest when missing, seeded with every
+    * doc_id the index ALREADY holds (batch_id −1): day-0 corpus ids —
+    * and ids admitted by pre-manifest drains — are then probe-visible
+    * without ever scanning the shingle table again. Raw (not
+    * tombstone-filtered) deliberately: the manifest is the ids-are-
+    * never-reused fence, and a purged id must stay fenced after its
+    * tombstone compacts away. One corpus scan per index LIFETIME. */
+  private def seedAdmissions(spark: org.apache.spark.sql.SparkSession,
+                             namePrefix: String): Unit =
+    if (!spark.catalog.tableExists(s"${namePrefix}_admissions"))
+      spark.table(s"${namePrefix}_shingles")
+        .select(lit(-1L).as("batch_id"), col("doc_id"))
+        .write.format("parquet").saveAsTable(s"${namePrefix}_admissions")
 
   def incrementalDedupDrain(docsStream: DataFrame, corpus: DataFrame,
                             threshold: Double, root: String, checkpoint: String): Unit = {

@@ -324,9 +324,162 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids.keySet == Set(100L, 2L, 5L), s"index ids: ${ids.keySet}")
       assert(ids.values.forall(_ == 1L), s"duplicated index rows: $ids")
     } finally {
-      for (t <- Seq("shingles", "bands", "tombstones"))
+      for (t <- Seq("shingles", "bands", "tombstones", "admissions"))
         spark.sql(s"DROP TABLE IF EXISTS graft_adm_idx_$t")
     }
+  }
+
+  private def dropAdmTables(prefix: String): Unit =
+    for (t <- Seq("shingles", "bands", "tombstones", "admissions"))
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t")
+
+  test("admissionDrain fast-path probe reads the admissions manifest, never the shingle table (plan-asserted)") {
+    import graft.operators.DedupOps
+    import spark.implicits._
+    val corpus = Seq((100L, (1 to 40).map(i => f"pp$i%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+    try {
+      DedupOps.indexCorpus(corpus).saveAsTables("graft_adm_pp", nBuckets = 4)
+      // seed the manifest the way the drain does on first use
+      spark.table("graft_adm_pp_shingles")
+        .select(lit(-1L).as("batch_id"), col("doc_id"))
+        .write.format("parquet").saveAsTable("graft_adm_pp_admissions")
+      val survivors = Seq((7L, "x")).toDF("doc_id", "text")
+      val probe = graft.streaming.DocStream.replayProbe(spark, "graft_adm_pp", survivors)
+      assert(probe.collect().map(_.getLong(0)).toSeq == Seq(7L))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_adm_pp_admissions"),
+        s"probe does not read the manifest:\n$plan")
+      assert(!plan.contains("graft_adm_pp_shingles"),
+        s"probe still scans the shingle table:\n$plan")
+      // seeded ids ARE probe-visible (day-0 corpus fence)
+      assert(graft.streaming.DocStream.replayProbe(spark, "graft_adm_pp",
+        Seq((100L, "y")).toDF("doc_id", "text")).collect().isEmpty)
+    } finally dropAdmTables("graft_adm_pp")
+  }
+
+  test("admissionDrain: probe-skipped survivor audits admitted=false with null dup_of and never re-enters the index") {
+    import graft.operators.DedupOps
+    import spark.implicits._
+    val w = (1 to 40).map(i => f"qa$i%02d").mkString(" ")
+    val corpus = Seq((100L, w)).toDF("doc_id", "text")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-adm2-src")
+    val sinkRoot = java.nio.file.Files.createTempDirectory("graft-adm2-sink").toString
+    try {
+      DedupOps.indexCorpus(corpus).saveAsTables("graft_adm2_idx", nBuckets = 4)
+      val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+      def drain(ck: String): Unit = graft.streaming.DocStream.admissionDrain(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString + "/*"),
+        "graft_adm2_idx", 0.8, sinkRoot, ck)
+      // day-0 id 100 re-sent with COMPLETELY different text: the dedup
+      // gate cannot reject it (no near-dup), only the manifest fence can
+      Seq((100L, (1 to 40).map(i => f"zz$i%02d").mkString(" ")))
+        .toDF("doc_id", "text").repartition(1)
+        .write.mode("overwrite").parquet(srcDir.resolve("b0").toString)
+      drain(java.nio.file.Files.createTempDirectory("graft-adm2-ck").toString)
+      val audit = spark.read.parquet(sinkRoot).collect()
+        .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+          ((r.getBoolean(r.fieldIndex("admitted")), r.isNullAt(r.fieldIndex("dup_of"))))).toMap
+      // the probe-skip signature: NOT admitted, yet no dup attribution
+      assert(audit(100L) == ((false, true)), s"${audit.get(100L)}")
+      // and the index did not gain a duplicate id-100 row set
+      assert(spark.table("graft_adm2_idx_shingles")
+        .filter(col("doc_id") === 100L).count() == 1L)
+    } finally dropAdmTables("graft_adm2_idx")
+  }
+
+  test("admissionDrain fails fast on a pending-tombstoned batch id, before any audit row lands") {
+    import graft.operators.DedupOps
+    import spark.implicits._
+    val w = (1 to 40).map(i => f"tb$i%02d").mkString(" ")
+    val corpus = Seq((100L, w)).toDF("doc_id", "text")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-adm3-src")
+    val sinkRoot = java.nio.file.Files.createTempDirectory("graft-adm3-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-adm3-ck").toString
+    try {
+      DedupOps.indexCorpus(corpus).saveAsTables("graft_adm3_idx", nBuckets = 4)
+      DedupOps.removeFromCorpusIndex("graft_adm3_idx", Seq(100L).toDF("doc_id"))
+      // the r10 silent-loss shape: the tombstoned doc's OWN text re-sent —
+      // dedup can't flag it (its index copy is tombstone-hidden), and
+      // without the guard it would audit admitted=true then vanish
+      Seq((100L, w)).toDF("doc_id", "text").repartition(1)
+        .write.mode("overwrite").parquet(srcDir.resolve("b0").toString)
+      val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+      val e = intercept[Exception] {
+        graft.streaming.DocStream.admissionDrain(
+          spark.readStream.schema(schema).parquet(srcDir.toString + "/*"),
+          "graft_adm3_idx", 0.8, sinkRoot, ckpt)
+      }
+      def rootMsg(t: Throwable): String =
+        if (t.getCause == null) String.valueOf(t.getMessage)
+        else String.valueOf(t.getMessage) + " | " + rootMsg(t.getCause)
+      assert(rootMsg(e).contains("tombstone"), s"wrong failure: ${rootMsg(e)}")
+      // no audit partition was written for the failed batch
+      assert(!new java.io.File(sinkRoot).listFiles().exists(_.getName.startsWith("batch_id=")))
+    } finally dropAdmTables("graft_adm3_idx")
+  }
+
+  test("admissionDrain recovery: a batch replayed after a mid-append crash heals bands + manifest, audits identically") {
+    import graft.operators.DedupOps
+    import spark.implicits._
+    val w = (1 to 40).map(i => f"rc$i%02d").mkString(" ")
+    val d1 = (1 to 40).map(i => f"na$i%02d").mkString(" ")
+    val d2 = (1 to 40).map(i => f"nb$i%02d").mkString(" ")
+    val corpus = Seq((100L, w)).toDF("doc_id", "text")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-adm4-src")
+    val sinkRoot = java.nio.file.Files.createTempDirectory("graft-adm4-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-adm4-ck").toString
+    try {
+      DedupOps.indexCorpus(corpus).saveAsTables("graft_adm4_idx", nBuckets = 4)
+      // craft the exact on-disk state a crash inside appendToCorpusIndex
+      // leaves behind for batch 0 of a fresh checkpoint: manifest seeded +
+      // marker row present, doc 1's SHINGLES committed but no band rows
+      // and no completion rows; doc 2 untouched
+      spark.table("graft_adm4_idx_shingles")
+        .select(lit(-1L).as("batch_id"), col("doc_id"))
+        .write.format("parquet").saveAsTable("graft_adm4_idx_admissions")
+      spark.range(1).select(lit(0L).as("batch_id"), lit(null).cast("long").as("doc_id"))
+        .write.mode("append").format("parquet").saveAsTable("graft_adm4_idx_admissions")
+      graft.operators.TextOps.withShingles(Seq((1L, d1)).toDF("doc_id", "text"))
+        .select("doc_id", "sh")
+        .write.mode("append").format("parquet").saveAsTable("graft_adm4_idx_shingles")
+      // the "replay": both docs arrive as batch 0
+      Seq((1L, d1), (2L, d2)).toDF("doc_id", "text").repartition(1)
+        .write.mode("overwrite").parquet(srcDir.resolve("b0").toString)
+      val schema = Seq((0L, "")).toDF("doc_id", "text").schema
+      graft.streaming.DocStream.admissionDrain(
+        spark.readStream.schema(schema).parquet(srcDir.toString + "/*"),
+        "graft_adm4_idx", 0.8, sinkRoot, ckpt)
+      // both docs admitted in the audit — the healed doc is not demoted
+      val audit = spark.read.parquet(sinkRoot).collect()
+        .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+          r.getBoolean(r.fieldIndex("admitted"))).toMap
+      assert(audit == Map(1L -> true, 2L -> true), s"$audit")
+      // index consistent: one shingle row each, band rows healed for doc 1
+      val shc = spark.table("graft_adm4_idx_shingles").groupBy("doc_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(shc == Map(100L -> 1L, 1L -> 1L, 2L -> 1L), s"$shc")
+      assert(spark.table("graft_adm4_idx_bands")
+        .filter(col("doc_id") === 1L).count() > 0L, "crashed doc's bands not healed")
+      assert(spark.table("graft_adm4_idx_bands")
+        .filter(col("doc_id") === 2L).count() > 0L)
+      // manifest healed: completion rows for BOTH docs under batch 0
+      assert(spark.table("graft_adm4_idx_admissions")
+        .filter(col("batch_id") === 0L && col("doc_id").isNotNull)
+        .collect().map(_.getLong(1)).toSet == Set(1L, 2L))
+      // and a REPLAYED completed batch (fresh checkpoint, same file) takes
+      // the fast path: identical audit, no index growth
+      graft.streaming.DocStream.admissionDrain(
+        spark.readStream.schema(schema).parquet(srcDir.toString + "/*"),
+        "graft_adm4_idx", 0.8, sinkRoot,
+        java.nio.file.Files.createTempDirectory("graft-adm4-ck2").toString)
+      val audit2 = spark.read.parquet(sinkRoot).collect()
+        .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+          r.getBoolean(r.fieldIndex("admitted"))).toMap
+      assert(audit2 == Map(1L -> true, 2L -> true), s"$audit2")
+      assert(spark.table("graft_adm4_idx_shingles").count() == 3L)
+    } finally dropAdmTables("graft_adm4_idx")
   }
 
   test("foreachBatch streams into the idempotent partitioned sink") {
