@@ -97,6 +97,64 @@ object ScaleProbe {
       return
     }
 
+    // q114 hot-key probe (r10 verdict "what's wrong" #4): the containment
+    // operator keeps the prefix filter although the exhaustive count-join
+    // is ~1.5× faster on the synthetic near-uniform dfs (max df 25 at
+    // sf0.1) — the argued reason is the exhaustive join's Σ_t df(t)²
+    // candidate blow-up on boilerplate hot shingles. MEASURE it: plant one
+    // fixed 16-token boilerplate line into 30% of docs (14 identical hot
+    // shingles, df ≈ 0.3·n — the header/footer/license-line shape real
+    // corpora have) and time both pipelines on the planted and unplanted
+    // corpus. SPARK_GRAFT_CONTAIN_PROBE=1; results → BUILDLOG.
+    if (sys.env.contains("SPARK_GRAFT_CONTAIN_PROBE")) {
+      import graft.operators.{DedupOps, TextOps}
+      val boiler = (1 to 16).map(i => f"boilerhot$i%02d").mkString(" ")
+      val base = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+      def planted = base.withColumn("text",
+        when(col("doc_id") % 10 < 3, concat(col("text"), lit(" " + boiler)))
+          .otherwise(col("text")))
+      // the exhaustive twin: shared-shingle count-join, no prefix filter —
+      // exactly the q114 oracle's DuckDB shape as DataFrame ops
+      def exhaustive(docs: DataFrame, minC: Double): DataFrame = {
+        val sh = TextOps.withShingles(docs.select("doc_id", "text"))
+          .select("doc_id", "sh")
+          .withColumn("n_sh", size(col("sh"))).filter(col("n_sh") > 0)
+        val p = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("g"))
+        p.as("x").join(p.as("y"),
+            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+            col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
+          .agg(count(lit(1)).as("shared"))
+          .withColumn("c_raw", col("shared") / least(col("na"), col("nb")))
+          .filter(col("c_raw") >= minC)
+          .select(col("a"), col("b"), round(col("c_raw"), 4).as("containment"))
+      }
+      val trials = sys.env.getOrElse("SPARK_GRAFT_CONTAIN_TRIALS", "3").toInt
+      def bench(label: String, docs: => DataFrame,
+                f: DataFrame => DataFrame): Long = {
+        def once(): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val n = f(docs).count()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        once() // warmup: footers + codegen
+        val runs = (1 to trials).map(_ => once())
+        println(f"[probe] contain $label%-34s ${runs.map(_._1).min}%8.2f s  " +
+          s"pairs=${runs.head._2} (min of $trials)")
+        runs.head._2
+      }
+      for ((tag, corpus) <- Seq(("unplanted", () => base), ("planted", () => planted))) {
+        val nPrefix = bench(s"$tag prefix-filtered", corpus(),
+          DedupOps.ngramContainmentPairs(_, 0.8))
+        val nExh = bench(s"$tag exhaustive count-join", corpus(),
+          exhaustive(_, 0.8))
+        require(nPrefix == nExh,
+          s"contain probe $tag: prefix=$nPrefix exhaustive=$nExh — outputs diverge")
+      }
+      spark.stop()
+      return
+    }
+
     if (sys.env.contains("SPARK_GRAFT_ASOF_PROBE")) {
       val ev = Tables.load(spark, sfDir, "events")
       val purchases = ev.filter(col("event_type") === "purchase")

@@ -74,8 +74,7 @@ final case class ClusterState(labels: DataFrame, edges: DataFrame) {
     * a saved-and-reloaded state (what Bench warms so timed trials pay only
     * the per-batch path). */
   def cached(): ClusterState =
-    ClusterState(labels.localCheckpoint(eager = true),
-      edges.localCheckpoint(eager = true))
+    ClusterState(WarmState.pin(labels), WarmState.pin(edges))
 
   /** O(batch) INSERT: absorb a batch of new near-dup pairs (new~new and
     * new~old, e.g. from [[DedupOps.minHashCrossDupPairs]]) via

@@ -351,6 +351,7 @@ object CorpusOps {
     * to isolate, not the corpus build. */
   private val firstSeenCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Long, DataFrame)]()
+  WarmState.registerCache(() => firstSeenCache.clear())
 
   private def q115State(s: SparkSession, d: String): (Long, DataFrame) =
     firstSeenCache.computeIfAbsent(
@@ -360,8 +361,7 @@ object CorpusOps {
       // 1-row aggregate: the order-respecting corpus/batch split point
       val thr = math.floor(
         docs.agg(max("doc_id")).collect()(0).getLong(0) * 0.9).toLong
-      (thr, firstSeenOf(docs.filter(col("doc_id") <= thr))
-        .localCheckpoint(true))
+      (thr, WarmState.pin(firstSeenOf(docs.filter(col("doc_id") <= thr))))
     })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

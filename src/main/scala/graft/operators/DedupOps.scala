@@ -51,6 +51,14 @@ object DedupOps {
   private val corpusStateCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  // every DedupOps warm cache clears on WarmState.releaseAll — the
+  // end-of-phase hatch that lets one session run the full clustering
+  // sweep at sf10 without the caches outliving their queries
+  WarmState.registerCache(() => corpusStateCache.clear())
+  WarmState.registerCache(() => clusterStateCache.clear())
+  WarmState.registerCache(() => prefixIndexCache.clear())
+  WarmState.registerCache(() => containmentIndexCache.clear())
+
   private def stateKey(d: String, tag: String): String = {
     val dir = try java.nio.file.Paths.get(d).toRealPath().toString
       catch { case _: java.io.IOException => d }
@@ -685,9 +693,8 @@ object DedupOps {
       this
     }
     def localCheckpointed(): NgramPrefixIndex =
-      NgramPrefixIndex(prefix.localCheckpoint(eager = true),
-        df.localCheckpoint(eager = true),
-        shingles.localCheckpoint(eager = true), threshold)
+      NgramPrefixIndex(WarmState.pin(prefix), WarmState.pin(df),
+        WarmState.pin(shingles), threshold)
 
     /** Persist the index AT REST as catalog tables, with the prefix table
       * BUCKETED on exactly the candidate join's equi-keys (blk, t) — the
@@ -999,9 +1006,8 @@ object DedupOps {
     }
 
     def localCheckpointed(): NgramContainmentIndex =
-      NgramContainmentIndex(postings.localCheckpoint(eager = true),
-        df.localCheckpoint(eager = true),
-        shingles.localCheckpoint(eager = true), threshold)
+      NgramContainmentIndex(WarmState.pin(postings), WarmState.pin(df),
+        WarmState.pin(shingles), threshold)
 
     /** Persist at rest; write order df → postings → shingles → meta (the
       * postings were ranked FROM the df frame, so persisting df first
@@ -1361,11 +1367,10 @@ object DedupOps {
     "q87_incremental_clusters" -> ((s, d) => {
       val isBatch = (c: org.apache.spark.sql.Column) => c % 10 === 0
       val existing = corpusState(s, d, "q87", () =>
-        DedupPipeline.clusters(
+        WarmState.pin(DedupPipeline.clusters(
           ngramJaccardPairs(s, d, minJac = Some(0.5)).select("a", "b")
             .filter(!isBatch(col("a")) && !isBatch(col("b"))),
-          maxIter = 100)
-          .localCheckpoint(eager = true))
+          maxIter = 100)))
       // batch-incident discovery against the AT-REST prefix index (frozen
       // corpus-df order — exact recall, see NgramPrefixIndex): the r8
       // shape computed the full corpus×corpus pair join and filtered

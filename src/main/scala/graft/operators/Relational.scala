@@ -749,9 +749,9 @@ object Relational {
       val cutoff = lit("1998-04-25").cast("timestamp")
       val attrs = Seq("o_orderpriority", "o_orderstatus")
       val existing = DedupOps.corpusState(s, d, "q108dim", () =>
-        scd2History(t(s, d, "orders").filter(col("o_orderdate") < cutoff),
-          "o_custkey", "o_orderdate", "o_orderkey", attrs)
-          .localCheckpoint(eager = true))
+        WarmState.pin(
+          scd2History(t(s, d, "orders").filter(col("o_orderdate") < cutoff),
+            "o_custkey", "o_orderdate", "o_orderkey", attrs)))
       scd2Apply(existing, t(s, d, "orders").filter(col("o_orderdate") >= cutoff),
           "o_custkey", "o_orderdate", "o_orderkey", attrs)
         .orderBy("o_custkey", "version")
@@ -779,9 +779,8 @@ object Relational {
       val attrs = Seq("o_orderpriority", "o_orderstatus")
       val onTime = orders.filter(!isLate(col("o_orderkey")))
       val existing = DedupOps.corpusState(s, d, "q111dim", () =>
-        scd2History(onTime,
-          "o_custkey", "o_orderdate", "o_orderkey", attrs)
-          .localCheckpoint(eager = true))
+        WarmState.pin(scd2History(onTime,
+          "o_custkey", "o_orderdate", "o_orderkey", attrs)))
       scd2Repair(existing, onTime, orders.filter(isLate(col("o_orderkey"))),
           "o_custkey", "o_orderdate", "o_orderkey", attrs)
         .orderBy("o_custkey", "version")
