@@ -27,11 +27,15 @@ import org.apache.spark.sql.SparkSession
   *    queries each sweep, and each query's median rejects it;
   *  - process-CPU and OS load are sampled around the timed section
   *    (`cpu_cores` = this JVM's CPU seconds / wall = average cores this
-  *    process actually used; `load_avg` = max 1-min system load observed).
-  *    On a quiet box load_avg ≈ cpu_cores (the runnable queue is just our
-  *    own threads); load_avg ≫ cpu_cores means OTHER processes were
-  *    competing for the CPUs during the timed section — hard evidence of
-  *    external contention, not a plan regression;
+  *    process actually used; `load_avg` = max 1-min system load observed —
+  *    which INCLUDES our own bursty parallel stages, smeared over a
+  *    minute, so it alone cannot separate self-load from contention);
+  *    `ambient_cores` is the decisive field: per-sweep /proc/stat busy
+  *    jiffies minus our own process CPU over the SAME window = average
+  *    cores OTHER processes burned during that sweep (max over sweeps).
+  *    `contended` = ambient_cores > 1.5 — hard evidence of external
+  *    contention, not a plan regression (-1 = /proc/stat unavailable;
+  *    the old load-heuristic fallback decides);
   *  - a failed query records the sentinel -1 (never a fast phantom pass) and
   *    flips `"failed"` in the JSON — a crashing query must not *improve* the
   *    gated total;
@@ -154,12 +158,30 @@ object Bench {
     var heapUsedPeakMb = 0L
     def poolPeakMb(): Long = heapPools.map(p =>
       try p.getPeakUsage.getUsed catch { case _: Throwable => 0L }).sum / (1024 * 1024)
+    // AMBIENT contention, measured directly: /proc/stat's whole-machine
+    // busy jiffies minus OUR process CPU over the same per-sweep window =
+    // cores other processes actually burned while we were timing. The old
+    // heuristic compared the 1-minute LOAD AVERAGE (which includes our own
+    // bursty 32-thread stages, smeared over a minute) to our RUN-AVERAGE
+    // CPU, so any bursty sweep on an otherwise idle box self-flagged as
+    // contended (both r10 sf1 records did). Exact same-window deltas have
+    // no lag to mismatch. USER_HZ is 100 on this platform's kernels;
+    // /proc/stat absent (non-Linux) → -1 and the flag falls back to the
+    // old load heuristic.
+    def busyJiffies(): Long = try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
+      f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum // − idle − iowait
+    } catch { case _: Throwable => -1L }
+    var maxAmbient = -1.0
     for (sweep <- 1 to trials) {
       // the deliberate inter-sweep GC must not bill gc_sec — that metric
       // exists to expose ENVIRONMENT pressure, not self-inflicted pauses
       val g0 = gcMillis()
       System.gc()
       forcedGcMs += gcMillis() - g0
+      val busy0 = busyJiffies(); val pc0 = procCpuNanos()
+      val sw0 = System.nanoTime()
       // deterministic per-sweep shuffle (see scaladoc: periodic external
       // load aliases with fixed-order sweeps and poisons the same queries
       // in every sweep)
@@ -181,6 +203,13 @@ object Bench {
           memBean.getHeapMemoryUsage.getUsed / (1024 * 1024))
       }
       maxLoad = math.max(maxLoad, osBean.getSystemLoadAverage)
+      val swSec = (System.nanoTime() - sw0) / 1e9
+      val busy1 = busyJiffies(); val pc1 = procCpuNanos()
+      if (busy0 >= 0 && busy1 >= 0 && pc0 >= 0 && pc1 >= 0 && swSec > 1.0) {
+        val othersCores =
+          (busy1 - busy0) / 100.0 / swSec - (pc1 - pc0) / 1e9 / swSec
+        maxAmbient = math.max(maxAmbient, math.max(0.0, othersCores))
+      }
     }
     val results = ordered.map { case (name, _) =>
       val times = samples(name)
@@ -239,10 +268,15 @@ object Bench {
     // would let a crashing slow query IMPROVE the gated number.
     val total = if (failed.nonEmpty) -1.0 else results.values.sum
     val totalMin = if (failed.nonEmpty) -1.0 else resultsMin.values.sum
-    // self-adjudication: a local[N] run that observed system load well above
-    // the cores IT was using had other processes competing for its CPUs —
-    // flag the run so the grader reads total_min_sec, not the medians
-    val contended = cpuCores > 0 && maxLoad > cpuCores * 1.5 && maxLoad - cpuCores > 1.0
+    // self-adjudication: flag the run when OTHER processes measurably
+    // competed for the CPUs, so the grader reads total_min_sec, not the
+    // medians. Primary signal: the exact per-sweep /proc/stat ambient
+    // measurement (≥ 1.5 external busy cores in some sweep). Fallback when
+    // /proc/stat is unavailable: the old load-vs-our-average-CPU heuristic
+    // (which false-positives on bursty sweeps — see maxAmbient's comment).
+    val contended =
+      if (maxAmbient >= 0) maxAmbient > 1.5
+      else cpuCores > 0 && maxLoad > cpuCores * 1.5 && maxLoad - cpuCores > 1.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qsMin = resultsMin.map { case (k, v) =>
       s"\"" + k + "\":" + (if (v < 0) "-1" else ms(v))
@@ -251,7 +285,7 @@ object Bench {
     // stores a bounded tail of stdout, which truncates the FRONT of this
     // line — total_sec at the end survives that
     def line(queries: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queries,"queries_min":$qsMin,"sf":"$sfDir","trials":$trials,"failed":$failedJson,"gc_sec":$gcSec,"gc_frac":$gcFrac,"heap_mb":$heapMb,"heap_peak_mb":$heapPeakMb,"heap_peak_def":"sum of per-pool JVM peaks (non-simultaneous upper bound; may exceed heap_max_mb)","heap_used_peak_mb":$heapUsedPeakMb,"heap_max_mb":$heapMaxMb,"heap_warn":$heapWarn,"cpu_cores":$cpuCores,"load_avg":${math.rint(maxLoad * 100) / 100},"noise_spread":$noise,"contended":$contended,"wall_sec":${math.rint(wallSec * 10) / 10},"total_min_sec":${math.rint(totalMin * 1000) / 1000},"total_sec":$total}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queries,"queries_min":$qsMin,"sf":"$sfDir","trials":$trials,"failed":$failedJson,"gc_sec":$gcSec,"gc_frac":$gcFrac,"heap_mb":$heapMb,"heap_peak_mb":$heapPeakMb,"heap_peak_def":"sum of per-pool JVM peaks (non-simultaneous upper bound; may exceed heap_max_mb)","heap_used_peak_mb":$heapUsedPeakMb,"heap_max_mb":$heapMaxMb,"heap_warn":$heapWarn,"cpu_cores":$cpuCores,"load_avg":${math.rint(maxLoad * 100) / 100},"ambient_cores":${math.rint(maxAmbient * 100) / 100},"noise_spread":$noise,"contended":$contended,"wall_sec":${math.rint(wallSec * 10) / 10},"total_min_sec":${math.rint(totalMin * 1000) / 1000},"total_sec":$total}"""
     // full-precision copy the driver can read WHOLE — BENCH_r04's stdout
     // tail lost 29 of 86 per-query numbers (VERDICT r4 item 8). The file
     // also carries every per-trial sample ("samples"): a grader can see

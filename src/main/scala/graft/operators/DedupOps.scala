@@ -1410,6 +1410,33 @@ object DedupOps {
         .orderBy("node")
     }),
 
+    // LEAKAGE-SAFE train/valid/test split: a doc's split is decided by its
+    // near-dup CLUSTER representative, not the doc itself, so no pair of
+    // near-duplicates can ever straddle train and test (hash the doc and a
+    // 0.92-Jaccard copy of a test doc lands in train — exactly the
+    // contamination eval decks exist to catch). Singletons (no near-dup)
+    // are their own representative; split fractions (80/10/10) hold in
+    // expectation at CLUSTER granularity — the correct unit, since a
+    // cluster is one "effective document". Reads the warm ClusterState
+    // (the at-rest labels a nightly pipeline maintains via
+    // q87/q110's insert/remove), so the op itself is one doc_id-keyed
+    // equi-join + a codegen'd md5 bucket: linear, one shuffle, no
+    // pairwise anything — the split of a 100 TB corpus costs one pass.
+    "q117_cluster_split" -> ((s, d) => {
+      val labels = corpusClusterState(s, d).labels
+        .withColumnRenamed("node", "doc_id")
+      Tables.load(s, d, "documents").select("doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("label"), col("doc_id")))
+        .withColumn("bkt", shiftrightunsigned(
+          Md5Lower64.of(concat(lit("split:"), col("rep").cast("string"))), 1) % 100)
+        .withColumn("split",
+          when(col("bkt") < 80, "train")
+            .when(col("bkt") < 90, "valid").otherwise("test"))
+        .select("doc_id", "rep", "split")
+        .orderBy("doc_id")
+    }),
+
     // Incremental dedup: every 10th doc plays the incoming batch, the rest
     // the existing corpus; report each batch doc's best verified corpus
     // match at Jaccard >= 0.5 (deterministic tie-break on corpus_id).
@@ -1499,7 +1526,7 @@ object DedupOps {
     * entries — an edit here reaches every cluster oracle; the sf1-scale
     * external oracle (tools/closure_oracle.py) lifts the pair clause from
     * whichever entry it checks, so the filter rides along verbatim. */
-  private def closureOracleSql(docFilter: String): String =
+  private def closureCtesSql(docFilter: String): String =
     s"""WITH RECURSIVE
        | t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents$docFilter),
        | sh AS (SELECT doc_id, CAST(floor(n_chars / 50) AS BIGINT) AS blk,
@@ -1512,7 +1539,10 @@ object DedupOps {
        | reach(node, r) AS (
        |   SELECT src, src FROM und
        |   UNION
-       |   SELECT re.node, u.dst FROM reach re JOIN und u ON u.src = re.r)
+       |   SELECT re.node, u.dst FROM reach re JOIN und u ON u.src = re.r)""".stripMargin
+
+  private def closureOracleSql(docFilter: String): String =
+    s"""${closureCtesSql(docFilter)}
        |SELECT node, min(r) AS label FROM reach GROUP BY node ORDER BY node""".stripMargin
 
   /** The (i, a_i, b_i) permutation constants as a DuckDB VALUES list —
@@ -1616,6 +1646,18 @@ object DedupOps {
     // means O(batch) maintenance and O(corpus) recluster agree exactly.
     "q87_incremental_clusters" -> closureOracleSql(""),
     "q110_cluster_deletion" -> closureOracleSql(" WHERE doc_id % 17 <> 0"),
+
+    "q117_cluster_split" ->
+      s"""${closureCtesSql("")},
+         | lab AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+         | rep AS (SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS rep
+         |         FROM documents d LEFT JOIN lab l ON l.node = d.doc_id),
+         | b AS (SELECT doc_id, rep,
+         |       CAST(md5_number_lower('split:' || CAST(rep AS VARCHAR)) >> 1 AS BIGINT) % 100 AS bkt
+         |       FROM rep)
+         |SELECT doc_id, rep,
+         | CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'valid' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     // Same sketch/band replay as q51, with the band join restricted to
     // batch × corpus and a per-batch-doc argmax.

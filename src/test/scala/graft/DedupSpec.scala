@@ -912,4 +912,30 @@ class DedupSpec extends AnyFunSuite {
       assert(pairs() == expectSurvive)
     } finally dropCiTables("graft_ci_app")
   }
+
+  test("q117 cluster split: every doc gets exactly one split and no near-dup cluster straddles splits") {
+    val d = TestSpark.sf
+    val split = graft.SparkEntry.queries("q117_cluster_split")(spark, d)
+    val docs = Tables.load(spark, d, "documents")
+    // total coverage: one row per doc, split ∈ {train, valid, test}
+    assert(split.count() == docs.count())
+    assert(split.select("split").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("train", "valid", "test")))
+    // the LEAKAGE property the operator exists for: both ends of every
+    // thresholded near-dup pair land in the SAME split — hash-by-doc
+    // (the thing q117 replaces) violates this with probability ~0.33
+    // per cross-cluster-hash pair, so a planted check would catch a
+    // regression to it
+    val pairs = graft.operators.DedupOps.ngramJaccardPairs(spark, d, minJac = Some(0.5))
+      .select("a", "b")
+    val straddle = pairs
+      .join(split.select(col("doc_id").as("a"), col("split").as("sa")), "a")
+      .join(split.select(col("doc_id").as("b"), col("split").as("sb")), "b")
+      .filter(col("sa") =!= col("sb"))
+    assert(straddle.count() == 0L, "a near-dup pair straddles train/test")
+    // fractions hold loosely at cluster granularity (80/10/10 expected)
+    val n = split.count().toDouble
+    val train = split.filter(col("split") === "train").count() / n
+    assert(train > 0.6 && train < 0.95, s"train fraction $train implausible")
+  }
 }
