@@ -938,4 +938,51 @@ class DedupSpec extends AnyFunSuite {
     val train = split.filter(col("split") === "train").count() / n
     assert(train > 0.6 && train < 0.95, s"train fraction $train implausible")
   }
+
+  test("q118 sticky split: inherit / quarantine-on-cross-split-bridge / hash-fresh, corpus never moves") {
+    import graft.operators.{DedupOps, DedupPipeline}
+    // fixed-width tokens keep every doc at 39 chars = one length block, so
+    // the pair generator compares them all. Trigram-shingle geometry:
+    //   tA = t01..t10, tB = t05..t14 → 4 shared trigrams, jac 4/12 = 0.33
+    //     (below 0.5: clusters A and B stay SEPARATE in the corpus)
+    //   bridge = t03..t12 → 6 shared with each, jac 6/10 = 0.60 (joins both)
+    def words(pfx: String, from: Int, to: Int) =
+      (from to to).map(i => f"$pfx$i%02d").mkString(" ")
+    val tA = words("t", 1, 10); val tB = words("t", 5, 14)
+    val bridge = words("t", 3, 12)
+    val tC = words("z", 1, 10); val fresh = words("w", 1, 10)
+    // md5 split buckets (precomputed, = DuckDB md5_number_lower replay):
+    // rep 1 → 'test' (97), rep 2 → 'train' (55), rep 3 → 'train' (36),
+    // rep 14 → 'train' (75). Cluster A {1,5} is 'test', B {2,6} 'train' —
+    // DIFFERENT splits, so bridging them must quarantine.
+    val docs = Seq(
+      (1L, tA), (5L, tA),       // corpus cluster A, rep 1 → test
+      (2L, tB), (6L, tB),       // corpus cluster B, rep 2 → train
+      (3L, tC), (7L, tC),       // corpus cluster C, rep 3 → train
+      (11L, tA),                // batch: joins A — but A gets bridged below
+      (12L, bridge),            // batch: bridges A and B → quarantine
+      (13L, tC),                // batch: joins C cleanly → inherits train
+      (14L, fresh)              // batch: no near-dup → hash own id → train
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val corpusLabels = DedupPipeline.clusters(
+      DedupOps.ngramJaccardPairsOf(docs.filter(col("doc_id") <= 10), 0.5)
+        .select("a", "b"), maxIter = 100)
+    // sanity: A and B really are separate corpus clusters
+    assert(corpusLabels.filter(col("node") === 2 && col("label") === 1).count() == 0)
+    // incident pairs via the at-rest corpus index, exactly the query's shape
+    val idx = DedupOps.indexNgramPrefix(docs.filter(col("doc_id") <= 10), minJac = 0.5)
+    val incident = DedupOps.ngramJaccardPairsVsIndex(
+      docs.filter(col("doc_id") > 10), idx).select("a", "b")
+    val out = DedupOps.splitApply(docs, thr = 10L, corpusLabels, incident)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // the bridge and EVERYTHING in its merged component quarantines:
+    // rep = min(1,2,5,6,11,12) = 1
+    assert(out(12L) == (1L, "quarantine"), s"bridge: ${out(12L)}")
+    assert(out(11L) == (1L, "quarantine"), s"member of disputed merge: ${out(11L)}")
+    // clean join inherits the cluster's sticky split
+    assert(out(13L) == (3L, "train"), s"inherit: ${out(13L)}")
+    // no near-dup → own id hashed
+    assert(out(14L) == (14L, "train"), s"fresh: ${out(14L)}")
+    assert(out.size == 4) // batch docs only — corpus assignments never re-emitted
+  }
 }
