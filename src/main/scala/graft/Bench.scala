@@ -169,9 +169,14 @@ object Bench {
     // /proc/stat absent (non-Linux) → -1 and the flag falls back to the
     // old load heuristic.
     def busyJiffies(): Long = try {
-      val cpu = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val cpu = try src.getLines().next() finally src.close()
       val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
-      f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum // − idle − iowait
+      // sum user..steal (fields 0-7) minus idle (3) and iowait (4);
+      // guest/guest_nice (8, 9) are already folded into user/nice by the
+      // kernel — counting them double-bills VM time and can false-flag
+      // `contended` on virtualized hosts
+      f.take(8).zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
     } catch { case _: Throwable => -1L }
     var maxAmbient = -1.0
     for (sweep <- 1 to trials) {

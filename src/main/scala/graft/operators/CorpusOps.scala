@@ -124,10 +124,28 @@ object CorpusOps {
       .saveAsTable(s"${namePrefix}_firstseen")
     import s.implicits._
     val span = docs.agg(min("doc_id"), max("doc_id")).head()
-    val rows = if (span.isNullAt(0)) Seq.empty[(Long, Long)]
-               else Seq((span.getLong(0), span.getLong(1)))
-    rows.toDF("lo", "hi").write.mode("overwrite").format("parquet")
+    val rows = if (span.isNullAt(0)) Seq.empty[(Long, Long, Long, Long)]
+               else {
+                 val (n, fp) = contentFingerprint(docs)
+                 Seq((span.getLong(0), span.getLong(1), n, fp))
+               }
+    rows.toDF("lo", "hi", "n", "fp").write.mode("overwrite").format("parquet")
       .saveAsTable(s"${namePrefix}_meta")
+  }
+
+  /** Order-independent content fingerprint of a (doc_id, text) frame's
+    * shingle set: (row count, XOR of per-(doc_id, shingle) xxhash64 —
+    * commutative, overflow-free). Recorded in `_meta` beside each admitted
+    * span so the crash-replay exemption in [[appendToFirstSeenIndex]] can
+    * verify the re-presented batch is byte-equivalent, not merely
+    * span-equal. */
+  private def contentFingerprint(docs: DataFrame): (Long, Long) = {
+    val r = TextOps.withShingles(docs)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("doc_id"), col("g"))), lit(0L)).as("fp"))
+      .head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Load a first-seen index, with pending tombstones
@@ -233,7 +251,10 @@ object CorpusOps {
     * so a crashed append is healed by simply RE-RUNNING it (committed
     * shingles are skipped, missing ones admitted, the span row appended;
     * duplicates are impossible, and a replay of a COMPLETED batch is a
-    * recorded no-op). Simpler than the MinHash index's two-table repair
+    * recorded no-op). The replay must re-present the ORIGINAL batch: the
+    * span row records a content fingerprint and a same-span re-run with
+    * different text fails fast instead of silently admitting divergent
+    * shingles. Simpler than the MinHash index's two-table repair
     * because first-seen state has no cross-table invariant. Single writer
     * assumed, as with every graft index writer. */
   def appendToFirstSeenIndex(s: SparkSession, namePrefix: String,
@@ -250,15 +271,33 @@ object CorpusOps {
           s"tombstone in ${namePrefix}_tombstones — ids are never reused; " +
           "run compactFirstSeenIndex before admitting new batches")
     }
-    val replay = s.catalog.tableExists(s"${namePrefix}_meta") &&
-      s.table(s"${namePrefix}_meta")
-        .filter(col("lo") === bLo && col("hi") === bHi).limit(1).collect().nonEmpty
+    val metaRow = if (!s.catalog.tableExists(s"${namePrefix}_meta")) None
+      else s.table(s"${namePrefix}_meta")
+        .filter(col("lo") === bLo && col("hi") === bHi).limit(1).collect().headOption
+    val replay = metaRow.nonEmpty
     if (!replay) firstSeenWatermark(s, namePrefix).foreach { wm =>
       require(bLo > wm,
         s"appendToFirstSeenIndex: batch doc_id $bLo is not above the index " +
           s"watermark $wm — out-of-order admission would silently break the " +
           "id-ordered novelty contract (re-running a crashed append of the " +
           "SAME batch is the one sanctioned overlap)")
+    }
+    // the replay exemption admits a batch whose span is already recorded —
+    // but only the SAME batch: a re-run presenting the same (lo, hi) with
+    // DIFFERENT text (a violated single-writer contract, or a batch
+    // regenerated non-deterministically) must not silently admit divergent
+    // shingles (ADVICE r11). The recorded content fingerprint makes the
+    // check exact; a span row written before the fingerprint columns
+    // existed (no `fp` field) falls back to the span-only exemption.
+    metaRow.filter(r => r.schema.fieldNames.contains("fp") &&
+        !r.isNullAt(r.fieldIndex("fp"))).foreach { r =>
+      val (n, fp) = contentFingerprint(batch)
+      require(r.getLong(r.fieldIndex("n")) == n &&
+          r.getLong(r.fieldIndex("fp")) == fp,
+        s"appendToFirstSeenIndex: replay of span [$bLo, $bHi] presents " +
+          s"different content (fingerprint ($n, $fp) vs recorded " +
+          s"(${r.getLong(r.fieldIndex("n"))}, ${r.getLong(r.fieldIndex("fp"))})) " +
+          "— crash-replay must re-present the original batch byte-identically")
     }
     val bmin = TextOps.withShingles(batch)
       .select(col("doc_id"), explode(col("sh")).as("g"))
@@ -270,7 +309,9 @@ object CorpusOps {
       .saveAsTable(s"${namePrefix}_firstseen")
     if (!replay) {
       import s.implicits._
-      Seq((bLo, bHi)).toDF("lo", "hi").write.mode("append").format("parquet")
+      val (n, fp) = contentFingerprint(batch)
+      Seq((bLo, bHi, n, fp)).toDF("lo", "hi", "n", "fp")
+        .write.mode("append").format("parquet")
         .saveAsTable(s"${namePrefix}_meta")
     }
   }

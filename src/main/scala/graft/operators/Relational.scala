@@ -748,8 +748,11 @@ object Relational {
     "q108_scd2_apply" -> ((s, d) => {
       val cutoff = lit("1998-04-25").cast("timestamp")
       val attrs = Seq("o_orderpriority", "o_orderstatus")
+      // pinHot (deserialized): the dimension is megabytes, not an sf10
+      // clustering hog — SER pinning billed a per-trial deserialization
+      // that moved q108 0.85 → 1.35 s at sf0.1 (VERDICT r11 item 1)
       val existing = DedupOps.corpusState(s, d, "q108dim", () =>
-        WarmState.pin(
+        WarmState.pinHot(
           scd2History(t(s, d, "orders").filter(col("o_orderdate") < cutoff),
             "o_custkey", "o_orderdate", "o_orderkey", attrs)))
       scd2Apply(existing, t(s, d, "orders").filter(col("o_orderdate") >= cutoff),
@@ -779,7 +782,8 @@ object Relational {
       val attrs = Seq("o_orderpriority", "o_orderstatus")
       val onTime = orders.filter(!isLate(col("o_orderkey")))
       val existing = DedupOps.corpusState(s, d, "q111dim", () =>
-        WarmState.pin(scd2History(onTime,
+        // pinHot: same small-dimension rationale as q108 (VERDICT r11 item 1)
+        WarmState.pinHot(scd2History(onTime,
           "o_custkey", "o_orderdate", "o_orderkey", attrs)))
       scd2Repair(existing, onTime, orders.filter(isLate(col("o_orderkey"))),
           "o_custkey", "o_orderdate", "o_orderkey", attrs)

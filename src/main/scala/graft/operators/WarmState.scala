@@ -23,19 +23,42 @@ import org.apache.spark.storage.StorageLevel
   * sf0.1 record).
   *
   * [[releaseAll]] is the explicit end-of-phase hatch: clears every
-  * registered cache map (states rebuild lazily on next use) and drops all
-  * persisted RDD blocks of the shared SparkContext. Context-wide by
-  * design — the caches are keyed by session but their blocks live in the
-  * one context — so call it only at a phase boundary where no other
-  * session's persisted state must survive (the single-tenant bench/driver
-  * assumption every graft warm cache already makes). */
+  * registered cache map (states rebuild lazily on next use) and drops the
+  * persisted blocks of every frame THIS object pinned — and only those.
+  * Sweeping `getPersistentRDDs` context-wide would also unpersist
+  * transient persists held by in-flight writers outside the warm caches
+  * (e.g. `NgramContainmentIndex.saveAsTables`' `df.persist`), silently
+  * re-evaluating them mid-write; pins are id-tracked precisely so the
+  * hatch cannot reach anything it does not own. */
 object WarmState {
   val level: StorageLevel = StorageLevel.MEMORY_AND_DISK_SER
 
+  /** Deserialized, still disk-evictable: for SMALL warm states (the SCD-2
+    * dimensions — megabytes, not the sf10 clustering hogs [[level]]
+    * exists for) where [[pin]]'s per-read DESERIALIZATION of serialized
+    * blocks is a real per-trial cost and the deserialized footprint is
+    * harmless. */
+  val hotLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK
+
+  private val pinnedIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
   /** Eagerly materialize `df` as session warm state: lineage severed (the
     * table-append invalidation trap cannot re-evaluate it), blocks
-    * serialized + disk-evictable. */
-  def pin(df: DataFrame): DataFrame = df.localCheckpoint(eager = true, level)
+    * serialized + disk-evictable, and the checkpoint RDD id recorded so
+    * [[releaseAll]] frees exactly what was pinned. */
+  def pin(df: DataFrame): DataFrame = pinAt(df, level)
+
+  /** [[pin]] at [[hotLevel]] — deserialized blocks for small, read-every-
+    * trial dimension state. */
+  def pinHot(df: DataFrame): DataFrame = pinAt(df, hotLevel)
+
+  private def pinAt(df: DataFrame, at: StorageLevel): DataFrame = {
+    val out = df.localCheckpoint(eager = true, at)
+    out.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.foreach(pinnedIds.add)
+    out
+  }
 
   private val clearers =
     new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
@@ -44,13 +67,14 @@ object WarmState {
   private[graft] def registerCache(clear: () => Unit): Unit =
     clearers.add(clear)
 
-  /** Clear every registered warm cache and unpersist all of the context's
-    * persisted RDD blocks (including pinned checkpoints, whose blocks
-    * would otherwise be released only when GC collects the dropped
-    * frames). See the object scaladoc for the context-wide caveat. */
+  /** Clear every registered warm cache and unpersist the blocks of every
+    * frame [[pin]]/[[pinHot]] created (which would otherwise be released
+    * only when GC collects the dropped frames). Pins outside this object —
+    * writer-internal persists, user caches — are untouched. */
   def releaseAll(spark: SparkSession): Unit = {
     clearers.forEach(c => c())
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+    val persistent = spark.sparkContext.getPersistentRDDs
+    pinnedIds.forEach(id => persistent.get(id).foreach(_.unpersist(blocking = false)))
+    pinnedIds.clear()
   }
 }

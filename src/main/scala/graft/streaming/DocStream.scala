@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, Dataset}
+import org.apache.spark.sql.{DataFrame, Row, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -76,8 +76,13 @@ object DocStream {
     * paid only here) splits its survivors into docs whose shingles
     * already committed (manifest healed, bands healed via
     * [[graft.operators.DedupOps.repairCorpusIndex]]) and docs still
-    * missing (appended normally); a replay of a COMPLETED batch takes
-    * the fast path and re-emits an identical audit partition.
+    * missing (appended normally); a replay of a COMPLETED batch is a
+    * recorded NO-OP — the audit partition already holds the original
+    * attempt's rows and is left untouched (rewriting it would not be
+    * byte-identical: rejects recomputed on replay see this batch's own
+    * admitted docs in the index, so a doc rejected in the original
+    * attempt could flip its dup_of/dup_jac attribution to a same-batch
+    * admitted copy — ADVICE r11).
     *
     * A batch doc whose id has a PENDING TOMBSTONE fails the drain fast
     * BEFORE the audit write (the
@@ -111,105 +116,22 @@ object DocStream {
                 "reused; run compactCorpusIndex, then re-run the drain (the " +
                 "checkpoint resumes at this batch)")
           }
-          // loaded PER BATCH deliberately: the catalog read is footer-cheap
-          // and must see the appends earlier batches committed
-          val index = graft.operators.DedupOps.loadCorpusIndex(spark, namePrefix)
-          val corpusBest = graft.operators.DedupOps
-            .minHashCrossDupPairs(b, index)
-            .filter(col("jac") >= threshold)
-            .groupBy("new_id")
-            .agg(max_by(col("corpus_id"), struct(col("jac"), -col("corpus_id"))).as("dup_of"),
-              max("jac").as("dup_jac"))
-          val batchPairs = graft.operators.DedupOps.minHashNearDupPairs(b)
-            .filter(col("jac") >= threshold)
-          val juniors = graft.operators.DedupPipeline
-            .clusters(batchPairs.select("a", "b"), maxIter = 100)
-            .toDF().filter(col("node") =!= col("label"))
-            .select(col("node").as("new_id"), col("label").as("dup_of"))
-          val rejects = corpusBest.select("new_id", "dup_of", "dup_jac")
-            .unionByName(juniors.withColumn("dup_jac", lit(null).cast("double")))
-            // a doc can be both a corpus dup and a within-batch junior;
-            // keep the corpus verdict (it carries the verified jac)
-            .groupBy("new_id")
-            .agg(max_by(struct(col("dup_of"), col("dup_jac")), col("dup_jac").isNotNull).as("r"))
-            .select(col("new_id"), col("r.dup_of").as("dup_of"), col("r.dup_jac").as("dup_jac"))
-          val survivors = b.join(rejects.select("new_id"),
-            b("doc_id") === rejects("new_id"), "left_anti")
           val manifest = spark.table(s"${namePrefix}_admissions")
           val started = manifest
             .filter(col("batch_id") === batchId && col("doc_id").isNull)
             .limit(1).collect().nonEmpty
-          // completion rows of a PRIOR attempt of this very batch — the
-          // replayed-completed-batch case; localCheckpoint severs them
-          // from the manifest table this batch appends to below (the
-          // append-invalidates-cached-plans trap, see `freshFinal`)
-          val thisBatchAdmitted = manifest
+          val completed = started && manifest
             .filter(col("batch_id") === batchId && col("doc_id").isNotNull)
-            .select("doc_id").localCheckpoint(eager = true)
-          val fresh = replayProbe(spark, namePrefix, survivors)
-          // EAGER localCheckpoint, not persist: appendToCorpusIndex's
-          // FIRST write (shingles) invalidates any cached plan over the
-          // tables `fresh` derives from — its second write (bands) would
-          // then re-evaluate the probe against UPDATED tables and
-          // silently append ZERO band rows. Severing the lineage pins the
-          // batch's row set across both writes. (Batch-sized frames —
-          // checkpoint cost is the batch.)
-          val (freshFinal, healed) =
-            if (started && thisBatchAdmitted.limit(1).collect().isEmpty) {
-              // RECOVERY: a prior attempt crashed mid-append — the one
-              // path that pays the precise O(corpus) shingle-id probe
-              val committed = spark.table(s"${namePrefix}_shingles")
-                .select("doc_id").distinct()
-              (fresh.join(committed, Seq("doc_id"), "left_anti")
-                  .localCheckpoint(eager = true),
-                fresh.join(committed, Seq("doc_id"), "left_semi")
-                  .select("doc_id").localCheckpoint(eager = true))
-            } else
-              (fresh.localCheckpoint(eager = true),
-                spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0))
-          // the admit decision is now FINAL — only now write the audit:
-          // admitted = survived dedup AND actually entered the index (this
-          // attempt or a healed crashed one). A doc THIS batch already
-          // admitted (completion rows of a prior attempt) OVERRIDES the
-          // dedup verdict: on replay the doc near-dup-matches its own
-          // admitted copy, and without the override the rewritten audit
-          // partition would flip it to a self-rejection — replays must
-          // re-emit the original attempt's rows byte-for-byte
-          val admittedIds = freshFinal.select("doc_id").unionByName(healed).distinct()
-          b.join(rejects, b("doc_id") === rejects("new_id"), "left")
-            .join(admittedIds.withColumn("adm", lit(true)), Seq("doc_id"), "left")
-            .join(thisBatchAdmitted.withColumn("mine", lit(true)), Seq("doc_id"), "left")
-            .withColumn("admitted",
-              (col("new_id").isNull && coalesce(col("adm"), lit(false))) ||
-                coalesce(col("mine"), lit(false)))
-            .withColumn("dup_of",
-              when(coalesce(col("mine"), lit(false)), lit(null).cast("long"))
-                .otherwise(col("dup_of")))
-            .withColumn("dup_jac",
-              when(coalesce(col("mine"), lit(false)), lit(null).cast("double"))
-                .otherwise(col("dup_jac")))
-            .drop("new_id", "adm", "mine")
-            .withColumn("batch_id", lit(batchId))
-            .write
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .mode("overwrite")
-            .parquet(root)
-          val toAppend = freshFinal.limit(1).collect().nonEmpty
-          if (toAppend && !started)
-            spark.range(1)
-              .select(lit(batchId).as("batch_id"), lit(null).cast("long").as("doc_id"))
-              .write.mode("append").format("parquet")
-              .saveAsTable(s"${namePrefix}_admissions")
-          if (toAppend)
-            graft.operators.DedupOps.appendToCorpusIndex(namePrefix, freshFinal)
-          if (started && thisBatchAdmitted.limit(1).collect().isEmpty)
-            graft.operators.DedupOps.repairCorpusIndex(spark, namePrefix)
-          val newRows = freshFinal.select("doc_id").unionByName(healed)
-          if (toAppend || healed.limit(1).collect().nonEmpty)
-            newRows.select(lit(batchId).as("batch_id"), col("doc_id"))
-              .write.mode("append").format("parquet")
-              .saveAsTable(s"${namePrefix}_admissions")
+            .limit(1).collect().nonEmpty
+          // REPLAY OF A COMPLETED BATCH: recorded no-op. The audit
+          // partition already holds the original attempt's rows; a rewrite
+          // here would NOT be byte-identical (rejects recomputed now see
+          // this batch's own admitted docs in the index and can flip a
+          // rejected doc's dup_of/dup_jac attribution to a same-batch
+          // admitted copy — ADVICE r11), and there is nothing to admit or
+          // heal, so the partition is left untouched.
+          if (!completed)
+            processBatch(spark, b, batchId, started, namePrefix, threshold, root)
         } finally b.unpersist()
       }
       .option("checkpointLocation", checkpoint)
@@ -224,6 +146,91 @@ object DocStream {
     for (t <- Seq("shingles", "bands", "tombstones", "admissions"))
       if (caller.catalog.tableExists(s"${namePrefix}_$t"))
         caller.catalog.refreshTable(s"${namePrefix}_$t")
+  }
+
+  /** One non-completed-replay micro-batch of [[admissionDrain]]: dedup,
+    * audit, admit. `started` = a marker row exists but no completion rows
+    * (a prior attempt crashed mid-append) — the one path that pays the
+    * precise O(corpus) recovery probe; a fresh batch arrives with
+    * `started = false`. Completed replays never reach here. */
+  private def processBatch(spark: SparkSession, b: DataFrame, batchId: Long,
+                           started: Boolean, namePrefix: String,
+                           threshold: Double, root: String): Unit = {
+    // loaded PER BATCH deliberately: the catalog read is footer-cheap
+    // and must see the appends earlier batches committed
+    val index = graft.operators.DedupOps.loadCorpusIndex(spark, namePrefix)
+    val corpusBest = graft.operators.DedupOps
+      .minHashCrossDupPairs(b, index)
+      .filter(col("jac") >= threshold)
+      .groupBy("new_id")
+      .agg(max_by(col("corpus_id"), struct(col("jac"), -col("corpus_id"))).as("dup_of"),
+        max("jac").as("dup_jac"))
+    val batchPairs = graft.operators.DedupOps.minHashNearDupPairs(b)
+      .filter(col("jac") >= threshold)
+    val juniors = graft.operators.DedupPipeline
+      .clusters(batchPairs.select("a", "b"), maxIter = 100)
+      .toDF().filter(col("node") =!= col("label"))
+      .select(col("node").as("new_id"), col("label").as("dup_of"))
+    val rejects = corpusBest.select("new_id", "dup_of", "dup_jac")
+      .unionByName(juniors.withColumn("dup_jac", lit(null).cast("double")))
+      // a doc can be both a corpus dup and a within-batch junior;
+      // keep the corpus verdict (it carries the verified jac)
+      .groupBy("new_id")
+      .agg(max_by(struct(col("dup_of"), col("dup_jac")), col("dup_jac").isNotNull).as("r"))
+      .select(col("new_id"), col("r.dup_of").as("dup_of"), col("r.dup_jac").as("dup_jac"))
+    val survivors = b.join(rejects.select("new_id"),
+      b("doc_id") === rejects("new_id"), "left_anti")
+    val fresh = replayProbe(spark, namePrefix, survivors)
+    // EAGER localCheckpoint, not persist: appendToCorpusIndex's
+    // FIRST write (shingles) invalidates any cached plan over the
+    // tables `fresh` derives from — its second write (bands) would
+    // then re-evaluate the probe against UPDATED tables and
+    // silently append ZERO band rows. Severing the lineage pins the
+    // batch's row set across both writes. (Batch-sized frames —
+    // checkpoint cost is the batch.)
+    val (freshFinal, healed) =
+      if (started) {
+        // RECOVERY: a prior attempt crashed mid-append — the one
+        // path that pays the precise O(corpus) shingle-id probe
+        val committed = spark.table(s"${namePrefix}_shingles")
+          .select("doc_id").distinct()
+        (fresh.join(committed, Seq("doc_id"), "left_anti")
+            .localCheckpoint(eager = true),
+          fresh.join(committed, Seq("doc_id"), "left_semi")
+            .select("doc_id").localCheckpoint(eager = true))
+      } else
+        (fresh.localCheckpoint(eager = true),
+          spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0))
+    // the admit decision is now FINAL — only now write the audit:
+    // admitted = survived dedup AND actually entered the index (this
+    // attempt or a healed crashed one)
+    val admittedIds = freshFinal.select("doc_id").unionByName(healed).distinct()
+    b.join(rejects, b("doc_id") === rejects("new_id"), "left")
+      .join(admittedIds.withColumn("adm", lit(true)), Seq("doc_id"), "left")
+      .withColumn("admitted",
+        col("new_id").isNull && coalesce(col("adm"), lit(false)))
+      .drop("new_id", "adm")
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode("overwrite")
+      .parquet(root)
+    val toAppend = freshFinal.limit(1).collect().nonEmpty
+    if (toAppend && !started)
+      spark.range(1)
+        .select(lit(batchId).as("batch_id"), lit(null).cast("long").as("doc_id"))
+        .write.mode("append").format("parquet")
+        .saveAsTable(s"${namePrefix}_admissions")
+    if (toAppend)
+      graft.operators.DedupOps.appendToCorpusIndex(namePrefix, freshFinal)
+    if (started)
+      graft.operators.DedupOps.repairCorpusIndex(spark, namePrefix)
+    val newRows = freshFinal.select("doc_id").unionByName(healed)
+    if (toAppend || healed.limit(1).collect().nonEmpty)
+      newRows.select(lit(batchId).as("batch_id"), col("doc_id"))
+        .write.mode("append").format("parquet")
+        .saveAsTable(s"${namePrefix}_admissions")
   }
 
   /** The drain's FAST-PATH replay probe: batch survivors not yet in the

@@ -231,6 +231,14 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(spark.table("graft_fsg_firstseen").groupBy("g").count()
         .filter(col("count") > 1).count() == 0L, "duplicate shingle rows")
       assert(spark.table("graft_fsg_meta").count() == 2L, "duplicate meta span")
+      // the replay exemption is CONTENT-CHECKED: the same (lo, hi) span
+      // presented with different text is a violated single-writer
+      // contract, not a sanctioned crash re-run (ADVICE r11)
+      val divergent = Seq((10L, "c1 c2 c3"), (12L, "DIVERGED x1 x2"))
+        .toDF("doc_id", "text")
+      val eFp = intercept[IllegalArgumentException](
+        CorpusOps.appendToFirstSeenIndex(spark, "graft_fsg", divergent))
+      assert(eFp.getMessage.contains("fingerprint"))
       // a tombstoned id can never be re-admitted before compaction
       CorpusOps.removeFromFirstSeenIndex("graft_fsg", Seq(10L).toDF("doc_id"))
       val e3 = intercept[IllegalArgumentException](
