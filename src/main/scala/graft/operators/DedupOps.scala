@@ -1563,15 +1563,11 @@ object DedupOps {
       (thr, labels, indexNgramPrefix(corpus, minJac = 0.5).localCheckpointed())
     })
 
-  /** Deterministic 80/10/10 split bucket of a cluster representative:
-    * md5-keyed (engine-neutral, replayed by the oracle), tag-decorrelated
-    * from the sampling keys. Hashing the REP is the q117/q118 leakage
-    * guarantee — every member of a cluster gets the same bucket. */
-  private def splitOf(rep: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val bkt = shiftrightunsigned(
-      Md5Lower64.of(concat(lit("split:"), rep.cast("string"))), 1) % 100
-    when(bkt < 80, "train").when(bkt < 90, "valid").otherwise("test")
-  }
+  /** Deterministic 80/10/10 split bucket of a cluster representative —
+    * canonical definition lives with the durable assignment
+    * ([[SplitState.splitOf]]); q117/q118 hash through the same code. */
+  private def splitOf(rep: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    SplitState.splitOf(rep)
 
   private def splitOfSql(rep: String): String =
     s"""CASE WHEN CAST(md5_number_lower('split:' || CAST($rep AS VARCHAR)) >> 1 AS BIGINT) % 100 < 80 THEN 'train'

@@ -1,0 +1,274 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SplitState
+
+/** The fifth at-rest artifact (VERDICT r11 demands 1-2): durable split
+  * assignments that survive committed merges, deletions and session
+  * boundaries, with quarantine that always drains and never leaks. */
+class SplitStateSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** splitOf evaluated on the driver for planted-geometry id selection. */
+  private lazy val bucketOf: Map[Long, String] =
+    spark.range(1, 2000).select(col("id"), SplitState.splitOf(col("id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  /** Smallest id ≥ `from` whose singleton-rep hash is `want`. */
+  private def idWith(want: String, from: Long = 1L): Long =
+    (from to 1999L).find(i => bucketOf(i) == want).get
+
+  private def drop(p: String): Unit =
+    for (t <- Seq("_assign", "_assign_compact", "_meta", "_moves", "_tombstones"))
+      spark.sql(s"DROP TABLE IF EXISTS $p$t")
+
+  private def loadMap(s: org.apache.spark.sql.SparkSession, p: String): Map[Long, String] =
+    SplitState.load(s, p).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) -> r.getString(r.fieldIndex("split"))).toMap
+
+  test("init + load: splits hash the cluster rep; fresh-session load parity") {
+    val p = "graft_sp_init"
+    try {
+      drop(p)
+      val a = idWith("train"); val b = idWith("test")
+      // cluster {a, a+300-ish} rep a; cluster {b, ...} rep b; singleton c
+      val c = idWith("valid")
+      val docs = Seq(a, a + 350, b, b + 350, c).toDF("doc_id")
+      val labels = Seq((a, a), (a + 350, a), (b, b), (b + 350, b)).toDF("node", "label")
+      SplitState.init(spark, p, docs, labels)
+      val m = loadMap(spark, p)
+      assert(m == Map(a -> "train", (a + 350) -> "train",
+        b -> "test", (b + 350) -> "test", c -> bucketOf(c)))
+      // FRESH session: the assignment is at rest, not session state
+      assert(loadMap(spark.newSession(), p) == m)
+      // init refuses a prefix with committed state
+      val e = intercept[IllegalArgumentException](
+        SplitState.init(spark, p, docs, labels))
+      assert(e.getMessage.contains("already has committed state"))
+    } finally drop(p)
+  }
+
+  test("committed cross-split merge: recorded splits never move; bridge quarantines; resolve drains via senior rule with audit") {
+    val p = "graft_sp_merge"
+    try {
+      drop(p)
+      // planted geometry: senior cluster {sA, sA2} hashes train, junior
+      // {jB, jB2} hashes test, with sA < jB (ids are arrival-ordered)
+      val sA = idWith("train"); val jB = idWith("test", sA + 1)
+      val sA2 = sA + 360; val jB2 = jB + 360
+      val docs = Seq(sA, sA2, jB, jB2).toDF("doc_id")
+      val corpusLabels = Seq((sA, sA), (sA2, sA), (jB, jB), (jB2, jB))
+        .toDF("node", "label")
+      SplitState.init(spark, p, docs, corpusLabels)
+      assert(loadMap(spark, p) ==
+        Map(sA -> "train", sA2 -> "train", jB -> "test", jB2 -> "test"))
+      // snapshot N: batch doc x bridges the two clusters; the merge is
+      // COMMITTED to the cluster labels (min-label contraction)
+      val x = 390L
+      assert(x > sA2 && x > jB2)
+      val mergedLabels = Seq((sA, sA), (sA2, sA), (jB, sA), (jB2, sA), (x, sA))
+        .toDF("node", "label")
+      SplitState.assign(spark, p, Seq(x).toDF("doc_id"), mergedLabels)
+      val atN = loadMap(spark, p)
+      // the bridge doc is quarantine — NOT train, NOT test — and every
+      // previously-assigned corpus doc reads its ORIGINAL split even
+      // though its component's rep now hashes differently
+      assert(atN(x) == "quarantine")
+      assert(atN - x == Map(sA -> "train", sA2 -> "train",
+        jB -> "test", jB2 -> "test"))
+      // ...including from a FRESH session (the r11 failure mode: the old
+      // splitApply re-derived stickiness per call and lost it here)
+      assert(loadMap(spark.newSession(), p) == atN)
+      // no near-dup EDGE straddles train/test at snapshot N: edges are
+      // (sA~sA2), (jB~jB2), (x~sA2), (x~jB) — x is quarantine, so no edge
+      // reads train on one end and test on the other
+      val edges = Seq((sA, sA2), (jB, jB2), (x, sA2), (x, jB))
+      def noStraddle(m: Map[Long, String]): Unit = edges.foreach { case (u, v) =>
+        assert(Set(m(u), m(v)) != Set("train", "test"),
+          s"edge ($u, $v) straddles the wall: ${m(u)} / ${m(v)}")
+      }
+      noStraddle(atN)
+      // snapshot N+1: resolve drains the quarantine — the merged cluster
+      // keeps the SENIOR side's split (sA is the smallest recorded id);
+      // the junior side is REALIGNED to it, each move audited
+      SplitState.resolve(spark, p, mergedLabels)
+      val atN1 = loadMap(spark, p)
+      assert(atN1 == Map(sA -> "train", sA2 -> "train",
+        jB -> "train", jB2 -> "train", x -> "train"))
+      noStraddle(atN1)
+      assert(!atN1.values.exists(_ == "quarantine"), "quarantine pool did not drain")
+      val moves = spark.table(s"${p}_moves")
+        .select("doc_id", "from_split", "to_split", "reason").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+      assert(moves == Set(
+        (jB, "test", "train", "realign"),
+        (jB2, "test", "train", "realign"),
+        (x, "quarantine", "train", "quarantine_drain")))
+      // resolve is idempotent: a second pass changes nothing
+      val seqBefore = SplitState.committedSeq(spark, p)
+      SplitState.resolve(spark, p, mergedLabels)
+      assert(SplitState.committedSeq(spark, p) == seqBefore)
+      assert(loadMap(spark, p) == atN1)
+    } finally drop(p)
+  }
+
+  test("assign: inherit unique split, hash fresh components, quarantine next to an open dispute") {
+    val p = "graft_sp_asg"
+    try {
+      drop(p)
+      val a = idWith("train"); val b = idWith("test", a + 1)
+      val docs = Seq(a, b).toDF("doc_id")
+      val labels = Seq((a, a), (b, b)).toDF("node", "label")
+      SplitState.init(spark, p, docs, labels)
+      // batch: y joins a's cluster (inherits train even if the merged rep
+      // would hash differently), z is a fresh singleton (hashes itself),
+      // w bridges a and b (quarantine)
+      val y = 391L; val z = 392L; val w = 393L
+      val updated = Seq((a, a), (b, a), (y, a), (w, a)).toDF("node", "label")
+      // first: y alone joining a's cluster inherits
+      SplitState.assign(spark, p,
+        Seq(y).toDF("doc_id"), Seq((a, a), (y, a)).toDF("node", "label"))
+      assert(loadMap(spark, p)(y) == "train")
+      // second batch: w bridges (a∪y: train) and (b: test) → quarantine;
+      // z is fresh → its own hash
+      SplitState.assign(spark, p, Seq(z, w).toDF("doc_id"),
+        Seq((a, a), (y, a), (b, a), (w, a)).toDF("node", "label"))
+      val m = loadMap(spark, p)
+      assert(m(w) == "quarantine")
+      assert(m(z) == bucketOf(z))
+      // third batch: v near-dups ONLY the disputed component while the
+      // dispute is open → quarantines too, never picks a side
+      val v = 394L
+      SplitState.assign(spark, p, Seq(v).toDF("doc_id"),
+        Seq((a, a), (y, a), (b, a), (w, a), (v, a)).toDF("node", "label"))
+      assert(loadMap(spark, p)(v) == "quarantine")
+      // resolve drains BOTH quarantined docs to the senior split (train)
+      SplitState.resolve(spark, p,
+        Seq((a, a), (y, a), (b, a), (w, a), (v, a)).toDF("node", "label"))
+      val fin = loadMap(spark, p)
+      assert(fin(w) == "train" && fin(v) == "train" && fin(b) == "train")
+    } finally drop(p)
+  }
+
+  test("sticky under deletion rep churn: survivors keep recorded splits; resolve no-ops; all-quarantine component hashes its rep once") {
+    val p = "graft_sp_del"
+    try {
+      drop(p)
+      // cluster {c, c2, c3} where the rep c and the next-senior c2 hash
+      // DIFFERENT splits — removing c churns the rep, and a re-hashing
+      // implementation would silently move c2/c3 across the wall
+      val c = idWith("train")
+      val c2 = (c + 1 to 399L).find(i => bucketOf(i) != bucketOf(c)).get
+      val c3 = c2 + 1
+      SplitState.init(spark, p, Seq(c, c2, c3).toDF("doc_id"),
+        Seq((c, c), (c2, c), (c3, c)).toDF("node", "label"))
+      SplitState.remove(p, Seq(c).toDF("doc_id"))
+      val survivorLabels = Seq((c2, c2), (c3, c2)).toDF("node", "label")
+      val seqBefore = SplitState.committedSeq(spark, p)
+      SplitState.resolve(spark, p, survivorLabels)
+      assert(SplitState.committedSeq(spark, p) == seqBefore, "no-op resolve wrote state")
+      val m = loadMap(spark, p)
+      assert(!m.contains(c))
+      assert(m(c2) == "train" && m(c3) == "train",
+        s"survivors re-hashed to ${m(c2)}/${m(c3)} — recorded split must win (rep $c2 hashes ${bucketOf(c2)})")
+      assert(bucketOf(c2) != "train", "planted geometry broken: churned rep must hash differently")
+      // a later batch doc still INHERITS the recorded (not re-hashed) split
+      val q1 = 700L
+      SplitState.assign(spark, p, Seq(q1).toDF("doc_id"),
+        Seq((c2, c2), (c3, c2), (q1, c2)).toDF("node", "label"))
+      assert(loadMap(spark, p)(q1) == "train") // inherits the unique split
+      // ALL-quarantine component: open a dispute, then take down every
+      // assigned member — resolve hashes the survivor's own rep ONCE and
+      // records it (later churn can never move it again)
+      val d = idWith("test", 701L)    // fresh singleton hashing test
+      SplitState.assign(spark, p, Seq(d).toDF("doc_id"),
+        Seq((c2, c2), (c3, c2), (q1, c2)).toDF("node", "label"))
+      assert(loadMap(spark, p)(d) == "test")
+      val w2 = d + 50                  // bridges train side and test side
+      SplitState.assign(spark, p, Seq(w2).toDF("doc_id"),
+        Seq((c2, c2), (c3, c2), (q1, c2), (d, c2), (w2, c2)).toDF("node", "label"))
+      assert(loadMap(spark, p)(w2) == "quarantine")
+      SplitState.remove(p, Seq(c2, c3, q1, d).toDF("doc_id"))
+      SplitState.resolve(spark, p, Seq((w2, w2)).toDF("node", "label"))
+      assert(loadMap(spark, p) == Map(w2 -> bucketOf(w2)))
+    } finally drop(p)
+  }
+
+  test("crash protocol: uncommitted rows invisible; same-batch replay adopts orphans; stray orphans demand compact; completed replay no-ops; watermark enforced") {
+    val p = "graft_sp_crash"
+    try {
+      drop(p)
+      SplitState.init(spark, p, Seq(1L, 2L).toDF("doc_id"),
+        Seq.empty[(Long, Long)].toDF("node", "label"))
+      // simulate a crashed assign: rows at seq 1, no meta row
+      Seq((10L, "train", 1L)).toDF("doc_id", "split", "seq")
+        .write.mode("append").format("parquet").bucketBy(32, "doc_id")
+        .saveAsTable(s"${p}_assign")
+      assert(!loadMap(spark, p).contains(10L), "uncommitted row visible")
+      // the deterministic re-run of the SAME batch adopts the orphan and
+      // commits exactly one row for it
+      SplitState.assign(spark, p, Seq(10L, 11L).toDF("doc_id"),
+        Seq.empty[(Long, Long)].toDF("node", "label"))
+      val m = loadMap(spark, p)
+      assert(m.contains(10L) && m.contains(11L))
+      assert(spark.table(s"${p}_assign").filter(col("doc_id") === 10L).count() == 1L)
+      // replay of the COMPLETED batch is a recorded no-op
+      val rows = spark.table(s"${p}_assign").count()
+      SplitState.assign(spark, p, Seq(10L, 11L).toDF("doc_id"),
+        Seq.empty[(Long, Long)].toDF("node", "label"))
+      assert(spark.table(s"${p}_assign").count() == rows)
+      // out-of-order batch fails the watermark fence
+      val eW = intercept[IllegalArgumentException](
+        SplitState.assign(spark, p, Seq(5L).toDF("doc_id"),
+          Seq.empty[(Long, Long)].toDF("node", "label")))
+      assert(eW.getMessage.contains("watermark"))
+      // a stray orphan from a DIFFERENT abandoned batch blocks the commit
+      Seq((99L, "test", 2L)).toDF("doc_id", "split", "seq")
+        .write.mode("append").format("parquet").bucketBy(32, "doc_id")
+        .saveAsTable(s"${p}_assign")
+      val eS = intercept[IllegalArgumentException](
+        SplitState.assign(spark, p, Seq(30L).toDF("doc_id"),
+          Seq.empty[(Long, Long)].toDF("node", "label")))
+      assert(eS.getMessage.contains("compact"))
+      SplitState.compact(spark, p) // purges the uncommitted orphan
+      assert(spark.table(s"${p}_assign").filter(col("doc_id") === 99L).count() == 0L)
+      SplitState.assign(spark, p, Seq(30L).toDF("doc_id"),
+        Seq.empty[(Long, Long)].toDF("node", "label"))
+      assert(loadMap(spark, p).contains(30L))
+    } finally drop(p)
+  }
+
+  test("remove + compact: tombstone filters at read, compact collapses history and folds the takedown, staging crash heals") {
+    val p = "graft_sp_cmp"
+    try {
+      drop(p)
+      val a = idWith("train"); val b = idWith("test", a + 1)
+      SplitState.init(spark, p, Seq(a, b).toDF("doc_id"),
+        Seq.empty[(Long, Long)].toDF("node", "label"))
+      // one resolve-driven move so history has two rows for b: merge the
+      // two singletons (a senior) and resolve
+      val merged = Seq((a, a), (b, a)).toDF("node", "label")
+      SplitState.resolve(spark, p, merged)
+      assert(loadMap(spark, p)(b) == bucketOf(a))
+      assert(spark.table(s"${p}_assign").filter(col("doc_id") === b).count() == 2L)
+      SplitState.remove(p, Seq(a).toDF("doc_id"))
+      assert(!loadMap(spark, p).contains(a))
+      SplitState.compact(spark, p)
+      // collapsed: one row per surviving doc, tombstone folded, table dropped
+      assert(spark.table(s"${p}_assign").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((b, bucketOf(a))))
+      assert(!spark.catalog.tableExists(s"${p}_tombstones"))
+      // the audit trail and the watermark survive compaction
+      assert(spark.table(s"${p}_moves").count() == 1L)
+      assert(SplitState.watermark(spark, p).contains(math.max(a, b)))
+      // staged-crash heal: live table missing, data parked in _compact
+      spark.table(s"${p}_assign").write.mode("overwrite").format("parquet")
+        .bucketBy(4, "doc_id").saveAsTable(s"${p}_assign_compact")
+      spark.sql(s"DROP TABLE ${p}_assign")
+      SplitState.compact(spark, p)
+      assert(loadMap(spark, p) == Map(b -> bucketOf(a)))
+    } finally drop(p)
+  }
+}
