@@ -1453,6 +1453,29 @@ object DedupOps {
       splitApply(docs, thr, corpusLabels, incident).orderBy("doc_id")
     }),
 
+    // AT-REST split assignment (q117/q118 made DURABLE — the fifth
+    // artifact, VERDICT r11 demand 1): init records the corpus assignment
+    // in SplitState's catalog tables, the batch is assigned THROUGH the
+    // state (inherit/quarantine/hash, consulting recorded splits before
+    // any hash), and the query reads the persisted effective assignment —
+    // the exact path every downstream consumer takes. Per-trial cost =
+    // one latest-committed-row-per-doc aggregate off the bucketed scan.
+    "q119_split_state" -> ((s, d) =>
+      SplitState.load(s, q119SplitPrefix(s, d)).orderBy("doc_id")),
+
+    // STICKY-UNDER-CHURN, durable (the q110 failure mode the at-rest
+    // state exists to kill): every 5th doc is taken down, which removes
+    // several components' MINIMUM member — the rep changes, and a
+    // re-hashing implementation silently moves the survivors across the
+    // train/test wall (3 components diverge at sf0.01). SplitState
+    // records assignments at init, tombstones the takedown, RESOLVES
+    // against the post-deletion labels (a no-op: surviving components are
+    // split-homogeneous, and recorded splits always win over the hash),
+    // then compacts. The oracle replays the ORIGINAL full-corpus
+    // assignment restricted to survivors — green means no silent moves.
+    "q120_split_resolve" -> ((s, d) =>
+      SplitState.load(s, q120SplitPrefix(s, d)).orderBy("doc_id")),
+
     // Incremental dedup: every 10th doc plays the incoming batch, the rest
     // the existing corpus; report each batch doc's best verified corpus
     // match at Jaccard >= 0.5 (deterministic tie-break on corpus_id).
@@ -1561,6 +1584,67 @@ object DedupOps {
       val labels = WarmState.pin(DedupPipeline.clusters(
         ngramJaccardPairsOf(corpus, 0.5).select("a", "b"), maxIter = 100))
       (thr, labels, indexNgramPrefix(corpus, minJac = 0.5).localCheckpointed())
+    })
+
+  /** Session-built AT-REST [[SplitState]] families for q119/q120: catalog
+    * tables built once per (session, dataset) — the durable state a
+    * nightly pipeline maintains — so benched trials pay only the
+    * effective-assignment READ. Rebuilds (after a releaseAll) drop and
+    * recreate the family's tables. */
+  private val splitStateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  WarmState.registerCache(() => splitStateCache.clear())
+
+  private def dropSplitTables(s: SparkSession, p: String): Unit =
+    for (t <- Seq("_assign", "_assign_compact", "_meta", "_moves", "_tombstones")) {
+      s.sql(s"DROP TABLE IF EXISTS $p$t")
+      // a PREVIOUS process may have left the managed location behind with
+      // no row in THIS metastore — creating the table would then fail
+      // with LOCATION_ALREADY_EXISTS; clear the orphaned directory too
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), s"$p$t".toLowerCase)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+
+  /** q119: init on the corpus (ids ≤ 90% watermark, q118's split point),
+    * then assign the batch through the state against the UPDATED labels
+    * (updateClusters over the batch-incident pairs — the committed-merge
+    * labels). */
+  private def q119SplitPrefix(s: SparkSession, d: String): String =
+    splitStateCache.computeIfAbsent((s, stateKey(d, "q119")), _ => {
+      val p = "graft_split_assign_" + math.abs(stateKey(d, "q119").hashCode)
+      dropSplitTables(s, p)
+      val (thr, corpusLabels, idx) = q118State(s, d)
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text", "n_chars")
+      SplitState.init(s, p,
+        docs.filter(col("doc_id") <= thr).select("doc_id"), corpusLabels)
+      val incident = ngramJaccardPairsVsIndex(
+        docs.filter(col("doc_id") > thr), idx).select("a", "b")
+      val updated = DedupPipeline.updateClusters(corpusLabels, incident, maxIter = 100)
+      SplitState.assign(s, p,
+        docs.filter(col("doc_id") > thr).select("doc_id"), updated)
+      p
+    })
+
+  /** q120: init over the FULL corpus labels, tombstone every 5th doc,
+    * resolve against the post-deletion labels (ClusterState.remove — the
+    * q110 repair), compact. Survivors must read their ORIGINAL recorded
+    * splits even where the deletion churned the component rep. */
+  private def q120SplitPrefix(s: SparkSession, d: String): String =
+    splitStateCache.computeIfAbsent((s, stateKey(d, "q120")), _ => {
+      val p = "graft_split_resolve_" + math.abs(stateKey(d, "q120").hashCode)
+      dropSplitTables(s, p)
+      val docs = Tables.load(s, d, "documents").select("doc_id")
+      val st = corpusClusterState(s, d)
+      SplitState.init(s, p, docs, st.labels)
+      val removed = docs.filter(col("doc_id") % 5 === 0)
+      SplitState.remove(p, removed)
+      val survivorLabels = st.remove(
+        removed.select(col("doc_id").as("node")), maxIter = 100).labels
+      SplitState.resolve(s, p, survivorLabels)
+      SplitState.compact(s, p)
+      p
     })
 
   /** Deterministic 80/10/10 split bucket of a cluster representative —
@@ -1788,6 +1872,59 @@ object DedupOps {
          |      ELSE ${splitOfSql("c.comp")} END AS split
          |FROM comp c LEFT JOIN inh i ON i.comp = c.comp, thr
          |WHERE c.doc_id > mx ORDER BY c.doc_id""".stripMargin,
+
+    // The q118 semantics read back from the PERSISTED SplitState: corpus
+    // rows carry the q117 corpus-only assignment, batch rows the sticky
+    // inherit/quarantine/hash verdict — one at-rest table, both phases.
+    "q119_split_state" ->
+      s"""WITH RECURSIVE
+         | thr AS (SELECT CAST(floor(max(doc_id) * 0.9) AS BIGINT) AS mx FROM documents),
+         | t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+         | sh AS (SELECT doc_id, CAST(floor(n_chars / 50) AS BIGINT) AS blk,
+         |        ${TextOps.shinglesSql} AS s FROM t),
+         | pr AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |        FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |        WHERE round(len(list_intersect(a.s, b.s))
+         |          / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.5),
+         | und AS (SELECT a AS src, b AS dst FROM pr UNION ALL SELECT b AS src, a AS dst FROM pr),
+         | reach(node, r) AS (
+         |   SELECT src, src FROM und
+         |   UNION
+         |   SELECT re.node, u.dst FROM reach re JOIN und u ON u.src = re.r),
+         | lab AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+         | prc AS (SELECT a, b FROM pr, thr WHERE b <= mx),
+         | undc AS (SELECT a AS src, b AS dst FROM prc UNION ALL SELECT b AS src, a AS dst FROM prc),
+         | reachc(node, r) AS (
+         |   SELECT src, src FROM undc
+         |   UNION
+         |   SELECT re.node, u.dst FROM reachc re JOIN undc u ON u.src = re.r),
+         | labc AS (SELECT node, min(r) AS label FROM reachc GROUP BY node),
+         | csplit AS (SELECT d.doc_id, ${splitOfSql("COALESCE(l.label, d.doc_id)")} AS split
+         |            FROM documents d LEFT JOIN labc l ON l.node = d.doc_id, thr
+         |            WHERE d.doc_id <= mx),
+         | comp AS (SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS comp
+         |          FROM documents d LEFT JOIN lab l ON l.node = d.doc_id),
+         | inh AS (SELECT c.comp, count(DISTINCT s.split) AS ns, min(s.split) AS sp
+         |         FROM comp c JOIN csplit s ON s.doc_id = c.doc_id GROUP BY c.comp)
+         |SELECT doc_id, split FROM (
+         |  SELECT doc_id, split FROM csplit
+         |  UNION ALL
+         |  SELECT c.doc_id,
+         |   CASE WHEN i.ns >= 2 THEN 'quarantine' WHEN i.ns = 1 THEN i.sp
+         |        ELSE ${splitOfSql("c.comp")} END AS split
+         |  FROM comp c LEFT JOIN inh i ON i.comp = c.comp, thr
+         |  WHERE c.doc_id > mx)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Survivors of the %5 takedown read their ORIGINAL recorded splits
+    // (hash of the PRE-deletion full-corpus cluster rep) — a rep-churned
+    // re-hash diverges on 3 components at sf0.01 and fails this hash.
+    "q120_split_resolve" ->
+      s"""${closureCtesSql("")},
+         | lab AS (SELECT node, min(r) AS label FROM reach GROUP BY node)
+         |SELECT d.doc_id, ${splitOfSql("COALESCE(l.label, d.doc_id)")} AS split
+         |FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+         |WHERE d.doc_id % 5 <> 0 ORDER BY d.doc_id""".stripMargin,
 
     // Same sketch/band replay as q51, with the band join restricted to
     // batch × corpus and a per-batch-doc argmax.

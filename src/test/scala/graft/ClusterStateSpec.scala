@@ -229,27 +229,47 @@ class ClusterStateSpec extends AnyFunSuite {
     }
   }
 
-  test("nightly loop, ALL FOUR at-rest artifacts: MinHash index + prefix index + first-seen index + ClusterState; takedown reaches every artifact") {
-    import graft.operators.{DedupOps, CorpusOps}
-    // compact four-way loop on a planted corpus: docs 0/1 are exact dups,
-    // batch doc 10 is an exact dup of corpus doc 2, 11/12 are unique. The
+  test("nightly loop, ALL FIVE at-rest artifacts: MinHash + prefix + first-seen indexes, ClusterState AND SplitState; takedown reaches every artifact; quarantine drains") {
+    import graft.operators.{DedupOps, CorpusOps, SplitState}
+    // compact five-way loop on a planted corpus: docs 0/1 are exact dups,
+    // batch doc 10 is an exact dup of corpus doc 2, 11/12 are unique, and
+    // batch doc 13 BRIDGES two corpus docs (overlapping token windows:
+    // jac(13, A) = jac(13, B) = 14/22 ≥ 0.5 while jac(A, B) = 10/26 <
+    // 0.5) that the split state recorded under DIFFERENT buckets — the
+    // cross-split merge the quarantine/resolve machinery exists for. The
     // takedown victim is doc 2 — after removal NO artifact may keep
-    // pairing, labeling, or novelty-suppressing through it.
+    // pairing, labeling, novelty-suppressing, or re-bucketing through it.
     def mk(i: Long, tag: String) =
       (i, (0 until 12).map(j => s"${tag}_$j").mkString(" "))
+    val bucket: Map[Long, String] =
+      spark.range(0, 20).select(col("id"), SplitState.splitOf(col("id")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // two corpus ids (≥ 3, victim 2 keeps its role) hashing different splits
+    val Seq(pA, pB) = (3L to 9L).combinations(2).map(_.toSeq)
+      .find { case Seq(i, j) => bucket(i) != bucket(j) }.get
+    def win(from: Int): String = // 20 3-char tokens -> same length block
+      (from until from + 20).map(k => f"w$k%03d").mkString(" ")
     val corpusRows = Seq(mk(0L, "a"), (1L, mk(0L, "a")._2)) ++
-      (2L to 9L).map(i => mk(i, s"c$i"))
-    val batchRows = Seq((10L, mk(2L, "c2")._2), mk(11L, "u11"), mk(12L, "u12"))
+      (2L to 9L).collect {
+        case i if i == pA => (i, win(1))
+        case i if i == pB => (i, win(9))
+        case i            => mk(i, s"c$i")
+      }
+    val batchRows = Seq((10L, mk(2L, "c2")._2), mk(11L, "u11"), mk(12L, "u12"),
+      (13L, win(5)))
     val corpus = corpusRows.toDF("doc_id", "text")
       .withColumn("n_chars", length(col("text")).cast("bigint"))
-    val root = java.nio.file.Files.createTempDirectory("graft-nightly4").toString
+    val root = java.nio.file.Files.createTempDirectory("graft-nightly5").toString
     try {
-      // day 0: build + persist all four artifacts
+      // day 0: build + persist all five artifacts
       DedupOps.indexCorpus(corpus).saveAsTables("n4_mh", nBuckets = 4)
       DedupOps.indexNgramPrefix(corpus, 0.5).saveAsTables("n4_np", nBuckets = 4)
       CorpusOps.saveFirstSeenIndex(corpus, "n4_fs", nBuckets = 4)
-      ClusterState.build(DedupOps.ngramJaccardPairsOf(corpus, 0.5)
-        .select("a", "b"), maxIter = 50).save(root)
+      val st0 = ClusterState.build(DedupOps.ngramJaccardPairsOf(corpus, 0.5)
+        .select("a", "b"), maxIter = 50)
+      st0.save(root)
+      SplitState.init(spark, "n4_sp", corpus.select("doc_id"),
+        st0.labels, nBuckets = 4)
       // day 1, FRESH session: load everything, admit the batch through
       // every artifact
       val s2 = spark.newSession()
@@ -259,25 +279,40 @@ class ClusterStateSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
       assert(novelty(10L) == 0.0 && novelty(11L) == 1.0 && novelty(12L) == 1.0,
         s"$novelty")
+      assert(novelty(13L) == 0.0, s"bridge doc's shingles are all covered: $novelty")
       val npPairs = DedupOps.ngramJaccardPairsVsIndex(
         batch, DedupOps.loadNgramPrefixIndex(s2, "n4_np")).select("a", "b")
       val st = ClusterState.load(s2, root).insert(npPairs, maxIter = 50)
+      // the split assignment flows THROUGH the committed merge's labels
+      SplitState.assign(s2, "n4_sp", batch.select("doc_id"), st.labels)
       DedupOps.appendToCorpusIndex("n4_mh", batch.select("doc_id", "text"))
       DedupOps.appendToNgramPrefixIndex("n4_np", batch)
       CorpusOps.appendToFirstSeenIndex(s2, "n4_fs", batch)
       st.save(root)
-      // sanity: doc 10 clustered with its corpus twin 2
+      // sanity: doc 10 clustered with its corpus twin 2; 13 merged A and B
       val labels1 = ClusterState.load(spark, root).labels
         .select("node", "label").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(labels1.contains(10L) && labels1(10L) == labels1(2L), s"$labels1")
-      // day 2: TAKEDOWN of doc 2 from all four artifacts
+      assert(labels1(13L) == labels1(pA) && labels1(pA) == labels1(pB), s"$labels1")
+      // snapshot N of the split state: the twin INHERITS doc 2's recorded
+      // split, fresh docs hash themselves, the bridge QUARANTINES, and no
+      // previously-recorded corpus doc moved
+      def splitMap(s: org.apache.spark.sql.SparkSession): Map[Long, String] =
+        SplitState.load(s, "n4_sp").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val atN = splitMap(spark)
+      assert(atN(10L) == bucket(2L) && atN(11L) == bucket(11L) &&
+        atN(12L) == bucket(12L) && atN(13L) == "quarantine", s"$atN")
+      assert(atN(pA) == bucket(pA) && atN(pB) == bucket(pB), s"$atN")
+      // day 2: TAKEDOWN of doc 2 from all five artifacts
       val victim = Seq(2L)
       ClusterState.load(spark, root)
         .remove(victim.toDF("node"), maxIter = 50).save(root)
       DedupOps.removeFromCorpusIndex("n4_mh", victim.toDF("doc_id"))
       DedupOps.removeFromNgramPrefixIndex("n4_np", victim.toDF("doc_id"))
       CorpusOps.removeFromFirstSeenIndex("n4_fs", victim.toDF("doc_id"))
+      SplitState.remove("n4_sp", victim.toDF("doc_id"))
       // day 3, FRESH session: no artifact still answers through doc 2
       val s3 = spark.newSession()
       val probe = Seq((1000L, mk(2L, "c2")._2)).toDF("doc_id", "text")
@@ -311,6 +346,30 @@ class ClusterStateSpec extends AnyFunSuite {
         rows(CorpusOps.noveltyVsIndex(CorpusOps.firstSeenOf(survivors), probe2)))
       assert(rows(CorpusOps.noveltyVsIndex(s3, "n4_fs", probe2))
         .head._4 == 0.0, "compaction must re-attribute to the surviving twin")
+      // split state, snapshot N+1: RESOLVE against the post-takedown
+      // committed labels — the quarantined bridge drains to the SENIOR
+      // side's recorded split, the junior side realigns (audited), the
+      // removed doc is gone, and the orphaned twin 10 KEEPS the recorded
+      // split it inherited from 2 even though its rep churned to itself
+      SplitState.resolve(s3, "n4_sp", ClusterState.load(s3, root).labels)
+      val atN1 = splitMap(s3)
+      val senior = math.min(pA, pB); val junior = math.max(pA, pB)
+      assert(!atN1.contains(2L))
+      assert(atN1(13L) == bucket(senior), "drain must follow the senior side")
+      assert(atN1(junior) == bucket(senior), "junior side realigns on resolve")
+      assert(atN1(10L) == bucket(2L),
+        s"rep churn re-bucketed the orphaned twin: ${atN1(10L)} vs recorded ${bucket(2L)}")
+      assert(!atN1.values.exists(_ == "quarantine"), "quarantine pool did not drain")
+      val moves = s3.table("n4_sp_moves")
+        .select("doc_id", "from_split", "to_split", "reason").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+      assert(moves == Set(
+        (junior, bucket(junior), bucket(senior), "realign"),
+        (13L, "quarantine", bucket(senior), "quarantine_drain")), s"$moves")
+      // compact folds the takedown; a FRESH session reads identical state
+      SplitState.compact(s3, "n4_sp")
+      assert(splitMap(spark.newSession()) == atN1)
+      assert(!s3.catalog.tableExists("n4_sp_tombstones"))
     } finally {
       for (t <- Seq("shingles", "bands", "tombstones"))
         spark.sql(s"DROP TABLE IF EXISTS n4_mh_$t")
@@ -318,6 +377,8 @@ class ClusterStateSpec extends AnyFunSuite {
         spark.sql(s"DROP TABLE IF EXISTS n4_np_$t")
       for (t <- Seq("firstseen", "firstseen_compact", "meta", "tombstones"))
         spark.sql(s"DROP TABLE IF EXISTS n4_fs_$t")
+      for (t <- Seq("assign", "assign_compact", "meta", "moves", "tombstones"))
+        spark.sql(s"DROP TABLE IF EXISTS n4_sp_$t")
     }
   }
 
