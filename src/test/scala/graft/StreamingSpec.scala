@@ -333,6 +333,108 @@ class StreamingSpec extends AnyFunSuite {
     for (t <- Seq("shingles", "bands", "tombstones", "admissions"))
       spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t")
 
+  test("splitDrain ≡ batch-mode split maintenance; bridge quarantines and drains in-stream; replay is a no-op") {
+    import graft.operators.{DedupOps, ClusterState, SplitState, DedupPipeline}
+    import spark.implicits._
+    // planted geometry (the five-artifact loop's): corpus docs 1/2 are
+    // exact dups; idA (train-hash) and idB (test-hash) hold overlapping
+    // 20-token windows (jac(A,B)=10/26 < 0.5); batch-1 doc 21 = the
+    // middle window bridges them (jac 14/22 to each); batch-2 doc 30
+    // near-dups the bridge doc
+    val bucket = spark.range(0, 40)
+      .select(col("id"), SplitState.splitOf(col("id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val Seq(idA, idB) = (3L to 9L).combinations(2).map(_.toSeq)
+      .find { case Seq(i, j) => bucket(i) != bucket(j) }.get
+    def win(from: Int): String =
+      (from until from + 20).map(k => f"w$k%03d").mkString(" ")
+    def dup(tag: String): String = (0 until 12).map(j => s"${tag}_$j").mkString(" ")
+    val corpusRows = Seq((1L, dup("d")), (2L, dup("d")), (idA, win(1)), (idB, win(9)))
+    val b1Rows = Seq((20L, dup("d")), (21L, win(5)))
+    val b2Rows = Seq((30L, win(5)), (31L, dup("fresh")))
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+    val corpus = df(corpusRows)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-spd-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-spd-ck").toString
+    val root = java.nio.file.Files.createTempDirectory("graft-spd-cs").toString
+    def dropAll(): Unit = {
+      for (t <- Seq("prefix", "df", "shingles", "meta", "tombstones"))
+        spark.sql(s"DROP TABLE IF EXISTS spd_np_$t")
+      for (p <- Seq("spd_sp", "spd_sp2");
+           t <- Seq("assign", "assign_compact", "meta", "moves", "tombstones"))
+        spark.sql(s"DROP TABLE IF EXISTS ${p}_$t")
+    }
+    try {
+      dropAll()
+      // day 0: the three at-rest artifacts
+      DedupOps.indexNgramPrefix(corpus, 0.5).saveAsTables("spd_np", nBuckets = 4)
+      val st0 = ClusterState.build(
+        DedupOps.ngramJaccardPairsOf(corpus, 0.5).select("a", "b"), maxIter = 50)
+      st0.save(root)
+      SplitState.init(spark, "spd_sp", corpus.select("doc_id"), st0.labels,
+        nBuckets = 4)
+      val schema = df(Seq.empty).schema
+      // maxFilesPerTrigger=1 keeps one file per micro-batch — a real
+      // redeploy replays from the checkpoint with ORIGINAL batch bounds;
+      // the fresh-checkpoint replay leg below models that per file
+      def drain(ck: String): Unit = graft.streaming.DocStream.splitDrain(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.toString + "/*"),
+        "spd_np", "spd_sp", root, ck)
+      def splits(p: String): Map[Long, String] =
+        SplitState.load(spark, p).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // batch 1 arrives: the bridge merge commits, 21 quarantines at
+      // assign and DRAINS in the same drain (resolve runs every batch):
+      // the merged cluster keeps the senior side's recorded split
+      df(b1Rows).repartition(1).write.parquet(srcDir.resolve("b1").toString)
+      drain(ckpt)
+      val senior = math.min(idA, idB); val junior = math.max(idA, idB)
+      val at1 = splits("spd_sp")
+      assert(at1(20L) == bucket(1L), "twin must inherit its cluster's recorded split")
+      assert(at1(21L) == bucket(senior) && at1(junior) == bucket(senior), s"$at1")
+      assert(!at1.values.exists(_ == "quarantine"))
+      val moves1 = spark.table("spd_sp_moves")
+        .select("doc_id", "reason").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(moves1 == Set((21L, "quarantine_drain"), (junior, "realign")), s"$moves1")
+      // batch 2: a near-dup of the drained bridge inherits the canonical
+      // split through the APPENDED index; a fresh doc hashes itself
+      df(b2Rows).repartition(1).write.parquet(srcDir.resolve("b2").toString)
+      drain(ckpt)
+      val at2 = splits("spd_sp")
+      assert(at2(30L) == bucket(senior) && at2(31L) == bucket(31L), s"$at2")
+      // BATCH-MODE TWIN on a second prefix: same discovery semantics
+      // (pairs against an index over everything admitted so far), same
+      // assign/resolve sequence — byte-identical final assignment
+      SplitState.init(spark, "spd_sp2", corpus.select("doc_id"), st0.labels,
+        nBuckets = 4)
+      var labels = st0.labels
+      var admitted = corpus
+      for (rows <- Seq(b1Rows, b2Rows)) {
+        val b = df(rows)
+        val pairs = DedupOps.ngramJaccardPairsVsIndex(
+          b, DedupOps.indexNgramPrefix(admitted, 0.5)).select("a", "b")
+        labels = DedupPipeline.updateClusters(labels, pairs, maxIter = 50)
+          .localCheckpoint(true)
+        SplitState.assign(spark, "spd_sp2", b.select("doc_id"), labels)
+        SplitState.resolve(spark, "spd_sp2", labels)
+        admitted = admitted.unionByName(b).localCheckpoint(true)
+      }
+      assert(splits("spd_sp2") == at2, "streaming ≠ batch-mode maintenance")
+      // REPLAY with a fresh checkpoint: both batches re-present; the
+      // fence routes them to the heal path — no new assign rows, no
+      // index growth, no moves, identical assignment
+      val rowsBefore = spark.table("spd_sp_assign").count()
+      val shBefore = spark.table("spd_np_shingles").count()
+      drain(java.nio.file.Files.createTempDirectory("graft-spd-ck2").toString)
+      assert(splits("spd_sp") == at2)
+      assert(spark.table("spd_sp_assign").count() == rowsBefore)
+      assert(spark.table("spd_np_shingles").count() == shBefore)
+    } finally dropAll()
+  }
+
   test("admissionDrain fast-path probe reads the admissions manifest, never the shingle table (plan-asserted)") {
     import graft.operators.DedupOps
     import spark.implicits._
