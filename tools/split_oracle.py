@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""External sf-scale ground truth for the durable split family (q119/q120).
+
+Both queries' committed DuckDB oracles are recursive-CTE closures —
+intractable above sf0.1 (see closure_oracle.py). This tool lifts the
+thresholded edge set VERBATIM from the committed q120 SQL (the expensive-
+to-get-wrong part, same `pr` clause as q58's) via closure_oracle's sharded
+extraction, then replays the cheap parts in Python:
+
+ - FULL closure (all edges, union-find, min-id labels) and CORPUS-ONLY
+   closure (edges with b <= mx; a < b makes that both-endpoints) from the
+   SAME one extraction;
+ - the 80/10/10 md5 bucket, byte-identical to Md5Lower64 / DuckDB's
+   md5_number_lower (lower 8 digest bytes, little-endian, logical >> 1,
+   % 100) — parity with the engine is asserted against q117's singleton
+   rows before any verdict;
+ - q119 = corpus rows from the corpus closure + batch rows via the
+   inherit/quarantine/hash CASE over full-closure components;
+ - q120 = the ORIGINAL full-closure assignment restricted to the %5
+   takedown survivors.
+
+Usage: split_oracle.py <sfDir> <verifyOutDir> [nshards]
+
+Purely a dev/audit tool — the engine never depends on it.
+"""
+import sys, os, glob, json, hashlib
+from collections import defaultdict
+from concurrent.futures import ProcessPoolExecutor
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check_oracle import canon
+from closure_oracle import run_shard, union_find_labels
+
+
+def split_of(rep: int) -> str:
+    d = hashlib.md5(f"split:{rep}".encode()).digest()
+    b = (int.from_bytes(d[8:16], "little") >> 1) % 100
+    return "train" if b < 80 else ("valid" if b < 90 else "test")
+
+
+def extract_edges(sf_dir, oracle_sql, nshards):
+    tasks = [(sf_dir, oracle_sql, nshards, i) for i in range(nshards)]
+    edges = []
+    with ProcessPoolExecutor(max_workers=nshards) as ex:
+        for i, rows in enumerate(ex.map(run_shard, tasks)):
+            edges.extend(rows)
+            print(f"[split_oracle] shard {i}: +{len(rows)} edges "
+                  f"(total {len(edges)})", flush=True)
+    return edges
+
+
+def main():
+    import pandas as pd
+    import duckdb
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    nshards = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        all_sql = json.load(f)
+
+    p = f"{sf_dir}/documents.parquet"
+    src = f"read_parquet('{p}/*.parquet')" if os.path.isdir(p) else f"'{p}'"
+    con = duckdb.connect()
+    ids = [r[0] for r in con.execute(
+        f"SELECT doc_id FROM {src} ORDER BY doc_id").fetchall()]
+    mx = int(con.execute(
+        f"SELECT CAST(floor(max(doc_id) * 0.9) AS BIGINT) FROM {src}"
+    ).fetchone()[0])
+
+    # one extraction serves both closures (q120's SQL = the full-corpus
+    # closure shape; its pr clause is q58's verbatim)
+    edges = extract_edges(sf_dir, all_sql["q120_split_resolve"], nshards)
+    full = union_find_labels(edges)
+    corpus = union_find_labels([(a, b) for a, b in edges if b <= mx])
+
+    # engine-parity gate for the md5 bucket: q117's singletons hash their
+    # own id — any byte-order or shift mismatch dies here, not in a verdict
+    q117 = glob.glob(os.path.join(out_dir, "q117_cluster_split", "*.parquet"))
+    if q117:
+        eng = pd.concat([pd.read_parquet(f) for f in q117], ignore_index=True)
+        single = eng[eng.doc_id == eng.rep].head(200)
+        for _, r in single.iterrows():
+            assert split_of(int(r.rep)) == r.split, \
+                f"md5 parity broken at rep {r.rep}: {split_of(int(r.rep))} vs {r.split}"
+        print(f"[split_oracle] md5 parity OK on {len(single)} q117 singletons")
+
+    csplit = {i: split_of(corpus.get(i, i)) for i in ids if i <= mx}
+    members = defaultdict(list)
+    for i in ids:
+        members[full.get(i, i)].append(i)
+
+    def batch_split(i):
+        comp = full.get(i, i)
+        s = {csplit[m] for m in members[comp] if m <= mx}
+        if len(s) >= 2:
+            return "quarantine"
+        if len(s) == 1:
+            return next(iter(s))
+        return split_of(comp)
+
+    truths = {
+        "q119_split_state": pd.DataFrame({
+            "doc_id": pd.array(ids, dtype="int64"),
+            "split": [csplit[i] if i <= mx else batch_split(i) for i in ids]}),
+        "q120_split_resolve": pd.DataFrame({
+            "doc_id": pd.array([i for i in ids if i % 5 != 0], dtype="int64"),
+            "split": [split_of(full.get(i, i)) for i in ids if i % 5 != 0]}),
+    }
+
+    ok = True
+    for name, truth in truths.items():
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            print(f"{name}: NO_SPARK_OUTPUT"); ok = False; continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in files],
+                             ignore_index=True)
+        a, b = canon(spark_df.copy()), canon(truth.copy())
+        if list(a.columns) != list(b.columns):
+            print(f"{name}: SCHEMA_MISMATCH spark={list(a.columns)} "
+                  f"truth={list(b.columns)}"); ok = False
+        elif len(a) != len(b):
+            print(f"{name}: ROWCOUNT_MISMATCH spark={len(a)} truth={len(b)}")
+            ok = False
+        elif len(a) > 0 and not a.equals(b):
+            neq = (a != b) & ~(a.isna() & b.isna())
+            idx = neq.any(axis=1).idxmax()
+            print(f"{name}: VALUE_MISMATCH firstrow={idx} "
+                  f"spark={a.loc[idx].to_dict()} truth={b.loc[idx].to_dict()}")
+            ok = False
+        else:
+            print(f"{name}: OK rows={len(a)}")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
