@@ -1463,6 +1463,22 @@ object DedupOps {
     "q119_split_state" -> ((s, d) =>
       SplitState.load(s, q119SplitPrefix(s, d)).orderBy("doc_id")),
 
+    // WALL AUDIT — the eval-integrity check the whole split family
+    // exists to make provable: every verified near-dup pair joined to
+    // BOTH endpoints' recorded at-rest assignments. `status` = 'ok'
+    // (same split), 'pending' (an endpoint is quarantined — the dispute
+    // is open, the pair is excluded from use either way), 'leak' (two
+    // different non-quarantine splits — must be ZERO rows after every
+    // maintenance cycle; this query is the nightly proof, not the hope).
+    // Scale: the pair frame is the prefix-filtered thresholded generator
+    // (never all-pairs); the audit adds two doc_id-keyed joins against
+    // the state — pairs-sized shuffles, state touched twice.
+    "q121_wall_audit" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text", "n_chars")
+      wallAudit(ngramJaccardPairsOf(docs, 0.5).select("a", "b"),
+        SplitState.load(s, q119SplitPrefix(s, d))).orderBy("a", "b")
+    }),
+
     // STICKY-UNDER-CHURN, durable (the q110 failure mode the at-rest
     // state exists to kill): every 5th doc is taken down, which removes
     // several components' MINIMUM member — the rep changes, and a
@@ -1646,6 +1662,24 @@ object DedupOps {
       SplitState.compact(s, p)
       p
     })
+
+  /** The WALL AUDIT join (q121's body): every near-dup pair `(a, b)`
+    * decorated with both endpoints' recorded splits and a verdict —
+    * `ok` (same split), `pending` (an endpoint is quarantined: the
+    * dispute is open and the pair is excluded from use either way),
+    * `leak` (two different non-quarantine splits — the alarm branch; a
+    * maintenance cycle that ends with ANY leak row has broken the
+    * contamination contract). Pairs-sized shuffles; the state is touched
+    * by two doc_id-keyed joins. */
+  def wallAudit(pairs: DataFrame, splits: DataFrame): DataFrame =
+    pairs
+      .join(splits.select(col("doc_id").as("a"), col("split").as("split_a")), "a")
+      .join(splits.select(col("doc_id").as("b"), col("split").as("split_b")), "b")
+      .withColumn("status",
+        when(col("split_a") === "quarantine" || col("split_b") === "quarantine",
+          lit("pending"))
+          .when(col("split_a") === col("split_b"), lit("ok"))
+          .otherwise(lit("leak")))
 
   /** Deterministic 80/10/10 split bucket of a cluster representative —
     * canonical definition lives with the durable assignment
@@ -1915,6 +1949,53 @@ object DedupOps {
          |  FROM comp c LEFT JOIN inh i ON i.comp = c.comp, thr
          |  WHERE c.doc_id > mx)
          |ORDER BY doc_id""".stripMargin,
+
+    // The wall audit replays q119's split derivation and joins it onto
+    // the thresholded pair set from both endpoints.
+    "q121_wall_audit" ->
+      s"""WITH RECURSIVE
+         | thr AS (SELECT CAST(floor(max(doc_id) * 0.9) AS BIGINT) AS mx FROM documents),
+         | t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+         | sh AS (SELECT doc_id, CAST(floor(n_chars / 50) AS BIGINT) AS blk,
+         |        ${TextOps.shinglesSql} AS s FROM t),
+         | pr AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |        FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |        WHERE round(len(list_intersect(a.s, b.s))
+         |          / len(list_distinct(list_concat(a.s, b.s))), 4) >= 0.5),
+         | und AS (SELECT a AS src, b AS dst FROM pr UNION ALL SELECT b AS src, a AS dst FROM pr),
+         | reach(node, r) AS (
+         |   SELECT src, src FROM und
+         |   UNION
+         |   SELECT re.node, u.dst FROM reach re JOIN und u ON u.src = re.r),
+         | lab AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+         | prc AS (SELECT a, b FROM pr, thr WHERE b <= mx),
+         | undc AS (SELECT a AS src, b AS dst FROM prc UNION ALL SELECT b AS src, a AS dst FROM prc),
+         | reachc(node, r) AS (
+         |   SELECT src, src FROM undc
+         |   UNION
+         |   SELECT re.node, u.dst FROM reachc re JOIN undc u ON u.src = re.r),
+         | labc AS (SELECT node, min(r) AS label FROM reachc GROUP BY node),
+         | csplit AS (SELECT d.doc_id, ${splitOfSql("COALESCE(l.label, d.doc_id)")} AS split
+         |            FROM documents d LEFT JOIN labc l ON l.node = d.doc_id, thr
+         |            WHERE d.doc_id <= mx),
+         | comp AS (SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS comp
+         |          FROM documents d LEFT JOIN lab l ON l.node = d.doc_id),
+         | inh AS (SELECT c.comp, count(DISTINCT s.split) AS ns, min(s.split) AS sp
+         |         FROM comp c JOIN csplit s ON s.doc_id = c.doc_id GROUP BY c.comp),
+         | allsplit AS (
+         |  SELECT doc_id, split FROM csplit
+         |  UNION ALL
+         |  SELECT c.doc_id,
+         |   CASE WHEN i.ns >= 2 THEN 'quarantine' WHEN i.ns = 1 THEN i.sp
+         |        ELSE ${splitOfSql("c.comp")} END AS split
+         |  FROM comp c LEFT JOIN inh i ON i.comp = c.comp, thr
+         |  WHERE c.doc_id > mx)
+         |SELECT p.a, p.b, sa.split AS split_a, sb.split AS split_b,
+         | CASE WHEN sa.split = 'quarantine' OR sb.split = 'quarantine' THEN 'pending'
+         |      WHEN sa.split = sb.split THEN 'ok' ELSE 'leak' END AS status
+         |FROM pr p JOIN allsplit sa ON sa.doc_id = p.a
+         |          JOIN allsplit sb ON sb.doc_id = p.b
+         |ORDER BY p.a, p.b""".stripMargin,
 
     // Survivors of the %5 takedown read their ORIGINAL recorded splits
     // (hash of the PRE-deletion full-corpus cluster rep) — a rep-churned

@@ -240,6 +240,36 @@ class SplitStateSpec extends AnyFunSuite {
     } finally drop(p)
   }
 
+  test("wallAudit verdicts: ok on same split, pending next to quarantine, leak across the wall — and the planted merge ends leak-free") {
+    val p = "graft_sp_audit"
+    try {
+      drop(p)
+      val a = idWith("train"); val b = idWith("test", a + 1)
+      SplitState.init(spark, p, Seq(a, b).toDF("doc_id"),
+        Seq.empty[(Long, Long)].toDF("node", "label"))
+      // open a dispute: w bridges the two singletons
+      val w = 396L
+      val merged = Seq((a, a), (b, a), (w, a)).toDF("node", "label")
+      SplitState.assign(spark, p, Seq(w).toDF("doc_id"), merged)
+      val pairs = Seq((a, w), (w, b), (a, b)).toDF("a", "b")
+      def statuses(): Map[(Long, Long), String] =
+        graft.operators.DedupOps.wallAudit(pairs, SplitState.load(spark, p))
+          .collect().map(r => (r.getLong(r.fieldIndex("a")),
+            r.getLong(r.fieldIndex("b"))) -> r.getString(r.fieldIndex("status"))).toMap
+      // snapshot N: the bridge's edges are PENDING (never leak); the
+      // direct a~b pair — impossible through the real corpus-complete
+      // discovery, planted here to prove the alarm branch fires — reads
+      // LEAK while the merge is unresolved
+      val atN = statuses()
+      assert(atN((a, w)) == "pending" && atN((w, b)) == "pending", s"$atN")
+      assert(atN((a, b)) == "leak", s"$atN")
+      // snapshot N+1: resolve drains and realigns — the audit is clean
+      SplitState.resolve(spark, p, merged)
+      val atN1 = statuses()
+      assert(atN1.values.forall(_ == "ok"), s"$atN1")
+    } finally drop(p)
+  }
+
   test("remove + compact: tombstone filters at read, compact collapses history and folds the takedown, staging crash heals") {
     val p = "graft_sp_cmp"
     try {

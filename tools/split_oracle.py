@@ -67,8 +67,18 @@ def main():
     ).fetchone()[0])
 
     # one extraction serves both closures (q120's SQL = the full-corpus
-    # closure shape; its pr clause is q58's verbatim)
-    edges = extract_edges(sf_dir, all_sql["q120_split_resolve"], nshards)
+    # closure shape; its pr clause is q58's verbatim); SPLIT_ORACLE_EDGES
+    # caches the edge list across runs on the same corpus
+    cache = os.environ.get("SPLIT_ORACLE_EDGES")
+    if cache and os.path.exists(cache):
+        with open(cache) as f:
+            edges = [tuple(e) for e in json.load(f)]
+        print(f"[split_oracle] {len(edges)} edges from cache {cache}")
+    else:
+        edges = extract_edges(sf_dir, all_sql["q120_split_resolve"], nshards)
+        if cache:
+            with open(cache, "w") as f:
+                json.dump(edges, f)
     full = union_find_labels(edges)
     corpus = union_find_labels([(a, b) for a, b in edges if b <= mx])
 
@@ -97,13 +107,28 @@ def main():
             return next(iter(s))
         return split_of(comp)
 
+    state = {i: (csplit[i] if i <= mx else batch_split(i)) for i in ids}
+
+    def status(a, b):
+        sa, sb = state[a], state[b]
+        if sa == "quarantine" or sb == "quarantine":
+            return "pending"
+        return "ok" if sa == sb else "leak"
+
+    se = sorted(edges)
     truths = {
         "q119_split_state": pd.DataFrame({
             "doc_id": pd.array(ids, dtype="int64"),
-            "split": [csplit[i] if i <= mx else batch_split(i) for i in ids]}),
+            "split": [state[i] for i in ids]}),
         "q120_split_resolve": pd.DataFrame({
             "doc_id": pd.array([i for i in ids if i % 5 != 0], dtype="int64"),
             "split": [split_of(full.get(i, i)) for i in ids if i % 5 != 0]}),
+        "q121_wall_audit": pd.DataFrame({
+            "a": pd.array([a for a, _ in se], dtype="int64"),
+            "b": pd.array([b for _, b in se], dtype="int64"),
+            "split_a": [state[a] for a, _ in se],
+            "split_b": [state[b] for _, b in se],
+            "status": [status(a, b) for a, b in se]}),
     }
 
     ok = True
