@@ -61,11 +61,14 @@ import org.apache.spark.sql.functions._
   * neighbours were all taken down) hashes its current rep — recorded from
   * then on, so later churn cannot move it.
   *
-  * Scale: every operation is one or two doc_id/comp-keyed joins over the
-  * state plus an O(batch)-sized write — no pairwise work, no corpus
-  * rewrite outside compaction. Single writer assumed, like every graft
-  * index family; a transactional table format subsumes `_meta` fencing at
-  * cluster scale. */
+  * Scale: [[assign]] is O(batch + touched-component members) — the
+  * component-verdict aggregate is pruned to the batch's own comps, never
+  * a state-wide pass (the admissionDrain lesson); [[load]] is one
+  * zero-exchange latest-per-doc aggregate off the bucketed scan;
+  * [[resolve]] and [[compact]] are deliberately O(state) maintenance-
+  * cadence passes. No pairwise work anywhere. Single writer assumed,
+  * like every graft index family; a transactional table format subsumes
+  * `_meta` fencing at cluster scale. */
 object SplitState {
 
   /** Deterministic 80/10/10 split bucket of a cluster representative:
@@ -179,17 +182,30 @@ object SplitState {
           "crashed assign of the SAME batch is the one sanctioned overlap)")
     }
     val next = committedSeq(s, namePrefix) + 1
-    val state = load(s, namePrefix)
     val lab = labels.withColumnRenamed("node", "doc_id")
-    val stComp = state.join(lab, Seq("doc_id"), "left")
+    val bc = batch.select("doc_id")
+      .join(lab, Seq("doc_id"), "left")
+      .withColumn("comp", coalesce(col("label"), col("doc_id")))
+    // O(batch + touched members), NOT O(state): only the batch's own
+    // components can contribute recorded splits, and every recorded
+    // member of a touched component appears in `labels` (a batch doc
+    // adjacent to a state doc forces both into the contracted label
+    // set), so the component-verdict aggregate reads exactly the touched
+    // comps' members — the batch-sized frames broadcast, and the state
+    // scan stays a pruned bucketed read, never a corpus-wide shuffle.
+    val touched = bc.select("comp").distinct()
+    val memberIds = lab
+      .join(touched, lab("label") === touched("comp"), "left_semi")
+      .select("doc_id")
+    val stComp = load(s, namePrefix)
+      .join(memberIds, Seq("doc_id"), "left_semi")
+      .join(lab, Seq("doc_id"), "left")
       .withColumn("comp", coalesce(col("label"), col("doc_id")))
     val perComp = stComp.groupBy("comp").agg(
       countDistinct(when(col("split") =!= "quarantine", col("split"))).as("nq"),
       max((col("split") === "quarantine").cast("int")).as("hasq"),
       min(when(col("split") =!= "quarantine", col("split"))).as("sp"))
-    val rows = batch.select("doc_id")
-      .join(lab, Seq("doc_id"), "left")
-      .withColumn("comp", coalesce(col("label"), col("doc_id")))
+    val rows = bc
       .join(perComp, Seq("comp"), "left")
       .withColumn("split",
         when(col("nq") >= 2, lit("quarantine"))
@@ -286,6 +302,18 @@ object SplitState {
     s.sql(s"DROP TABLE IF EXISTS $live")
     s.sql(s"ALTER TABLE ${live}_compact RENAME TO $live")
     s.sql(s"DROP TABLE IF EXISTS ${tombT(namePrefix)}")
+    // purge ORPHAN AUDIT rows too: a crashed resolve writes `_moves`
+    // before its meta fence, and if the pool is purged (this method)
+    // instead of the resolve being re-run, a LATER operation committing
+    // the same seq would silently legitimize the phantom moves. The
+    // audit table is rewritten without them (audit-sized, rare cadence).
+    if (s.catalog.tableExists(movesT(namePrefix))) {
+      val keep = s.table(movesT(namePrefix))
+        .filter(col("seq") <= committed)
+        .localCheckpoint(eager = true) // sever before overwriting the source
+      keep.write.mode("overwrite").format("parquet")
+        .saveAsTable(movesT(namePrefix))
+    }
   }
 
   /** Append `rows` (doc_id, split, seq=`next`) into the assign table,

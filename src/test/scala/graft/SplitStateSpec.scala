@@ -285,7 +285,15 @@ class SplitStateSpec extends AnyFunSuite {
       assert(spark.table(s"${p}_assign").filter(col("doc_id") === b).count() == 2L)
       SplitState.remove(p, Seq(a).toDF("doc_id"))
       assert(!loadMap(spark, p).contains(a))
+      // a crashed resolve's orphan AUDIT row (no meta fence) must not
+      // survive compaction — a later op committing that seq would
+      // silently legitimize the phantom move
+      Seq((b, "train", "test", "realign", 99L))
+        .toDF("doc_id", "from_split", "to_split", "reason", "seq")
+        .write.mode("append").format("parquet").saveAsTable(s"${p}_moves")
       SplitState.compact(spark, p)
+      assert(spark.table(s"${p}_moves").filter(col("seq") === 99L).count() == 0L,
+        "uncommitted orphan move survived compaction")
       // collapsed: one row per surviving doc, tombstone folded, table dropped
       assert(spark.table(s"${p}_assign").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((b, bucketOf(a))))
