@@ -263,6 +263,19 @@ object SplitState {
     commitMeta(s, namePrefix, next, None, "resolve")
   }
 
+  /** Artifact-consistency audit across the cluster/split pair: every
+    * clustered doc (a `labels` node) must hold a recorded split. A
+    * nonzero result means a maintenance cycle died after its cluster
+    * commit but before its split commit AND was never replayed — the
+    * [[graft.streaming.DocStream.splitDrain]] fence makes that
+    * unreachable under checkpoint replay; this is the independent
+    * nightly proof (q121's wall audit checks assignment QUALITY, this
+    * checks assignment COVERAGE). One anti-join, labels-sized. */
+  def unassigned(s: SparkSession, namePrefix: String,
+                 labels: DataFrame): DataFrame =
+    labels.select(col("node").as("doc_id")).distinct()
+      .join(load(s, namePrefix), Seq("doc_id"), "left_anti")
+
   /** TAKEDOWN: append to the tombstone side-table, O(batch), never a
     * rewrite. [[load]] drops the rows at read; [[compact]] folds the
     * removal into the files. A removed doc's id is never reused; if it

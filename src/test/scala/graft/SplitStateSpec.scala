@@ -111,6 +111,12 @@ class SplitStateSpec extends AnyFunSuite {
       SplitState.resolve(spark, p, mergedLabels)
       assert(SplitState.committedSeq(spark, p) == seqBefore)
       assert(loadMap(spark, p) == atN1)
+      // coverage audit: every clustered doc holds a split; a label row
+      // for a doc the split commit never reached is the alarm
+      assert(SplitState.unassigned(spark, p, mergedLabels).count() == 0L)
+      val ghost = mergedLabels.unionByName(Seq((399L, sA)).toDF("node", "label"))
+      assert(SplitState.unassigned(spark, p, ghost).collect()
+        .map(_.getLong(0)).toSeq == Seq(399L))
     } finally drop(p)
   }
 
