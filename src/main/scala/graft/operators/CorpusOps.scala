@@ -175,12 +175,22 @@ object CorpusOps {
     * table existed. Ids are append-only and NEVER reused after a
     * takedown, so the watermark only advances; compaction does not touch
     * it. */
-  def firstSeenWatermark(s: SparkSession, namePrefix: String): Option[Long] =
+  def firstSeenWatermark(s: SparkSession, namePrefix: String): Option[Long] = {
+    healMetaMigrate(s, namePrefix)
     if (!s.catalog.tableExists(s"${namePrefix}_meta")) None
     else s.table(s"${namePrefix}_meta").agg(max("hi")).head() match {
       case r if r.isNullAt(0) => None
       case r                  => Some(r.getLong(0))
     }
+  }
+
+  /** Heal a `_meta` schema migration ([[appendToFirstSeenIndex]]) that
+    * crashed between drop and rename, so the watermark table is never
+    * observed missing. */
+  private def healMetaMigrate(s: SparkSession, namePrefix: String): Unit =
+    if (!s.catalog.tableExists(s"${namePrefix}_meta") &&
+        s.catalog.tableExists(s"${namePrefix}_meta_migrate"))
+      s.sql(s"ALTER TABLE ${namePrefix}_meta_migrate RENAME TO ${namePrefix}_meta")
 
   /** O(batch) novelty of a NEW batch against an existing first-seen index:
     * [[ngramNovelty]]'s output for exactly the batch docs, without touching
@@ -259,6 +269,7 @@ object CorpusOps {
     * assumed, as with every graft index writer. */
   def appendToFirstSeenIndex(s: SparkSession, namePrefix: String,
                              batch: DataFrame): Unit = {
+    healMetaMigrate(s, namePrefix)
     val span = batch.agg(min("doc_id"), max("doc_id")).head()
     if (span.isNullAt(0)) return // empty batch
     val (bLo, bHi) = (span.getLong(0), span.getLong(1))
@@ -309,10 +320,27 @@ object CorpusOps {
       .saveAsTable(s"${namePrefix}_firstseen")
     if (!replay) {
       import s.implicits._
+      val mT = s"${namePrefix}_meta"
+      // a PRE-UPGRADE index's `_meta` has only (lo, hi) — appending the
+      // 4-column fingerprint row would throw, so the first new admission
+      // migrates it in place (existing rows gain null n/fp, preserving
+      // their span-only exemption), via staging + drop + rename so the
+      // watermark table never risks a non-atomic overwrite (ADVICE r12;
+      // a crash between drop and rename is healed at the entry check).
+      if (s.catalog.tableExists(mT) &&
+          !s.table(mT).schema.fieldNames.contains("fp")) {
+        s.table(mT)
+          .withColumn("n", lit(null).cast("long"))
+          .withColumn("fp", lit(null).cast("long"))
+          .write.mode("overwrite").format("parquet")
+          .saveAsTable(s"${mT}_migrate")
+        s.sql(s"DROP TABLE $mT")
+        s.sql(s"ALTER TABLE ${mT}_migrate RENAME TO $mT")
+      }
       val (n, fp) = contentFingerprint(batch)
       Seq((bLo, bHi, n, fp)).toDF("lo", "hi", "n", "fp")
         .write.mode("append").format("parquet")
-        .saveAsTable(s"${namePrefix}_meta")
+        .saveAsTable(mT)
     }
   }
 

@@ -157,10 +157,18 @@ object DocStream {
     * hash), any now-resolvable quarantine drains, and the batch is
     * admitted to the index so LATER batches discover against it.
     *
-    * Day-0 setup is the caller's (the three artifacts must exist):
+    * Day-0 setup is the caller's (the four artifacts must exist):
     * `indexNgramPrefix(corpus).saveAsTables(indexPrefix)`,
     * `ClusterState.build(pairs).save(clusterRoot)`,
-    * `SplitState.init(splitPrefix, corpusIds, labels)`.
+    * `SplitState.init(splitPrefix, corpusIds, labels)`, and
+    * `SplitState.recordPairs(splitPrefix, corpusPairs, corpusSpan)` so
+    * the at-rest pair set starts complete.
+    *
+    * Each batch's VERIFIED pairs are RECORDED at rest
+    * ([[graft.operators.SplitState.recordPairs]]) the moment discovery
+    * computes them — before the cluster insert — so the nightly wall
+    * audit reads the accumulated `_pairs` artifact instead of re-mining
+    * the corpus (VERDICT r12 demand 1).
     *
     * CRASH PROTOCOL (foreachBatch is at-least-once): the batch's
     * `SplitState.assign` `_meta` span row is the COMPLETION FENCE — the
@@ -168,9 +176,11 @@ object DocStream {
     *
     *  - replay with the fence absent re-runs the whole path: pair
     *    discovery is untouched by the crash (the index append had not
-    *    run), `ClusterState.insert` cannot grow the edge set on replay
-    *    (spec'd) and its versioned save supersedes the crashed version,
-    *    and `assign` adopts a crashed attempt's orphan rows;
+    *    run), `recordPairs` is a fingerprint-verified no-op when its own
+    *    span row committed (and adopts a crashed attempt's orphan rows
+    *    when it did not), `ClusterState.insert` cannot grow the edge set
+    *    on replay (spec'd) and its versioned save supersedes the crashed
+    *    version, and `assign` adopts a crashed attempt's orphan rows;
     *  - replay with the fence present (a crash between the fence and the
     *    stream checkpoint) takes the HEAL path: batch docs missing from
     *    the index are appended, a partial append is healed by
@@ -178,6 +188,18 @@ object DocStream {
     *    [[graft.operators.SplitState.resolve]] re-runs (idempotent). The
     *    shingle-presence probe there is the one O(corpus-table) read,
     *    paid only on crash recovery — the admissionDrain shape.
+    *
+    * REPLAY REQUIRES THE ORIGINAL BATCHING for the fence to match: the
+    * span fence is exact (lo, hi), so a redeploy that changes micro-batch
+    * boundaries (fresh checkpoint with a different maxFilesPerTrigger,
+    * source files coalesced) presents spans `_meta` never recorded. A
+    * batch whose docs were ALL already committed under different spans
+    * (every id at-or-below the watermark and already assigned) is
+    * detected and routed to the heal path — a no-op beyond index/resolve
+    * hygiene — instead of dying on the watermark guard with a misleading
+    * ids-reused message (ADVICE r12). A PARTIALLY-overlapping rebatch
+    * still fails fast: mixed committed/uncommitted spans cannot be
+    * replayed safely under the span-fence protocol.
     *
     * `resolve` runs EVERY batch, so a dispute opened in batch N drains in
     * the first batch after its merge is committed — the quarantine pool
@@ -194,10 +216,21 @@ object DocStream {
         try {
           val span = b.agg(min("doc_id"), max("doc_id")).head()
           if (!span.isNullAt(0)) {
-            val fence = spark.table(s"${splitPrefix}_meta")
+            val exactFence = spark.table(s"${splitPrefix}_meta")
               .filter(col("lo") === span.getLong(0) &&
                 col("hi") === span.getLong(1) && col("kind") === "apply")
               .limit(1).collect().nonEmpty
+            // changed-batching replay: every batch id at-or-below the
+            // watermark AND already assigned means the docs committed
+            // under DIFFERENT spans (a rebatched redeploy) — heal, don't
+            // die on the watermark guard (ADVICE r12)
+            val fence = exactFence ||
+              (graft.operators.SplitState.watermark(spark, splitPrefix)
+                  .exists(_ >= span.getLong(1)) &&
+                b.select("doc_id")
+                  .join(graft.operators.SplitState.load(spark, splitPrefix),
+                    Seq("doc_id"), "left_anti")
+                  .limit(1).collect().isEmpty)
             if (fence) {
               // HEAL path: splits committed; make the index whole
               val have = spark.table(s"${indexPrefix}_shingles")
@@ -212,9 +245,15 @@ object DocStream {
             } else {
               val pairs = graft.operators.DedupOps.ngramJaccardPairsVsIndex(
                 b, graft.operators.DedupOps.loadNgramPrefixIndex(spark, indexPrefix))
-                .select("a", "b")
+                .localCheckpoint(eager = true) // reused: record + contraction
+              // persist the verified pairs FIRST — recordPairs' own meta
+              // row makes any later replay of this step a fingerprint-
+              // verified no-op (pair discovery is deterministic until the
+              // index append, which runs last)
+              graft.operators.SplitState.recordPairs(spark, splitPrefix,
+                pairs, span.getLong(0), span.getLong(1))
               val st = graft.operators.ClusterState.load(spark, clusterRoot)
-                .insert(pairs, maxIter = 100)
+                .insert(pairs.select("a", "b"), maxIter = 100)
               // materialize BEFORE save: save() prunes the version the
               // loaded frames read (the documented terminal-step contract)
               val labels = st.labels.localCheckpoint(eager = true)
@@ -234,7 +273,7 @@ object DocStream {
     val caller = docsStream.sparkSession
     for (t <- Seq(s"${indexPrefix}_prefix", s"${indexPrefix}_df",
         s"${indexPrefix}_shingles", s"${splitPrefix}_assign",
-        s"${splitPrefix}_meta", s"${splitPrefix}_moves"))
+        s"${splitPrefix}_meta", s"${splitPrefix}_moves", s"${splitPrefix}_pairs"))
       if (caller.catalog.tableExists(t)) caller.catalog.refreshTable(t)
   }
 

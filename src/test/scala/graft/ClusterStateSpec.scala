@@ -229,7 +229,7 @@ class ClusterStateSpec extends AnyFunSuite {
     }
   }
 
-  test("nightly loop, ALL FIVE at-rest artifacts: MinHash + prefix + first-seen indexes, ClusterState AND SplitState; takedown reaches every artifact; quarantine drains") {
+  test("nightly loop, ALL SIX at-rest artifacts: MinHash + prefix + first-seen indexes, ClusterState, SplitState AND the verified-pairs artifact; takedown reaches every artifact; quarantine drains") {
     import graft.operators.{DedupOps, CorpusOps, SplitState}
     // compact five-way loop on a planted corpus: docs 0/1 are exact dups,
     // batch doc 10 is an exact dup of corpus doc 2, 11/12 are unique, and
@@ -261,15 +261,19 @@ class ClusterStateSpec extends AnyFunSuite {
       .withColumn("n_chars", length(col("text")).cast("bigint"))
     val root = java.nio.file.Files.createTempDirectory("graft-nightly5").toString
     try {
-      // day 0: build + persist all five artifacts
+      // day 0: build + persist all six artifacts (the verified corpus
+      // pairs are the sixth — recorded the moment discovery computes
+      // them, so the wall audit never re-mines)
       DedupOps.indexCorpus(corpus).saveAsTables("n4_mh", nBuckets = 4)
       DedupOps.indexNgramPrefix(corpus, 0.5).saveAsTables("n4_np", nBuckets = 4)
       CorpusOps.saveFirstSeenIndex(corpus, "n4_fs", nBuckets = 4)
-      val st0 = ClusterState.build(DedupOps.ngramJaccardPairsOf(corpus, 0.5)
-        .select("a", "b"), maxIter = 50)
+      val pairs0 = DedupOps.ngramJaccardPairsOf(corpus, 0.5)
+        .localCheckpoint(true)
+      val st0 = ClusterState.build(pairs0.select("a", "b"), maxIter = 50)
       st0.save(root)
       SplitState.init(spark, "n4_sp", corpus.select("doc_id"),
         st0.labels, nBuckets = 4)
+      SplitState.recordPairs(spark, "n4_sp", pairs0, 0L, 9L, nBuckets = 4)
       // day 1, FRESH session: load everything, admit the batch through
       // every artifact
       val s2 = spark.newSession()
@@ -280,8 +284,10 @@ class ClusterStateSpec extends AnyFunSuite {
       assert(novelty(10L) == 0.0 && novelty(11L) == 1.0 && novelty(12L) == 1.0,
         s"$novelty")
       assert(novelty(13L) == 0.0, s"bridge doc's shingles are all covered: $novelty")
-      val npPairs = DedupOps.ngramJaccardPairsVsIndex(
-        batch, DedupOps.loadNgramPrefixIndex(s2, "n4_np")).select("a", "b")
+      val npPairsFull = DedupOps.ngramJaccardPairsVsIndex(
+        batch, DedupOps.loadNgramPrefixIndex(s2, "n4_np")).localCheckpoint(true)
+      SplitState.recordPairs(s2, "n4_sp", npPairsFull, 10L, 13L, nBuckets = 4)
+      val npPairs = npPairsFull.select("a", "b")
       val st = ClusterState.load(s2, root).insert(npPairs, maxIter = 50)
       // the split assignment flows THROUGH the committed merge's labels
       SplitState.assign(s2, "n4_sp", batch.select("doc_id"), st.labels)
@@ -305,6 +311,25 @@ class ClusterStateSpec extends AnyFunSuite {
       assert(atN(10L) == bucket(2L) && atN(11L) == bucket(11L) &&
         atN(12L) == bucket(12L) && atN(13L) == "quarantine", s"$atN")
       assert(atN(pA) == bucket(pA) && atN(pB) == bucket(pB), s"$atN")
+      // PAIR LEG: the at-rest pair set ≡ the full corpus∪batch re-mine —
+      // the wall audit can read recorded pairs instead of re-mining
+      def pairSet(df: org.apache.spark.sql.DataFrame) = df.select("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val allDocs = corpus.unionByName(batchRows.toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text")).cast("bigint")))
+      assert(pairSet(SplitState.loadPairs(spark, "n4_sp")) ==
+        pairSet(DedupOps.ngramJaccardPairsOf(allDocs, 0.5)))
+      assert(pairSet(SplitState.loadPairs(spark, "n4_sp")).nonEmpty)
+      // ...and the audit over recorded pairs at snapshot N: the bridge's
+      // edges read pending (dispute open), nothing leaks, nothing is
+      // unassigned
+      val auditN = DedupOps.wallAudit(
+        SplitState.loadPairs(spark, "n4_sp").select("a", "b"),
+        SplitState.load(spark, "n4_sp"))
+        .groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(!auditN.contains("leak") && !auditN.contains("unassigned"), s"$auditN")
+      assert(auditN.contains("pending"), s"bridge edges must be pending: $auditN")
       // day 2: TAKEDOWN of doc 2 from all five artifacts
       val victim = Seq(2L)
       ClusterState.load(spark, root)
@@ -366,10 +391,30 @@ class ClusterStateSpec extends AnyFunSuite {
       assert(moves == Set(
         (junior, bucket(junior), bucket(senior), "realign"),
         (13L, "quarantine", bucket(senior), "quarantine_drain")), s"$moves")
+      // pair leg of the takedown: BEFORE compact the victim's pairs are
+      // hidden at read; the audit over recorded pairs is clean and
+      // complete (left joins would surface any coverage gap as
+      // 'unassigned')
+      assert(pairSet(SplitState.loadPairs(s3, "n4_sp")) ==
+        pairSet(DedupOps.ngramJaccardPairsOf(
+          allDocs.filter(col("doc_id") =!= 2L), 0.5)))
+      val auditN1 = DedupOps.wallAudit(
+        SplitState.loadPairs(s3, "n4_sp").select("a", "b"),
+        SplitState.load(s3, "n4_sp"))
+        .groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(auditN1.keySet == Set("ok"), s"post-resolve audit not clean: $auditN1")
       // compact folds the takedown; a FRESH session reads identical state
       SplitState.compact(s3, "n4_sp")
       assert(splitMap(spark.newSession()) == atN1)
       assert(!s3.catalog.tableExists("n4_sp_tombstones"))
+      // ...including the pair artifact: the victim's rows are out of the
+      // FILES now, not just filtered at read
+      assert(spark.newSession().table("n4_sp_pairs")
+        .filter(col("a") === 2L || col("b") === 2L).count() == 0L)
+      assert(pairSet(SplitState.loadPairs(spark.newSession(), "n4_sp")) ==
+        pairSet(DedupOps.ngramJaccardPairsOf(
+          allDocs.filter(col("doc_id") =!= 2L), 0.5)))
     } finally {
       for (t <- Seq("shingles", "bands", "tombstones"))
         spark.sql(s"DROP TABLE IF EXISTS n4_mh_$t")
@@ -377,7 +422,8 @@ class ClusterStateSpec extends AnyFunSuite {
         spark.sql(s"DROP TABLE IF EXISTS n4_np_$t")
       for (t <- Seq("firstseen", "firstseen_compact", "meta", "tombstones"))
         spark.sql(s"DROP TABLE IF EXISTS n4_fs_$t")
-      for (t <- Seq("assign", "assign_compact", "meta", "moves", "tombstones"))
+      for (t <- Seq("assign", "assign_compact", "meta", "meta_migrate",
+          "moves", "moves_compact", "pairs", "pairs_compact", "tombstones"))
         spark.sql(s"DROP TABLE IF EXISTS n4_sp_$t")
     }
   }

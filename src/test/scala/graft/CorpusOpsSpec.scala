@@ -162,7 +162,8 @@ class CorpusOpsSpec extends AnyFunSuite {
   }
 
   private def dropFsTables(prefix: String): Unit =
-    for (t <- Seq("firstseen", "firstseen_compact", "meta", "tombstones"))
+    for (t <- Seq("firstseen", "firstseen_compact", "meta", "meta_migrate",
+        "tombstones"))
       spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t")
 
   test("first-seen takedown: interim drop semantics, compact re-attributes to next-senior survivor, parity with from-scratch") {
@@ -246,6 +247,44 @@ class CorpusOpsSpec extends AnyFunSuite {
           Seq((10L, "e1 e2 e3")).toDF("doc_id", "text")))
       assert(e3.getMessage.contains("tombstone"))
     } finally dropFsTables("graft_fsg")
+  }
+
+  test("first-seen legacy _meta (span-only) migrates on the first new admission instead of crashing the append") {
+    val corpus = Seq((0L, "m1 m2 m3 m4"), (3L, "n1 n2 n3")).toDF("doc_id", "text")
+    try {
+      CorpusOps.saveFirstSeenIndex(corpus, "graft_fsl", nBuckets = 2)
+      // rewrite _meta in the PRE-UPGRADE shape: (lo, hi) only — the state
+      // an index built before the fingerprint columns existed is in
+      val legacy = spark.table("graft_fsl_meta").select("lo", "hi")
+        .localCheckpoint(true)
+      spark.sql("DROP TABLE graft_fsl_meta")
+      legacy.write.format("parquet").saveAsTable("graft_fsl_meta")
+      // the first admission to the legacy index must migrate, not throw a
+      // column-count AnalysisException (ADVICE r12)
+      val b = Seq((10L, "p1 p2 p3")).toDF("doc_id", "text")
+      CorpusOps.appendToFirstSeenIndex(spark, "graft_fsl", b)
+      assert(CorpusOps.firstSeenWatermark(spark, "graft_fsl").contains(10L))
+      val meta = spark.table("graft_fsl_meta")
+      assert(meta.schema.fieldNames.toSet == Set("lo", "hi", "n", "fp"))
+      // migrated legacy rows carry null fingerprints (span-only exemption);
+      // the new row carries a real one
+      assert(meta.filter(col("hi") === 3L && col("fp").isNull).count() == 1L)
+      assert(meta.filter(col("hi") === 10L && col("fp").isNotNull).count() == 1L)
+      // replays still behave: same batch no-ops, divergent content on the
+      // NEW span still fails the fingerprint check
+      CorpusOps.appendToFirstSeenIndex(spark, "graft_fsl", b)
+      assert(spark.table("graft_fsl_meta").count() == 2L)
+      val eFp = intercept[IllegalArgumentException](
+        CorpusOps.appendToFirstSeenIndex(spark, "graft_fsl",
+          Seq((10L, "DIVERGED q1")).toDF("doc_id", "text")))
+      assert(eFp.getMessage.contains("fingerprint"))
+      // crash between the migration's drop and rename: healed at entry
+      spark.table("graft_fsl_meta").write.format("parquet")
+        .saveAsTable("graft_fsl_meta_migrate")
+      spark.sql("DROP TABLE graft_fsl_meta")
+      assert(CorpusOps.firstSeenWatermark(spark, "graft_fsl").contains(10L))
+      assert(spark.catalog.tableExists("graft_fsl_meta"))
+    } finally dropFsTables("graft_fsl")
   }
 
   test("first-seen compact crash-heal: dangling _compact staging is renamed back before new work") {

@@ -21,7 +21,8 @@ class SplitStateSpec extends AnyFunSuite {
     (from to 1999L).find(i => bucketOf(i) == want).get
 
   private def drop(p: String): Unit =
-    for (t <- Seq("_assign", "_assign_compact", "_meta", "_moves", "_tombstones"))
+    for (t <- Seq("_assign", "_assign_compact", "_meta", "_meta_migrate",
+        "_moves", "_moves_compact", "_pairs", "_pairs_compact", "_tombstones"))
       spark.sql(s"DROP TABLE IF EXISTS $p$t")
 
   private def loadMap(s: org.apache.spark.sql.SparkSession, p: String): Map[Long, String] =
@@ -276,6 +277,144 @@ class SplitStateSpec extends AnyFunSuite {
     } finally drop(p)
   }
 
+  test("recordPairs/loadPairs: the at-rest pair artifact accumulates per batch; replay is fingerprint-verified; takedown + compact fold pairs; orphans adopted") {
+    val p = "graft_sp_pairs"
+    try {
+      drop(p)
+      SplitState.init(spark, p, Seq(1L, 2L, 3L).toDF("doc_id"),
+        Seq.empty[(Long, Long)].toDF("node", "label"))
+      // day 0: corpus pairs recorded with the init span
+      val corpusPairs = Seq((1L, 2L, 0.8), (2L, 3L, 0.6)).toDF("a", "b", "jac")
+      SplitState.recordPairs(spark, p, corpusPairs, 1L, 3L)
+      def pairSet(s: org.apache.spark.sql.SparkSession = spark) =
+        SplitState.loadPairs(s, p).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pairSet() == Set((1L, 2L, 0.8), (2L, 3L, 0.6)))
+      // batch: incident pairs (batch~corpus + batch~batch) with the batch span
+      SplitState.assign(spark, p, Seq(10L, 11L).toDF("doc_id"),
+        Seq.empty[(Long, Long)].toDF("node", "label"))
+      SplitState.recordPairs(spark, p,
+        Seq((3L, 10L, 0.7), (10L, 11L, 0.9)).toDF("a", "b", "jac"), 10L, 11L)
+      assert(pairSet() ==
+        Set((1L, 2L, 0.8), (2L, 3L, 0.6), (3L, 10L, 0.7), (10L, 11L, 0.9)))
+      // at rest: a fresh session reads the same set
+      assert(pairSet(spark.newSession()) == pairSet())
+      // replay of a committed span with the SAME content: recorded no-op
+      val rows = spark.table(s"${p}_pairs").count()
+      SplitState.recordPairs(spark, p,
+        Seq((3L, 10L, 0.7), (10L, 11L, 0.9)).toDF("a", "b", "jac"), 10L, 11L)
+      assert(spark.table(s"${p}_pairs").count() == rows)
+      // ...but an IMPOSTOR presenting the same span with different pairs
+      // fails fast instead of silently no-opping
+      val eF = intercept[IllegalArgumentException](
+        SplitState.recordPairs(spark, p,
+          Seq((3L, 10L, 0.7), (10L, 99L, 0.9)).toDF("a", "b", "jac"), 10L, 11L))
+      assert(eF.getMessage.contains("fingerprint"))
+      // crashed-attempt orphans at the next seq: adopted by the re-run,
+      // never duplicated
+      val next = SplitState.committedSeq(spark, p) + 1
+      Seq((11L, 12L, 0.55, next)).toDF("a", "b", "jac", "seq")
+        .write.mode("append").format("parquet").bucketBy(32, "a")
+        .saveAsTable(s"${p}_pairs")
+      assert(!pairSet().contains((11L, 12L, 0.55)), "uncommitted pair visible")
+      SplitState.recordPairs(spark, p,
+        Seq((11L, 12L, 0.55), (2L, 12L, 0.5)).toDF("a", "b", "jac"), 12L, 12L)
+      assert(spark.table(s"${p}_pairs")
+        .filter(col("a") === 11L && col("b") === 12L).count() == 1L)
+      assert(pairSet().contains((2L, 12L, 0.5)))
+      // TAKEDOWN of doc 10: its pairs vanish at read, and compact folds
+      // the removal into the files (no re-attribution — a pair dies with
+      // either endpoint)
+      SplitState.remove(p, Seq(10L).toDF("doc_id"))
+      assert(pairSet() ==
+        Set((1L, 2L, 0.8), (2L, 3L, 0.6), (11L, 12L, 0.55), (2L, 12L, 0.5)))
+      SplitState.compact(spark, p)
+      assert(spark.table(s"${p}_pairs")
+        .filter(col("a") === 10L || col("b") === 10L).count() == 0L)
+      assert(pairSet() ==
+        Set((1L, 2L, 0.8), (2L, 3L, 0.6), (11L, 12L, 0.55), (2L, 12L, 0.5)))
+    } finally drop(p)
+  }
+
+  test("assign replay guard: a same-span different-content replay fails fast; a legacy _meta (no fingerprint columns) migrates and keeps the span-only exemption") {
+    val p = "graft_sp_fp"
+    try {
+      drop(p)
+      SplitState.init(spark, p, Seq(1L, 2L).toDF("doc_id"),
+        Seq.empty[(Long, Long)].toDF("node", "label"))
+      SplitState.assign(spark, p, Seq(10L, 12L).toDF("doc_id"),
+        Seq.empty[(Long, Long)].toDF("node", "label"))
+      // same (lo, hi) = (10, 12), DIFFERENT id set: the silent no-op this
+      // guard kills would leave doc 11 assigned under the old content
+      val e = intercept[IllegalArgumentException](
+        SplitState.assign(spark, p, Seq(10L, 11L, 12L).toDF("doc_id"),
+          Seq.empty[(Long, Long)].toDF("node", "label")))
+      assert(e.getMessage.contains("fingerprint"))
+      // byte-identical replay still no-ops
+      val rows = spark.table(s"${p}_assign").count()
+      SplitState.assign(spark, p, Seq(10L, 12L).toDF("doc_id"),
+        Seq.empty[(Long, Long)].toDF("node", "label"))
+      assert(spark.table(s"${p}_assign").count() == rows)
+      // LEGACY family: rewrite _meta without the fingerprint columns (a
+      // pre-upgrade index); the next commit must MIGRATE it instead of
+      // throwing a column-count mismatch, and the legacy span row falls
+      // back to the span-only exemption
+      val legacy = spark.table(s"${p}_meta").select("seq", "lo", "hi", "kind")
+        .localCheckpoint(true)
+      spark.sql(s"DROP TABLE ${p}_meta")
+      legacy.write.format("parquet").saveAsTable(s"${p}_meta")
+      SplitState.assign(spark, p, Seq(20L).toDF("doc_id"),
+        Seq.empty[(Long, Long)].toDF("node", "label"))
+      assert(loadMap(spark, p).contains(20L))
+      assert(spark.table(s"${p}_meta").schema.fieldNames.contains("fp"))
+      // the legacy apply row (null fp) admits a same-span replay without
+      // a fingerprint — the documented weaker exemption, not a crash
+      SplitState.assign(spark, p, Seq(10L, 11L, 12L).toDF("doc_id"),
+        Seq.empty[(Long, Long)].toDF("node", "label"))
+      assert(!loadMap(spark, p).contains(11L), "legacy replay must no-op")
+    } finally drop(p)
+  }
+
+  test("incremental wall audit plan: reads the at-rest _pairs scan — no shingling, no window, no pair generation (O(pairs + state), plan-asserted)") {
+    val p = "graft_sp_plan"
+    try {
+      drop(p)
+      SplitState.init(spark, p, Seq(1L, 2L, 3L).toDF("doc_id"),
+        Seq((1L, 1L), (2L, 1L)).toDF("node", "label"))
+      SplitState.recordPairs(spark, p,
+        Seq((1L, 2L, 0.9)).toDF("a", "b", "jac"), 1L, 3L)
+      val audit = graft.operators.DedupOps.wallAudit(
+        SplitState.loadPairs(spark, p).select("a", "b"),
+        SplitState.load(spark, p))
+      val plan = audit.queryExecution.executedPlan.toString
+      assert(plan.contains(s"${p}_pairs"), "audit must read the pair artifact")
+      // the re-mine signature is shingle explode (Generate) + the
+      // prefix-order window + a candidate join; none may appear in the
+      // nightly audit's plan
+      assert(!plan.contains("Generate"), s"shingle explode in audit plan:\n$plan")
+      assert(!plan.contains("Window"), s"window in audit plan:\n$plan")
+      assert(audit.count() == 1L)
+    } finally drop(p)
+  }
+
+  test("wallAudit surfaces unassigned endpoints instead of dropping the pair") {
+    val p = "graft_sp_unas"
+    try {
+      drop(p)
+      val a = idWith("train")
+      SplitState.init(spark, p, Seq(a).toDF("doc_id"),
+        Seq.empty[(Long, Long)].toDF("node", "label"))
+      // pair (a, 999): 999 holds no recorded split — the coverage gap must
+      // read 'unassigned', not vanish and leave the zero-leak proof vacuous
+      val audit = graft.operators.DedupOps.wallAudit(
+        Seq((a, 999L), (a, a)).toDF("a", "b"), SplitState.load(spark, p))
+        .collect().map(r => (r.getLong(r.fieldIndex("a")), r.getLong(r.fieldIndex("b")))
+          -> r.getString(r.fieldIndex("status"))).toMap
+      assert(audit((a, 999L)) == "unassigned", s"$audit")
+      assert(audit((a, a)) == "ok", s"$audit")
+    } finally drop(p)
+  }
+
   test("remove + compact: tombstone filters at read, compact collapses history and folds the takedown, staging crash heals") {
     val p = "graft_sp_cmp"
     try {
@@ -313,6 +452,16 @@ class SplitStateSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE ${p}_assign")
       SplitState.compact(spark, p)
       assert(loadMap(spark, p) == Map(b -> bucketOf(a)))
+      // the AUDIT table gets the same staged protocol (ADVICE r12: an
+      // in-place overwrite would lose the whole trail on a mid-rewrite
+      // crash): park the moves in _moves_compact, drop the live table,
+      // and compact must heal instead of leaving the trail dangling
+      spark.table(s"${p}_moves").write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${p}_moves_compact")
+      spark.sql(s"DROP TABLE ${p}_moves")
+      SplitState.compact(spark, p)
+      assert(spark.table(s"${p}_moves").count() == 1L,
+        "dangling _moves_compact not healed — audit trail lost")
     } finally drop(p)
   }
 }

