@@ -1498,6 +1498,25 @@ object DedupOps {
     "q120_split_resolve" -> ((s, d) =>
       SplitState.load(s, q120SplitPrefix(s, d)).orderBy("doc_id")),
 
+    // QUARANTINE-AGING analytics (VERDICT r12 item 8): per drained doc,
+    // when it entered the dispute pool, when it drained, and its age in
+    // operation ticks — read from `_assign` + `_moves` only (the audit
+    // trail already holds everything; no text, no pairs). The history is
+    // planted (see q123SplitPrefix): bridges quarantine at seq 1 and
+    // drain at seq 2 under the senior rule, which the oracle replays as
+    // arithmetic on component rep ids.
+    "q123_quarantine_aging" -> ((s, d) =>
+      SplitState.quarantineAging(s, q123SplitPrefix(s, d))
+        .select("doc_id", "entered_seq", "drained_seq", "age")
+        .orderBy("doc_id")),
+
+    // Dispute-pool size per committed operation — the curve that proves
+    // quarantine DRAINS (0 → K → 0 across init/assign/resolve) instead of
+    // accumulating. One ±1-event pass over the assign history, prefix-sum
+    // over the (tiny) committed-operation list.
+    "q124_quarantine_pool" -> ((s, d) =>
+      SplitState.quarantinePool(s, q123SplitPrefix(s, d)).orderBy("seq")),
+
     // Incremental dedup: every 10th doc plays the incoming batch, the rest
     // the existing corpus; report each batch doc's best verified corpus
     // match at Jaccard >= 0.5 (deterministic tie-break on corpus_id).
@@ -1681,6 +1700,47 @@ object DedupOps {
         removed.select(col("doc_id").as("node")), maxIter = 100).labels
       SplitState.resolve(s, p, survivorLabels)
       SplitState.compact(s, p)
+      p
+    })
+
+  /** q123/q124: a family with a PLANTED dispute history (organic
+    * cross-split bridges don't occur in the synthetic corpus at small
+    * sf — the q122 planting trick applied to quarantine analytics). The
+    * k-th train-split corpus COMPONENT is merged with the k-th
+    * test-split component (k ≤ 3, components ordered by rep id) by a
+    * synthetic bridge doc; assign quarantines every bridge (seq 1),
+    * resolve drains them all (seq 2). Deterministic and replayed by the
+    * DuckDB oracle, because a component's rep IS its minimum member, so
+    * the senior-rule outcome is pure arithmetic on the rep ids. */
+  private def q123SplitPrefix(s: SparkSession, d: String): String =
+    splitStateCache.computeIfAbsent((s, stateKey(d, "q123")), _ => {
+      import org.apache.spark.sql.expressions.Window
+      val p = "graft_split_aging_" + math.abs(stateKey(d, "q123").hashCode)
+      dropSplitTables(s, p)
+      val (thr, _, corpusLabels, _) = q118State(s, d)
+      val corpusIds = Tables.load(s, d, "documents")
+        .select("doc_id").filter(col("doc_id") <= thr)
+      SplitState.init(s, p, corpusIds, corpusLabels)
+      val comps = corpusIds
+        .join(corpusLabels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(coalesce(col("label"), col("doc_id")).as("comp")).distinct()
+        .withColumn("split", SplitState.splitOf(col("comp")))
+      val ranked = comps.withColumn("rk",
+        row_number().over(Window.partitionBy("split").orderBy("comp")))
+        .filter(col("rk") <= 3)
+      val bridges = ranked.filter(col("split") === "train")
+        .select(col("rk"), col("comp").as("ct"))
+        .join(ranked.filter(col("split") === "test")
+          .select(col("rk"), col("comp").as("cb")), "rk")
+        .select((lit(thr) + lit(1000000L) + col("rk")).cast("bigint").as("doc_id"),
+          col("ct"), col("cb"))
+        .localCheckpoint(eager = true)
+      val pairs = bridges.select(col("doc_id").as("a"), col("ct").as("b"))
+        .unionByName(bridges.select(col("doc_id").as("a"), col("cb").as("b")))
+      val updated = DedupPipeline.updateClusters(corpusLabels, pairs, maxIter = 100)
+        .localCheckpoint(eager = true)
+      SplitState.assign(s, p, bridges.select("doc_id"), updated) // seq 1
+      SplitState.resolve(s, p, updated)                          // seq 2
       p
     })
 
@@ -2034,6 +2094,44 @@ object DedupOps {
          |SELECT d.doc_id, ${splitOfSql("COALESCE(l.label, d.doc_id)")} AS split
          |FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
          |WHERE d.doc_id % 5 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    // The planted dispute history is deterministic: bridge k merges the
+    // k-th train component with the k-th test component, quarantines at
+    // seq 1 and drains at seq 2 — the oracle recomputes the component
+    // ranking from the corpus closure and emits the arithmetic result.
+    "q123_quarantine_aging" ->
+      s"""${closureCtesSql(" WHERE doc_id <= (SELECT CAST(floor(max(doc_id) * 0.9) AS BIGINT) FROM documents)")},
+         | lab AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+         | thr AS (SELECT CAST(floor(max(doc_id) * 0.9) AS BIGINT) AS mx FROM documents),
+         | comps AS (SELECT DISTINCT COALESCE(l.label, d.doc_id) AS comp
+         |           FROM documents d LEFT JOIN lab l ON l.node = d.doc_id, thr
+         |           WHERE d.doc_id <= thr.mx),
+         | cs AS (SELECT comp, ${splitOfSql("comp")} AS split FROM comps),
+         | ranked AS (SELECT comp, split,
+         |            row_number() OVER (PARTITION BY split ORDER BY comp) AS rk FROM cs),
+         | br AS (SELECT t.rk FROM ranked t JOIN ranked b ON t.rk = b.rk
+         |        WHERE t.split = 'train' AND b.split = 'test' AND t.rk <= 3)
+         |SELECT CAST(thr.mx + 1000000 + br.rk AS BIGINT) AS doc_id,
+         | CAST(1 AS BIGINT) AS entered_seq, CAST(2 AS BIGINT) AS drained_seq,
+         | CAST(1 AS BIGINT) AS age
+         |FROM br, thr ORDER BY doc_id""".stripMargin,
+
+    "q124_quarantine_pool" ->
+      s"""${closureCtesSql(" WHERE doc_id <= (SELECT CAST(floor(max(doc_id) * 0.9) AS BIGINT) FROM documents)")},
+         | lab AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+         | thr AS (SELECT CAST(floor(max(doc_id) * 0.9) AS BIGINT) AS mx FROM documents),
+         | comps AS (SELECT DISTINCT COALESCE(l.label, d.doc_id) AS comp
+         |           FROM documents d LEFT JOIN lab l ON l.node = d.doc_id, thr
+         |           WHERE d.doc_id <= thr.mx),
+         | cs AS (SELECT comp, ${splitOfSql("comp")} AS split FROM comps),
+         | ranked AS (SELECT comp, split,
+         |            row_number() OVER (PARTITION BY split ORDER BY comp) AS rk FROM cs),
+         | br AS (SELECT t.rk FROM ranked t JOIN ranked b ON t.rk = b.rk
+         |        WHERE t.split = 'train' AND b.split = 'test' AND t.rk <= 3)
+         |SELECT CAST(0 AS BIGINT) AS seq, CAST(0 AS BIGINT) AS pool
+         |UNION ALL SELECT CAST(1 AS BIGINT), (SELECT CAST(count(*) AS BIGINT) FROM br)
+         |UNION ALL SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+         |ORDER BY seq""".stripMargin,
 
     // Same sketch/band replay as q51, with the band join restricted to
     // batch × corpus and a per-batch-doc argmax.

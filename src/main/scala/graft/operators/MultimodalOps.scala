@@ -56,6 +56,53 @@ object MultimodalOps {
       .as[MediaIn]
   }
 
+  /** PERCEPTUAL fingerprint of a binary media payload: 64-bit SimHash over
+    * sliding byte 4-grams — the media member of the near-dup family
+    * (VERDICT r12 demand 4), bridging multimodal columns into the same
+    * banded-pair → cluster → split machinery text enjoys. A mildly
+    * perturbed copy (re-encode jitter, appended metadata, a few changed
+    * bytes) shares almost all 4-grams, so its fingerprint sits a few
+    * Hamming bits away; unrelated payloads land ~32 apart. In the stub
+    * world the payload IS utf-8 text bytes, which keeps the whole pipeline
+    * DuckDB-replayable (the q70 trick); a real pipeline would fingerprint
+    * DECODED blocks (pixel tiles, audio frames) at exactly this boundary —
+    * everything downstream of the gram column is codec-agnostic.
+    * Returns (doc_id, phash). */
+  def mediaFingerprint(media: DataFrame): DataFrame =
+    media
+      .select(col("doc_id"), col("payload").cast("string").as("s"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(length(s) - 3, 0)), i -> substring(s, i, 4))")).as("g"))
+      .select(col("doc_id"), graft.plans.Md5Lower64.of(col("g")).as("th"))
+      .groupBy("doc_id")
+      .agg(graft.plans.SimHashSketchAgg.sketch(col("th")).as("phash"))
+
+  /** Media near-dup pairs via the q52 banding over [[mediaFingerprint]]:
+    * 16-bit chunk LSH for candidates (4 chunks — complete recall within
+    * Hamming 3 by pigeonhole, the q52 trade), exact Hamming verify at
+    * `maxHamming`. Returns (a, b, hamming), a < b. Scale: fingerprints are
+    * one row per asset, the chunk join is banded (never all-pairs), and
+    * the pair output feeds ClusterState/SplitState membership unchanged —
+    * media assets then ride the SAME takedown/quarantine/wall-audit
+    * machinery as documents. */
+  def mediaNearDupPairs(media: DataFrame, maxHamming: Int): DataFrame = {
+    val sigs = mediaFingerprint(media)
+    val chunks = sigs.select(
+      col("doc_id"), col("phash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"),
+          shiftrightunsigned(col("phash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ch"))): _*)).as("cc"))
+      .select(col("doc_id"), col("phash"), col("cc.c").as("c"), col("cc.ch").as("ch"))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.ch") === col("y.ch") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).cast("bigint").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Full multimodal pipeline: synthesize binary payloads from documents,
@@ -102,6 +149,25 @@ object MultimodalOps {
           (col("content_hash") % 1000000007L * 31 + col("frame_idx")) % 1000000007L)
         .select("doc_id", "n_frames", "stride", "frame_idx", "frame_hash")
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // MEDIA NEAR-DUP (VERDICT r12 demand 4): every 5th media asset gets a
+    // planted PERTURBED copy (id + 1000000, a short suffix appended to the
+    // payload — the re-encode/metadata-jitter stand-in), and the
+    // perceptual SimHash pipeline must find each copy a few Hamming bits
+    // from its original while exact-dup documents surface at distance 0.
+    // The pair set is what feeds cluster/split membership (spec'd in
+    // MultimodalSpec: a media near-dup lands in the same cluster and
+    // therefore the same split as its original — the takedown/wall-audit
+    // machinery covers media assets for free from here).
+    "q122_media_neardup" -> ((s, d) => {
+      val media = mediaOf(s, d).toDF()
+      val planted = media.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("kind"),
+          concat(col("payload").cast("string"), lit(" zz"),
+            (col("doc_id") % 7).cast("string")).cast("binary").as("payload"))
+      mediaNearDupPairs(media.unionByName(planted), maxHamming = 10)
+        .orderBy("a", "b")
     }),
 
     // Resize-to-fit 224×224 (aspect preserved): the geometry is exact
@@ -157,6 +223,34 @@ object MultimodalOps {
          |SELECT doc_id, n_frames, stride, frame_idx,
          | (content_hash % 1000000007 * 31 + frame_idx) % 1000000007 AS frame_hash
          |FROM u ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Replays the perceptual pipeline exactly: planted union, sliding
+    // char 4-grams, md5 per gram, per-bit majority vote, 16-bit chunk
+    // candidates, Hamming verify — the q52 oracle machinery over media
+    // payloads.
+    "q122_media_neardup" ->
+      """WITH media AS (
+        |   SELECT doc_id, text AS s FROM documents
+        |   UNION ALL
+        |   SELECT doc_id + 1000000 AS doc_id, text || ' zz' || CAST(doc_id % 7 AS VARCHAR) AS s
+        |   FROM documents WHERE doc_id % 5 = 0),
+        | grams AS (SELECT doc_id, substr(s, CAST(i AS INTEGER), 4) AS g
+        |           FROM media, LATERAL unnest(range(1, greatest(length(s) - 3, 0) + 1)) t(i)),
+        | th AS (SELECT doc_id, md5_number_lower(g) AS th FROM grams),
+        | votes AS (SELECT doc_id, b, sum(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |           FROM th CROSS JOIN range(64) t(b) GROUP BY doc_id, b),
+        | sig AS (SELECT doc_id,
+        |   CAST(sum(CASE WHEN v > 0 AND b < 32 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS lo,
+        |   CAST(sum(CASE WHEN v > 0 AND b >= 32 THEN (1::BIGINT << (b - 32)) ELSE 0 END) AS BIGINT) AS hi
+        |   FROM votes GROUP BY doc_id),
+        | chunks AS (SELECT doc_id, lo, hi, c,
+        |   CASE c WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+        |          WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS ch
+        |   FROM sig CROSS JOIN range(4) t(c)),
+        | pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |   CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming
+        |   FROM chunks x JOIN chunks y ON x.c = y.c AND x.ch = y.ch AND x.doc_id < y.doc_id)
+        |SELECT a, b, hamming FROM pairs WHERE hamming <= 10 ORDER BY a, b""".stripMargin,
 
     "q73_media_resize" ->
       s"""WITH f AS (SELECT * FROM ($featuresSql) t WHERE kind = 'image')

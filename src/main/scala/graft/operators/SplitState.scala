@@ -430,6 +430,63 @@ object SplitState {
     commitMeta(s, namePrefix, next, None, "resolve", None)
   }
 
+  /** QUARANTINE-AGING analytics (VERDICT r12 item 8) — the operational
+    * metric a data curator watches on the dispute pool: for every doc
+    * that ever entered quarantine, when it entered (first recorded
+    * quarantine assign), when it drained (first `quarantine_drain` audit
+    * row — null while the dispute is still open), and its age in
+    * OPERATION TICKS (committed `_meta` seqs are the family's only
+    * monotone clock; wall-clock would need an ingest-time column the
+    * artifact deliberately does not carry). A pending doc ages against
+    * the current committed seq. Reads `_assign` + `_moves` only —
+    * state-sized doc_id-keyed aggregates, no text, no pairs. */
+  def quarantineAging(s: SparkSession, namePrefix: String): DataFrame = {
+    val committed = committedSeq(s, namePrefix)
+    val entered = s.table(assignT(namePrefix))
+      .filter(col("seq") <= committed && col("split") === "quarantine")
+      .groupBy("doc_id").agg(min("seq").as("entered_seq"))
+    val drained =
+      if (!s.catalog.tableExists(movesT(namePrefix)))
+        entered.select(col("doc_id"), col("entered_seq").as("drained_seq")).limit(0)
+      else s.table(movesT(namePrefix))
+        .filter(col("seq") <= committed && col("reason") === "quarantine_drain")
+        .groupBy("doc_id").agg(min("seq").as("drained_seq"))
+    entered.join(drained, Seq("doc_id"), "left")
+      .withColumn("age",
+        coalesce(col("drained_seq"), lit(committed)) - col("entered_seq"))
+  }
+
+  /** Dispute-pool size at every committed operation seq — the curve that
+    * shows quarantine DRAINING rather than accumulating (the class-doc
+    * guarantee, made observable). Per doc, ±1 events at the seqs where
+    * its recorded split enters/leaves quarantine (one doc_id-partitioned
+    * window over the assign history), summed per seq and prefix-summed
+    * over the committed seq list. The final window is unpartitioned BY
+    * DESIGN: it runs over one row per committed OPERATION (maintenance
+    * cadence — dozens, not corpus-sized), after all doc-keyed work is
+    * reduced. Returns (seq, pool). */
+  def quarantinePool(s: SparkSession, namePrefix: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val committed = committedSeq(s, namePrefix)
+    val w = Window.partitionBy("doc_id").orderBy("seq")
+    val deltas = s.table(assignT(namePrefix))
+      .filter(col("seq") <= committed)
+      .withColumn("prev", lag("split", 1).over(w))
+      .withColumn("delta",
+        when(col("split") === "quarantine" &&
+          (col("prev").isNull || col("prev") =!= "quarantine"), 1L)
+          .when(col("split") =!= "quarantine" && col("prev") === "quarantine", -1L)
+          .otherwise(0L))
+      .groupBy("seq").agg(sum("delta").as("d"))
+    s.table(metaT(namePrefix))
+      .filter(col("seq") <= committed).select("seq").distinct()
+      .join(deltas, Seq("seq"), "left")
+      .withColumn("pool",
+        sum(coalesce(col("d"), lit(0L))).over(
+          Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("seq"), col("pool").cast("long").as("pool"))
+  }
+
   /** Artifact-consistency audit across the cluster/split pair: every
     * clustered doc (a `labels` node) must hold a recorded split. A
     * nonzero result means a maintenance cycle died after its cluster

@@ -229,7 +229,7 @@ class ClusterStateSpec extends AnyFunSuite {
     }
   }
 
-  test("nightly loop, ALL SIX at-rest artifacts: MinHash + prefix + first-seen indexes, ClusterState, SplitState AND the verified-pairs artifact; takedown reaches every artifact; quarantine drains") {
+  test("nightly loop, ALL SIX at-rest artifacts plus the served IVF index: takedown reaches every artifact including the vector side; quarantine drains") {
     import graft.operators.{DedupOps, CorpusOps, SplitState}
     // compact five-way loop on a planted corpus: docs 0/1 are exact dups,
     // batch doc 10 is an exact dup of corpus doc 2, 11/12 are unique, and
@@ -295,6 +295,33 @@ class ClusterStateSpec extends AnyFunSuite {
       DedupOps.appendToNgramPrefixIndex("n4_np", batch)
       CorpusOps.appendToFirstSeenIndex(s2, "n4_fs", batch)
       st.save(root)
+      // ANN LEG day 1 (VERDICT r12 demand 3): the serving IVF index over
+      // every admitted doc's embedding, saved at rest. Docs 2 and 10 (the
+      // exact-dup pair) carry near-identical vectors; everyone else sits
+      // far off their axis.
+      import graft.operators.IvfIndex
+      def embOf(i: Long): Seq[Double] = i match {
+        case 2L  => Seq(1.0, 0.0, 0.0)
+        case 10L => Seq(0.995, 0.1, 0.0)
+        case x   => Seq(math.cos(x * 0.7), math.sin(x * 0.7), 2.0)
+      }
+      val ivfRoot = java.nio.file.Files
+        .createTempDirectory("graft-nightly-ivf").toString
+      val allIds = (0L to 9L) ++ (10L to 13L)
+      IvfIndex.build(
+        allIds.map(i => (i, embOf(i))).toDF("vec_id", "emb"), k = 3)
+        .save(ivfRoot)
+      def hits(s: org.apache.spark.sql.SparkSession, probe: Long): Seq[(Long, Long)] = {
+        import s.implicits._
+        IvfIndex.load(s, ivfRoot)
+          .search(Seq((100L + probe, embOf(probe))).toDF("q_id", "q_emb"),
+            k = 3, nprobe = 3)
+          .select("rank", "n_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      }
+      assert(hits(spark, 2L).head._2 == 2L,
+        "victim must be servable before takedown")
+      val unrelatedBefore = hits(spark, 5L)
       // sanity: doc 10 clustered with its corpus twin 2; 13 merged A and B
       val labels1 = ClusterState.load(spark, root).labels
         .select("node", "label").collect()
@@ -338,6 +365,7 @@ class ClusterStateSpec extends AnyFunSuite {
       DedupOps.removeFromNgramPrefixIndex("n4_np", victim.toDF("doc_id"))
       CorpusOps.removeFromFirstSeenIndex("n4_fs", victim.toDF("doc_id"))
       SplitState.remove("n4_sp", victim.toDF("doc_id"))
+      IvfIndex.removeAtRest(spark, ivfRoot, victim.toDF("vec_id"))
       // day 3, FRESH session: no artifact still answers through doc 2
       val s3 = spark.newSession()
       val probe = Seq((1000L, mk(2L, "c2")._2)).toDF("doc_id", "text")
@@ -354,6 +382,18 @@ class ClusterStateSpec extends AnyFunSuite {
       assert(viaNp.filter(col("a") === 10L || col("b") === 10L).count() > 0L)
       assert(ClusterState.load(s3, root).labels
         .filter(col("node") === 2L).count() == 0L)
+      // ANN leg day 3: from a FRESH session, the removed vector is
+      // unreachable at FULL nprobe (it is gone from the only table search
+      // scans — probing every cell cannot resurrect it); its twin still
+      // serves, and an unrelated query's results are bit-identical
+      val victimHits = hits(s3, 2L)
+      assert(!victimHits.exists(_._2 == 2L),
+        s"removed vector still servable from the saved IVF index: $victimHits")
+      assert(victimHits.head._2 == 10L,
+        s"surviving twin must take over the probe: $victimHits")
+      assert(hits(s3, 5L).filterNot(_._2 == 2L) ==
+        unrelatedBefore.filterNot(_._2 == 2L),
+        "survivors' results must be unchanged by the takedown")
       // first-seen INTERIM semantics: doc 2's introductions read novel
       // again (doc 10's copy was anti-joined away at admit time)...
       val interim = CorpusOps.noveltyVsIndex(s3, "n4_fs", probe)

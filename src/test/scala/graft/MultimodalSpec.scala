@@ -30,4 +30,42 @@ class MultimodalSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("n_chars"))
     assert(joined.count() == 0)
   }
+
+  test("media near-dup bridges into cluster/split membership: the perturbed copy joins its original's cluster and split; unrelated assets stay apart") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.{DedupPipeline, SplitState}
+    // three unrelated media payloads (long, low char overlap) + one
+    // perturbed copy of asset 1 — re-encode jitter as an appended suffix
+    def blob(tag: String): Array[Byte] =
+      (0 until 40).map(j => s"${tag}byte$j").mkString(" ").getBytes("UTF-8")
+    val media = Seq(
+      (1L, "image", blob("aa")),
+      (2L, "image", blob("qq")),
+      (3L, "video", blob("zz")),
+      (11L, "image", (new String(blob("aa"), "UTF-8") + " jitter").getBytes("UTF-8")))
+      .toDF("doc_id", "kind", "payload")
+    val pairs = MultimodalOps.mediaNearDupPairs(media, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 11L)), s"expected only the planted pair: $pairs")
+    // the pair set feeds the SAME cluster machinery documents use...
+    val labels = DedupPipeline.clusters(
+      MultimodalOps.mediaNearDupPairs(media, maxHamming = 10).select("a", "b"),
+      maxIter = 10).toDF()
+    val lab = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab(11L) == lab(1L))
+    // ...and therefore the same split: rep-hash assignment puts the copy
+    // exactly where its original went, never across the wall
+    val p = "graft_media_split"
+    try {
+      for (t <- Seq("_assign", "_meta", "_moves", "_tombstones"))
+        spark.sql(s"DROP TABLE IF EXISTS $p$t")
+      SplitState.init(spark, p, media.select("doc_id"), labels)
+      val m = SplitState.load(spark, p).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(m(11L) == m(1L),
+        s"media near-dup straddles the wall: ${m(1L)} / ${m(11L)}")
+    } finally for (t <- Seq("_assign", "_meta", "_moves", "_tombstones"))
+      spark.sql(s"DROP TABLE IF EXISTS $p$t")
+  }
 }

@@ -397,6 +397,41 @@ class SplitStateSpec extends AnyFunSuite {
     } finally drop(p)
   }
 
+  test("quarantineAging/quarantinePool: multi-tick ages, pending disputes age against the committed seq, the pool curve rises and drains") {
+    val p = "graft_sp_age"
+    try {
+      drop(p)
+      // four singletons: a/c hash train-ish, b/d hash something different
+      val a = idWith("train"); val b = idWith("test", a + 1)
+      val c = idWith("train", math.max(a, b) + 1)
+      val d = idWith("test", c + 1)
+      SplitState.init(spark, p, Seq(a, b, c, d).toDF("doc_id"),
+        Seq.empty[(Long, Long)].toDF("node", "label"))
+      // seq 1: w1 bridges a~b → quarantine; seq 2: w2 joins the SAME open
+      // dispute → quarantine; seq 3: resolve drains both (ages 2 and 1)
+      val lab1 = Seq((a, a), (b, a), (500L, a)).toDF("node", "label")
+      SplitState.assign(spark, p, Seq(500L).toDF("doc_id"), lab1)
+      val lab2 = Seq((a, a), (b, a), (500L, a), (600L, a)).toDF("node", "label")
+      SplitState.assign(spark, p, Seq(600L).toDF("doc_id"), lab2)
+      SplitState.resolve(spark, p, lab2)
+      // seq 4: a NEW dispute (c~d) opens and stays pending
+      val lab3 = lab2.unionByName(
+        Seq((c, c), (d, c), (700L, c)).toDF("node", "label"))
+      SplitState.assign(spark, p, Seq(700L).toDF("doc_id"), lab3)
+      val aging = SplitState.quarantineAging(spark, p).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toMap
+      assert(aging == Map(
+        500L -> ((1L, Some(3L), 2L)),
+        600L -> ((2L, Some(3L), 1L)),
+        700L -> ((4L, None, 0L))), s"$aging")
+      val pool = SplitState.quarantinePool(spark, p).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(pool == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 0L, 4L -> 1L),
+        s"$pool")
+    } finally drop(p)
+  }
+
   test("wallAudit surfaces unassigned endpoints instead of dropping the pair") {
     val p = "graft_sp_unas"
     try {
