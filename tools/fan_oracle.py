@@ -21,7 +21,11 @@ import sys, os, json, subprocess
 from concurrent.futures import ProcessPoolExecutor, as_completed
 
 CLOSURE = {"q58_dedup_clusters", "q87_incremental_clusters",
-           "q110_cluster_deletion"}
+           "q110_cluster_deletion",
+           # the split/quarantine family's oracles are recursive-CTE
+           # closures too — tools/split_oracle.py is their sf-scale truth
+           "q119_split_state", "q120_split_resolve", "q121_wall_audit",
+           "q123_quarantine_aging", "q124_quarantine_pool"}
 # longest-observed-first (sf1 sweep telemetry); everything else after
 HEAVY_ORDER = ["q53_ngram_jaccard", "q51_minhash_lsh", "q74_incremental_dedup",
                "q97_cross_source_dups", "q52_simhash", "q63_embedding_neardup",

@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
-"""External sf-scale ground truth for the durable split family (q119/q120).
+"""External sf-scale ground truth for the durable split family
+(q119/q120/q121 and the planted q123/q124 quarantine analytics).
 
 Both queries' committed DuckDB oracles are recursive-CTE closures —
 intractable above sf0.1 (see closure_oracle.py). This tool lifts the
@@ -116,6 +117,14 @@ def main():
         return "ok" if sa == sb else "leak"
 
     se = sorted(edges)
+    # q123/q124: the planted dispute family — k-th train component bridged
+    # to k-th test component (k <= 3, components ordered by rep id; a
+    # component's rep IS its minimum member). Pure arithmetic once the
+    # corpus closure is in hand.
+    corpus_comps = sorted({corpus.get(i, i) for i in ids if i <= mx})
+    trains = [c for c in corpus_comps if split_of(c) == "train"][:3]
+    tests = [c for c in corpus_comps if split_of(c) == "test"][:3]
+    kk = min(len(trains), len(tests))
     truths = {
         "q119_split_state": pd.DataFrame({
             "doc_id": pd.array(ids, dtype="int64"),
@@ -129,6 +138,15 @@ def main():
             "split_a": [state[a] for a, _ in se],
             "split_b": [state[b] for _, b in se],
             "status": [status(a, b) for a, b in se]}),
+        "q123_quarantine_aging": pd.DataFrame({
+            "doc_id": pd.array([mx + 1000000 + k for k in range(1, kk + 1)],
+                               dtype="int64"),
+            "entered_seq": pd.array([1] * kk, dtype="int64"),
+            "drained_seq": pd.array([2] * kk, dtype="int64"),
+            "age": pd.array([1] * kk, dtype="int64")}),
+        "q124_quarantine_pool": pd.DataFrame({
+            "seq": pd.array([0, 1, 2], dtype="int64"),
+            "pool": pd.array([0, kk, 0], dtype="int64")}),
     }
 
     ok = True
