@@ -57,15 +57,28 @@ class MultimodalSpec extends AnyFunSuite {
     // ...and therefore the same split: rep-hash assignment puts the copy
     // exactly where its original went, never across the wall
     val p = "graft_media_split"
-    try {
-      for (t <- Seq("_assign", "_meta", "_moves", "_tombstones"))
+    def dropAll(): Unit =
+      for (t <- Seq("_assign", "_meta", "_moves", "_pairs", "_tombstones"))
         spark.sql(s"DROP TABLE IF EXISTS $p$t")
+    try {
+      dropAll()
       SplitState.init(spark, p, media.select("doc_id"), labels)
       val m = SplitState.load(spark, p).collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(m(11L) == m(1L),
         s"media near-dup straddles the wall: ${m(1L)} / ${m(11L)}")
-    } finally for (t <- Seq("_assign", "_meta", "_moves", "_tombstones"))
-      spark.sql(s"DROP TABLE IF EXISTS $p$t")
+      // ...and the pair artifact is modality-agnostic: record the media
+      // pair (Hamming mapped to a [0,1] similarity) and the at-rest wall
+      // audit covers media assets with the same ok/pending/leak verdicts
+      SplitState.recordPairs(spark, p,
+        MultimodalOps.mediaNearDupPairs(media, maxHamming = 10)
+          .select(col("a"), col("b"),
+            (lit(1.0) - col("hamming") / 64.0).as("jac")), 1L, 11L)
+      val audit = graft.operators.DedupOps.wallAudit(
+        SplitState.loadPairs(spark, p).select("a", "b"),
+        SplitState.load(spark, p))
+        .collect().map(r => r.getString(r.fieldIndex("status")))
+      assert(audit.toSeq == Seq("ok"), s"${audit.toSeq}")
+    } finally dropAll()
   }
 }
