@@ -97,6 +97,32 @@ object ScaleProbe {
       return
     }
 
+    // recordPairs per-batch cost probe (r13, the verdict's O(batch)
+    // assertion for the sixth artifact): a FIXED 5k-pair batch appended
+    // to a growing at-rest `_pairs` table. The only table-sized read on
+    // the path is the crashed-orphan probe (`seq === next`), which
+    // parquet row-group stats prune to zero data pages on committed
+    // files (each file holds one seq), so the cost must stay ~flat as
+    // the table grows 16×. SPARK_GRAFT_PAIRS_PROBE=1; results → BUILDLOG.
+    if (sys.env.contains("SPARK_GRAFT_PAIRS_PROBE")) {
+      import graft.operators.SplitState
+      import spark.implicits._
+      for (m <- Seq(100000L, 400000L, 1600000L)) {
+        val p = s"probe_pairs_$m"
+        SplitState.init(spark, p, spark.range(1, 1001).toDF("doc_id"),
+          Seq.empty[(Long, Long)].toDF("node", "label"))
+        val seed = spark.range(m).selectExpr(
+          "id + 2000 AS a", "id + 3000000 AS b", "0.75 AS jac")
+        SplitState.recordPairs(spark, p, seed, 1L, 1000L)
+        val batch = spark.range(5000).selectExpr(
+          "id + 8000000 AS a", "id + 9000000 AS b", "0.8 AS jac")
+        time(f"recordPairs batch=5k table=$m%,d")(
+          SplitState.recordPairs(spark, p, batch, 2000L, 3000L))
+      }
+      spark.stop()
+      return
+    }
+
     // q114 hot-key probe (r10 verdict "what's wrong" #4): the containment
     // operator keeps the prefix filter although the exhaustive count-join
     // is ~1.5× faster on the synthetic near-uniform dfs (max df 25 at
