@@ -31,6 +31,86 @@ class MultimodalSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("media phash index: at-rest round-trip, batch-over-batch append, takedown + compact, zero corpus-side shuffle (plan-asserted), vsIndex == full restricted") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val p = "graft_mp_idx"
+    def dropAll(): Unit =
+      for (t <- Seq("chunks", "chunks_compact", "meta", "tombstones"))
+        spark.sql(s"DROP TABLE IF EXISTS ${p}_$t")
+    def blob(tag: String): Array[Byte] =
+      (0 until 40).map(j => s"${tag}byte$j").mkString(" ").getBytes("UTF-8")
+    def perturbed(tag: String): Array[Byte] =
+      (new String(blob(tag), "UTF-8") + " jitter").getBytes("UTF-8")
+    val corpus = Seq(
+      (1L, "image", blob("aa")), (2L, "image", blob("qq")),
+      (3L, "video", blob("zz"))).toDF("doc_id", "kind", "payload")
+    try {
+      dropAll()
+      MultimodalOps.saveMediaPhashIndex(corpus, p, nBuckets = 4)
+      // batch 1: a perturbed copy of asset 1 + a fresh asset — found via
+      // the index from a FRESH session, batch-sized work only
+      val s2 = spark.newSession()
+      val b1 = Seq((10L, "image", perturbed("aa")), (11L, "image", blob("uu")))
+        .toDF("doc_id", "kind", "payload")
+      val hits = MultimodalOps.mediaNearDupVsIndex(b1, s2, p, maxHamming = 10)
+      assert(hits.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 10L)))
+      // plan: the corpus chunk table reaches the candidate join off its
+      // (c, ch) bucketing — bucketed scan, and NO Exchange above it
+      val plan = hits.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"corpus scan not bucketed:\n$plan")
+      // vsIndex ≡ the full corpus∪batch mine restricted to batch-incident
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("a", "b", "hamming").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val full = MultimodalOps.mediaNearDupPairs(
+        corpus.unionByName(b1), maxHamming = 10)
+        .filter(col("b") >= 10L)
+      assert(pairSet(hits) == pairSet(full))
+      // admit batch 1; batch 2 (a copy of 10's payload) must match the
+      // EARLIER ADMISSION through the index
+      MultimodalOps.appendToMediaPhashIndex(s2, p, b1)
+      assert(MultimodalOps.mediaPhashWatermark(spark, p).contains(11L))
+      val b2 = Seq((20L, "image", perturbed("aa"))).toDF("doc_id", "kind", "payload")
+      val hits2 = MultimodalOps.mediaNearDupVsIndex(b2, spark, p, maxHamming = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits2 == Set((1L, 20L), (10L, 20L)), s"$hits2")
+      // guards: out-of-order append fails; byte-identical replay no-ops;
+      // same-span impostor fails the fingerprint
+      val eW = intercept[IllegalArgumentException](
+        MultimodalOps.appendToMediaPhashIndex(spark, p,
+          Seq((5L, "image", blob("x5"))).toDF("doc_id", "kind", "payload")))
+      assert(eW.getMessage.contains("watermark"))
+      val rows = spark.table(s"${p}_chunks").count()
+      MultimodalOps.appendToMediaPhashIndex(spark, p, b1)
+      assert(spark.table(s"${p}_chunks").count() == rows)
+      val eFp = intercept[IllegalArgumentException](
+        MultimodalOps.appendToMediaPhashIndex(spark, p,
+          Seq((10L, "image", blob("DIVERGED")), (11L, "image", blob("uu")))
+            .toDF("doc_id", "kind", "payload")))
+      assert(eFp.getMessage.contains("byte-identically"))
+      // takedown of asset 1: hidden at read, folded in by compact; the
+      // admitted twin still serves
+      MultimodalOps.removeFromMediaPhashIndex(p, Seq(1L).toDF("doc_id"))
+      val afterRm = MultimodalOps.mediaNearDupVsIndex(b2, spark, p, maxHamming = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterRm == Set((10L, 20L)), s"$afterRm")
+      MultimodalOps.compactMediaPhashIndex(spark, p)
+      assert(!spark.catalog.tableExists(s"${p}_tombstones"))
+      assert(spark.table(s"${p}_chunks").filter(col("doc_id") === 1L).count() == 0L)
+      assert(MultimodalOps.mediaNearDupVsIndex(b2, spark.newSession(), p,
+        maxHamming = 10).collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((10L, 20L)))
+      // compact crash-heal: live table missing, staging parked
+      spark.table(s"${p}_chunks").write.mode("overwrite").format("parquet")
+        .bucketBy(4, "c", "ch").saveAsTable(s"${p}_chunks_compact")
+      spark.sql(s"DROP TABLE ${p}_chunks")
+      MultimodalOps.compactMediaPhashIndex(spark, p)
+      assert(spark.catalog.tableExists(s"${p}_chunks"))
+    } finally dropAll()
+  }
+
   test("media near-dup bridges into cluster/split membership: the perturbed copy joins its original's cluster and split; unrelated assets stay apart") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
