@@ -277,6 +277,69 @@ object DocStream {
       if (caller.catalog.tableExists(t)) caller.catalog.refreshTable(t)
   }
 
+  /** STREAMING media ingest — the multimodal twin of the text drains:
+    * each micro-batch of (doc_id, kind, payload) assets is perceptually
+    * near-dup-flagged against the AT-REST phash index
+    * ([[graft.operators.MultimodalOps.mediaNearDupVsIndex]] — batch
+    * chunks × bucketed corpus chunks, zero corpus-side shuffle, plus the
+    * batch self-join), the audit row (`dup_of` = the SENIOR best match
+    * by (hamming, id), null when none at `maxHamming`) lands under
+    * `root` partitioned by batch_id, and the whole batch is ADMITTED to
+    * the index ([[graft.operators.MultimodalOps.appendToMediaPhashIndex]])
+    * so later batches match against earlier admissions — the
+    * flag-and-admit shape of [[incrementalDedupDrain]], upgraded to a
+    * durable, growing index.
+    *
+    * REPLAY is naturally idempotent, with NO extra fence: the audit
+    * partition rewrite is dynamic-overwrite (replaces exactly its own
+    * batch), the pair set a replayed batch derives is BYTE-IDENTICAL
+    * even though the batch is already in the index (an asset never
+    * matches its own index copy — same doc_id — and a batch~indexed-twin
+    * pair collapses onto the original batch~batch pair under distinct),
+    * and the index append is a fingerprint-verified no-op for a
+    * committed span ([[graft.operators.MultimodalOps.appendToMediaPhashIndex]]'s
+    * replay exemption; a same-span impostor fails fast). A batch id with
+    * a pending tombstone fails fast before any write — ids are never
+    * reused. */
+  def mediaDrain(mediaStream: DataFrame, indexPrefix: String,
+                 maxHamming: Int, root: String, checkpoint: String): Unit = {
+    val q = mediaStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF().select("doc_id", "kind", "payload")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (b.limit(1).collect().nonEmpty) {
+            val best = graft.operators.MultimodalOps
+              .mediaNearDupVsIndex(b, spark, indexPrefix, maxHamming)
+              .groupBy("b")
+              .agg(min_by(struct(col("a"), col("hamming")),
+                struct(col("hamming"), col("a"))).as("m"))
+              .select(col("b").as("doc_id"), col("m.a").as("dup_of"),
+                col("m.hamming").as("hamming"))
+            b.join(best, Seq("doc_id"), "left")
+              .withColumn("batch_id", lit(batchId))
+              .write
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .mode("overwrite")
+              .parquet(root)
+            graft.operators.MultimodalOps.appendToMediaPhashIndex(
+              spark, indexPrefix, b)
+          }
+        } finally b.unpersist()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val caller = mediaStream.sparkSession
+    for (t <- Seq("chunks", "meta", "tombstones"))
+      if (caller.catalog.tableExists(s"${indexPrefix}_$t"))
+        caller.catalog.refreshTable(s"${indexPrefix}_$t")
+  }
+
   /** One non-completed-replay micro-batch of [[admissionDrain]]: dedup,
     * audit, admit. `started` = a marker row exists but no completion rows
     * (a prior attempt crashed mid-append) — the one path that pays the
