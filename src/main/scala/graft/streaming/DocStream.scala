@@ -221,21 +221,39 @@ object DocStream {
                 col("hi") === span.getLong(1) && col("kind") === "apply")
               .limit(1).collect().nonEmpty
             // changed-batching replay: every batch id at-or-below the
-            // watermark AND already assigned means the docs committed
+            // watermark AND already committed means the docs landed
             // under DIFFERENT spans (a rebatched redeploy) — heal, don't
-            // die on the watermark guard (ADVICE r12)
+            // die on the watermark guard (ADVICE r12). "Committed"
+            // includes since-TOMBSTONED docs: load() hides them, but a
+            // fully-committed rebatched replay containing one must still
+            // read as committed, not die on the watermark guard with the
+            // misleading ids-reused message (ADVICE r13).
             val fence = exactFence ||
               (graft.operators.SplitState.watermark(spark, splitPrefix)
-                  .exists(_ >= span.getLong(1)) &&
+                  .exists(_ >= span.getLong(1)) && {
+                val committed = graft.operators.SplitState
+                  .load(spark, splitPrefix).select("doc_id")
+                val committedOrDead =
+                  if (!spark.catalog.tableExists(s"${splitPrefix}_tombstones"))
+                    committed
+                  else committed.unionByName(
+                    spark.table(s"${splitPrefix}_tombstones").select("doc_id"))
                 b.select("doc_id")
-                  .join(graft.operators.SplitState.load(spark, splitPrefix),
-                    Seq("doc_id"), "left_anti")
-                  .limit(1).collect().isEmpty)
+                  .join(committedOrDead, Seq("doc_id"), "left_anti")
+                  .limit(1).collect().isEmpty
+              })
             if (fence) {
-              // HEAL path: splits committed; make the index whole
+              // HEAL path: splits committed; make the index whole — but
+              // never resurrect a since-TOMBSTONED doc into the index (it
+              // is absent from the shingle table because it was taken
+              // down, not because an append crashed)
               val have = spark.table(s"${indexPrefix}_shingles")
                 .select("doc_id").distinct()
-              val missing = b.join(have, Seq("doc_id"), "left_anti")
+              val haveOrDead =
+                if (!spark.catalog.tableExists(s"${splitPrefix}_tombstones")) have
+                else have.unionByName(
+                  spark.table(s"${splitPrefix}_tombstones").select("doc_id"))
+              val missing = b.join(haveOrDead, Seq("doc_id"), "left_anti")
                 .localCheckpoint(eager = true)
               if (missing.limit(1).collect().nonEmpty)
                 graft.operators.DedupOps.appendToNgramPrefixIndex(indexPrefix, missing)

@@ -429,6 +429,7 @@ class ClusterStateSpec extends AnyFunSuite {
         .select("doc_id", "from_split", "to_split", "reason").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
       assert(moves == Set(
+        (13L, null, "quarantine", "quarantine_enter"),
         (junior, bucket(junior), bucket(senior), "realign"),
         (13L, "quarantine", bucket(senior), "quarantine_drain")), s"$moves")
       // pair leg of the takedown: BEFORE compact the victim's pairs are

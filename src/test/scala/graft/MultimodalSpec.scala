@@ -31,6 +31,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("sub-gram payloads (< 4 bytes) are excluded from fingerprinting: no sig rows, no zero-phash clique, no spurious grams") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 50 empty/tiny payloads + 2 real assets: without the length guard
+    // every sub-gram payload hashes to the SAME degenerate phash — one
+    // hot (c, ch) join key producing a 50-choose-2 candidate clique (the
+    // 100 TB failure mode) and an engine-vs-oracle gram divergence
+    // (Spark sequence(1, 0) = [1, 0] vs DuckDB range(1, 1) = empty)
+    val shorts = (0 until 50).map(i =>
+      (1000L + i, "image", "abc".take(i % 4).getBytes("UTF-8")))
+    val real = Seq(
+      (1L, "image", (0 until 40).map(j => s"aabyte$j").mkString(" ").getBytes("UTF-8")),
+      (2L, "image", (0 until 40).map(j => s"qqbyte$j").mkString(" ").getBytes("UTF-8")))
+    val media = (shorts ++ real).toDF("doc_id", "kind", "payload")
+    val sigs = MultimodalOps.mediaFingerprint(media)
+    assert(sigs.count() == 2L, "sub-gram payloads must emit no fingerprint row")
+    assert(sigs.filter(col("doc_id") >= 1000L).count() == 0L)
+    val pairs = MultimodalOps.mediaNearDupPairs(media, maxHamming = 10)
+    assert(pairs.count() == 0L, "short payloads must not form a candidate clique")
+  }
+
   test("media phash index: at-rest round-trip, batch-over-batch append, takedown + compact, zero corpus-side shuffle (plan-asserted), vsIndex == full restricted") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -106,6 +106,7 @@ class SplitStateSpec extends AnyFunSuite {
       assert(moves == Set(
         (jB, "test", "train", "realign"),
         (jB2, "test", "train", "realign"),
+        (x, null, "quarantine", "quarantine_enter"),
         (x, "quarantine", "train", "quarantine_drain")))
       // resolve is idempotent: a second pass changes nothing
       val seqBefore = SplitState.committedSeq(spark, p)
@@ -429,6 +430,30 @@ class SplitStateSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(pool == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 0L, 4L -> 1L),
         s"$pool")
+      // wall-clock twin: every entry has a commit timestamp, ages are
+      // non-negative, and a drained doc's drain ts is at-or-after entry
+      val wall = SplitState.quarantineAgingWallClock(spark, p).collect()
+        .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+          (r.getLong(r.fieldIndex("entered_ts")),
+            if (r.isNullAt(r.fieldIndex("drained_ts"))) None
+            else Some(r.getLong(r.fieldIndex("drained_ts"))),
+            r.getLong(r.fieldIndex("age_ms")))).toMap
+      assert(wall.keySet == Set(500L, 600L, 700L), s"$wall")
+      assert(wall.values.forall(_._3 >= 0L), s"negative wall age: $wall")
+      assert(wall(500L)._2.exists(_ >= wall(500L)._1), s"$wall")
+      assert(wall(700L)._2.isEmpty, s"$wall")
+      // COMPACT collapses _assign to one row per doc — but the entry
+      // events live in the durable _moves trail (quarantine_enter), so
+      // the drained docs do NOT vanish from the aging report and the
+      // pool curve is byte-identical (ADVICE r13)
+      SplitState.compact(spark, p)
+      val agingC = SplitState.quarantineAging(spark, p).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toMap
+      assert(agingC == aging, s"aging changed across compact: $agingC vs $aging")
+      val poolC = SplitState.quarantinePool(spark, p).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(poolC == pool, s"pool changed across compact: $poolC vs $pool")
     } finally drop(p)
   }
 

@@ -402,7 +402,8 @@ class StreamingSpec extends AnyFunSuite {
       val moves1 = spark.table("spd_sp_moves")
         .select("doc_id", "reason").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
-      assert(moves1 == Set((21L, "quarantine_drain"), (junior, "realign")), s"$moves1")
+      assert(moves1 == Set((21L, "quarantine_enter"),
+        (21L, "quarantine_drain"), (junior, "realign")), s"$moves1")
       // batch 2: a near-dup of the drained bridge inherits the canonical
       // split through the APPENDED index; a fresh doc hashes itself
       df(b2Rows).repartition(1).write.parquet(srcDir.resolve("b2").toString)
