@@ -308,19 +308,56 @@ object DocStream {
     * flag-and-admit shape of [[incrementalDedupDrain]], upgraded to a
     * durable, growing index.
     *
-    * REPLAY is naturally idempotent, with NO extra fence: the audit
-    * partition rewrite is dynamic-overwrite (replaces exactly its own
-    * batch), the pair set a replayed batch derives is BYTE-IDENTICAL
-    * even though the batch is already in the index (an asset never
-    * matches its own index copy — same doc_id — and a batch~indexed-twin
-    * pair collapses onto the original batch~batch pair under distinct),
-    * and the index append is a fingerprint-verified no-op for a
-    * committed span ([[graft.operators.MultimodalOps.appendToMediaPhashIndex]]'s
-    * replay exemption; a same-span impostor fails fast). A batch id with
-    * a pending tombstone fails fast before any write — ids are never
-    * reused. */
+    * WITH `splitPrefix`/`clusterRoot` set, the drain is the FULL
+    * [[splitDrain]] protocol for media (VERDICT r13 demand 4 — media
+    * assets reach the wall audit in production form, not just in a
+    * hand-driven spec): each batch's verified pairs are RECORDED at
+    * rest ([[graft.operators.SplitState.recordPairs]], Hamming mapped
+    * to the pair artifact's [0, 1] similarity as 1 − hamming/64), the
+    * merge is committed to [[graft.operators.ClusterState]], splits are
+    * assigned (inherit / quarantine-on-cross-split-bridge / hash), the
+    * batch is admitted to the phash index, and quarantine drains via
+    * resolve — so a media near-dup lands in its original's split, a
+    * media bridge between recorded train and test QUARANTINES, and
+    * q121's wall audit covers media pairs with the same
+    * ok/pending/leak verdicts. Day-0 setup is the caller's (the
+    * [[splitDrain]] contract): `saveMediaPhashIndex(corpus)`,
+    * `ClusterState.build(corpusPairs).save`, `SplitState.init` +
+    * `recordPairs(corpusPairs)`.
+    *
+    * REPLAY, unwired mode — naturally idempotent with NO extra fence:
+    * the audit partition rewrite is dynamic-overwrite (replaces exactly
+    * its own batch), the pair set a replayed batch derives is
+    * BYTE-IDENTICAL even though the batch is already in the index (an
+    * asset never matches its own index copy — same doc_id — and a
+    * batch~indexed-twin pair collapses onto the original batch~batch
+    * pair under distinct), and the index append is a
+    * fingerprint-verified no-op for a committed span
+    * ([[graft.operators.MultimodalOps.appendToMediaPhashIndex]]'s
+    * replay exemption; a same-span impostor fails fast). A batch id
+    * with a pending tombstone fails fast before any write — ids are
+    * never reused.
+    *
+    * REPLAY, wired mode — [[splitDrain]]'s span-fence protocol: the
+    * batch's `SplitState.assign` `_meta` row is the completion fence,
+    * the phash-index append deliberately runs after it. Replay with the
+    * fence absent re-runs the whole path (pair discovery is untouched —
+    * the index append had not run; `recordPairs` is fingerprint-
+    * verified; `ClusterState.insert` cannot grow the edge set on
+    * replay; `assign` adopts a crashed attempt's orphans); replay with
+    * the fence present (including a CHANGED-BATCHING redeploy whose
+    * docs all committed under different spans — tombstoned docs count
+    * as committed) takes the heal path: docs MISSING from the phash
+    * index are appended (a crashed partial append is completed;
+    * tombstoned docs are never resurrected) and `resolve` re-runs
+    * (idempotent), with the audit partition left untouched. */
   def mediaDrain(mediaStream: DataFrame, indexPrefix: String,
-                 maxHamming: Int, root: String, checkpoint: String): Unit = {
+                 maxHamming: Int, root: String, checkpoint: String,
+                 splitPrefix: Option[String] = None,
+                 clusterRoot: Option[String] = None): Unit = {
+    require(splitPrefix.isEmpty == clusterRoot.isEmpty,
+      "mediaDrain: splitPrefix and clusterRoot come together — the split " +
+        "assignment flows through the committed cluster merge")
     val q = mediaStream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -328,23 +365,74 @@ object DocStream {
         val b = batch.toDF().select("doc_id", "kind", "payload")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          if (b.limit(1).collect().nonEmpty) {
-            val best = graft.operators.MultimodalOps
-              .mediaNearDupVsIndex(b, spark, indexPrefix, maxHamming)
-              .groupBy("b")
-              .agg(min_by(struct(col("a"), col("hamming")),
-                struct(col("hamming"), col("a"))).as("m"))
-              .select(col("b").as("doc_id"), col("m.a").as("dup_of"),
-                col("m.hamming").as("hamming"))
-            b.join(best, Seq("doc_id"), "left")
-              .withColumn("batch_id", lit(batchId))
-              .write
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id")
-              .mode("overwrite")
-              .parquet(root)
-            graft.operators.MultimodalOps.appendToMediaPhashIndex(
-              spark, indexPrefix, b)
+          val span = b.agg(min("doc_id"), max("doc_id")).head()
+          if (!span.isNullAt(0)) (splitPrefix, clusterRoot) match {
+            case (Some(sp), Some(cr)) =>
+              val exactFence = spark.table(s"${sp}_meta")
+                .filter(col("lo") === span.getLong(0) &&
+                  col("hi") === span.getLong(1) && col("kind") === "apply")
+                .limit(1).collect().nonEmpty
+              val fence = exactFence ||
+                (graft.operators.SplitState.watermark(spark, sp)
+                    .exists(_ >= span.getLong(1)) && {
+                  val committed = graft.operators.SplitState
+                    .load(spark, sp).select("doc_id")
+                  val committedOrDead =
+                    if (!spark.catalog.tableExists(s"${sp}_tombstones")) committed
+                    else committed.unionByName(
+                      spark.table(s"${sp}_tombstones").select("doc_id"))
+                  b.select("doc_id")
+                    .join(committedOrDead, Seq("doc_id"), "left_anti")
+                    .limit(1).collect().isEmpty
+                })
+              if (fence) {
+                // HEAL: splits committed; make the phash index whole by
+                // appending only the docs it is MISSING (tombstoned docs
+                // count as present — a takedown is not a crashed append;
+                // and a CHANGED-BATCHING replay presents a span the index
+                // `_meta` never recorded, so the full batch would die on
+                // the watermark guard)
+                val have = spark.table(s"${indexPrefix}_chunks")
+                  .select("doc_id").distinct()
+                val haveOrDead =
+                  if (!spark.catalog.tableExists(s"${indexPrefix}_tombstones"))
+                    have
+                  else have.unionByName(
+                    spark.table(s"${indexPrefix}_tombstones").select("doc_id"))
+                val missing = b.join(haveOrDead, Seq("doc_id"), "left_anti")
+                  .localCheckpoint(eager = true)
+                if (missing.limit(1).collect().nonEmpty)
+                  graft.operators.MultimodalOps.appendToMediaPhashIndex(
+                    spark, indexPrefix, missing)
+                graft.operators.SplitState.resolve(spark, sp,
+                  graft.operators.ClusterState.load(spark, cr).labels)
+              } else {
+                val pairs = graft.operators.MultimodalOps
+                  .mediaNearDupVsIndex(b, spark, indexPrefix, maxHamming)
+                  .localCheckpoint(eager = true) // audit + record + contract
+                writeMediaAudit(b, pairs, batchId, root)
+                // the pair artifact is modality-agnostic: Hamming rides
+                // in as the [0, 1] similarity 1 − h/64
+                graft.operators.SplitState.recordPairs(spark, sp,
+                  pairs.select(col("a"), col("b"),
+                    (lit(1.0) - col("hamming") / 64.0).as("jac")),
+                  span.getLong(0), span.getLong(1))
+                val st = graft.operators.ClusterState.load(spark, cr)
+                  .insert(pairs.select("a", "b"), maxIter = 100)
+                val labels = st.labels.localCheckpoint(eager = true)
+                st.save(cr)
+                graft.operators.SplitState.assign(spark, sp,
+                  b.select("doc_id"), labels)
+                graft.operators.MultimodalOps.appendToMediaPhashIndex(
+                  spark, indexPrefix, b)
+                graft.operators.SplitState.resolve(spark, sp, labels)
+              }
+            case _ =>
+              val pairs = graft.operators.MultimodalOps
+                .mediaNearDupVsIndex(b, spark, indexPrefix, maxHamming)
+              writeMediaAudit(b, pairs, batchId, root)
+              graft.operators.MultimodalOps.appendToMediaPhashIndex(
+                spark, indexPrefix, b)
           }
         } finally b.unpersist()
       }
@@ -353,9 +441,30 @@ object DocStream {
       .start()
     q.awaitTermination()
     val caller = mediaStream.sparkSession
-    for (t <- Seq("chunks", "meta", "tombstones"))
-      if (caller.catalog.tableExists(s"${indexPrefix}_$t"))
-        caller.catalog.refreshTable(s"${indexPrefix}_$t")
+    for (t <- Seq("chunks", "meta", "tombstones").map(t => s"${indexPrefix}_$t") ++
+        splitPrefix.toSeq.flatMap(sp => Seq(s"${sp}_assign", s"${sp}_meta",
+          s"${sp}_moves", s"${sp}_pairs")))
+      if (caller.catalog.tableExists(t)) caller.catalog.refreshTable(t)
+  }
+
+  /** The media drain's per-batch audit row: each batch asset with its
+    * SENIOR best verified match (`dup_of`, `hamming` — null when none),
+    * dynamic-overwrite into its own batch_id partition. */
+  private def writeMediaAudit(b: DataFrame, pairs: DataFrame,
+                              batchId: Long, root: String): Unit = {
+    val best = pairs
+      .groupBy("b")
+      .agg(min_by(struct(col("a"), col("hamming")),
+        struct(col("hamming"), col("a"))).as("m"))
+      .select(col("b").as("doc_id"), col("m.a").as("dup_of"),
+        col("m.hamming").as("hamming"))
+    b.join(best, Seq("doc_id"), "left")
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode("overwrite")
+      .parquet(root)
   }
 
   /** One non-completed-replay micro-batch of [[admissionDrain]]: dedup,

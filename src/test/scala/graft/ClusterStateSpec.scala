@@ -229,8 +229,8 @@ class ClusterStateSpec extends AnyFunSuite {
     }
   }
 
-  test("nightly loop, ALL SIX at-rest artifacts plus the served IVF index: takedown reaches every artifact including the vector side; quarantine drains") {
-    import graft.operators.{DedupOps, CorpusOps, SplitState}
+  test("nightly loop, ALL SEVEN at-rest artifacts plus the served IVF index: takedown reaches every artifact including the vector and media sides; quarantine drains") {
+    import graft.operators.{DedupOps, CorpusOps, SplitState, MultimodalOps}
     // compact five-way loop on a planted corpus: docs 0/1 are exact dups,
     // batch doc 10 is an exact dup of corpus doc 2, 11/12 are unique, and
     // batch doc 13 BRIDGES two corpus docs (overlapping token windows:
@@ -261,12 +261,17 @@ class ClusterStateSpec extends AnyFunSuite {
       .withColumn("n_chars", length(col("text")).cast("bigint"))
     val root = java.nio.file.Files.createTempDirectory("graft-nightly5").toString
     try {
-      // day 0: build + persist all six artifacts (the verified corpus
+      // day 0: build + persist all seven artifacts (the verified corpus
       // pairs are the sixth — recorded the moment discovery computes
-      // them, so the wall audit never re-mines)
+      // them, so the wall audit never re-mines; the media phash index is
+      // the seventh, over the same docs' payload bytes)
+      def mediaOf(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("doc_id"), lit("image").as("kind"),
+        col("text").cast("binary").as("payload"))
       DedupOps.indexCorpus(corpus).saveAsTables("n4_mh", nBuckets = 4)
       DedupOps.indexNgramPrefix(corpus, 0.5).saveAsTables("n4_np", nBuckets = 4)
       CorpusOps.saveFirstSeenIndex(corpus, "n4_fs", nBuckets = 4)
+      MultimodalOps.saveMediaPhashIndex(mediaOf(corpus), "n4_mp", nBuckets = 4)
       val pairs0 = DedupOps.ngramJaccardPairsOf(corpus, 0.5)
         .localCheckpoint(true)
       val st0 = ClusterState.build(pairs0.select("a", "b"), maxIter = 50)
@@ -294,7 +299,21 @@ class ClusterStateSpec extends AnyFunSuite {
       DedupOps.appendToCorpusIndex("n4_mh", batch.select("doc_id", "text"))
       DedupOps.appendToNgramPrefixIndex("n4_np", batch)
       CorpusOps.appendToFirstSeenIndex(s2, "n4_fs", batch)
+      MultimodalOps.appendToMediaPhashIndex(s2, "n4_mp", mediaOf(batch))
       st.save(root)
+      // MEDIA LEG day 1: a perceptually jittered copy of doc 2's payload
+      // reaches BOTH the victim and its admitted twin through the phash
+      // index (planted Hamming 4 to each; everything else ≥ 14)
+      def mediaHits(s: org.apache.spark.sql.SparkSession): Set[Long] = {
+        import s.implicits._
+        MultimodalOps.mediaNearDupVsIndex(
+          mediaOf(Seq((2000L, mk(2L, "c2")._2)).toDF("doc_id", "text")
+            .withColumn("text", concat(col("text"), lit(" jitter")))),
+          s, "n4_mp", maxHamming = 10)
+          .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet - 2000L
+      }
+      assert(mediaHits(spark) == Set(2L, 10L),
+        s"media probe must reach victim and twin before takedown: ${mediaHits(spark)}")
       // ANN LEG day 1 (VERDICT r12 demand 3): the serving IVF index over
       // every admitted doc's embedding, saved at rest. Docs 2 and 10 (the
       // exact-dup pair) carry near-identical vectors; everyone else sits
@@ -366,6 +385,7 @@ class ClusterStateSpec extends AnyFunSuite {
       CorpusOps.removeFromFirstSeenIndex("n4_fs", victim.toDF("doc_id"))
       SplitState.remove("n4_sp", victim.toDF("doc_id"))
       IvfIndex.removeAtRest(spark, ivfRoot, victim.toDF("vec_id"))
+      MultimodalOps.removeFromMediaPhashIndex("n4_mp", victim.toDF("doc_id"))
       // day 3, FRESH session: no artifact still answers through doc 2
       val s3 = spark.newSession()
       val probe = Seq((1000L, mk(2L, "c2")._2)).toDF("doc_id", "text")
@@ -394,6 +414,16 @@ class ClusterStateSpec extends AnyFunSuite {
       assert(hits(s3, 5L).filterNot(_._2 == 2L) ==
         unrelatedBefore.filterNot(_._2 == 2L),
         "survivors' results must be unchanged by the takedown")
+      // MEDIA leg day 3: the victim's perceptual fingerprint no longer
+      // answers; the admitted twin still serves — and COMPACTION folds
+      // the tombstone into the chunk files with byte-identical survivor
+      // reads from yet another fresh session
+      assert(mediaHits(s3) == Set(10L),
+        s"media takedown must drain the phash index: ${mediaHits(s3)}")
+      MultimodalOps.compactMediaPhashIndex(s3, "n4_mp")
+      assert(!s3.catalog.tableExists("n4_mp_tombstones"))
+      assert(s3.table("n4_mp_chunks").filter(col("doc_id") === 2L).count() == 0L)
+      assert(mediaHits(spark.newSession()) == Set(10L))
       // first-seen INTERIM semantics: doc 2's introductions read novel
       // again (doc 10's copy was anti-joined away at admit time)...
       val interim = CorpusOps.noveltyVsIndex(s3, "n4_fs", probe)
@@ -463,6 +493,8 @@ class ClusterStateSpec extends AnyFunSuite {
         spark.sql(s"DROP TABLE IF EXISTS n4_np_$t")
       for (t <- Seq("firstseen", "firstseen_compact", "meta", "tombstones"))
         spark.sql(s"DROP TABLE IF EXISTS n4_fs_$t")
+      for (t <- Seq("chunks", "chunks_compact", "meta", "tombstones"))
+        spark.sql(s"DROP TABLE IF EXISTS n4_mp_$t")
       for (t <- Seq("assign", "assign_compact", "meta", "meta_migrate",
           "moves", "moves_compact", "pairs", "pairs_compact", "tombstones"))
         spark.sql(s"DROP TABLE IF EXISTS n4_sp_$t")

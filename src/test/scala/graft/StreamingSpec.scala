@@ -467,6 +467,138 @@ class StreamingSpec extends AnyFunSuite {
     } finally dropAll()
   }
 
+  test("mediaDrain with split wiring: media pairs reach the wall audit as ok rows; a cross-split media bridge quarantines and drains; replay and changed batching are no-ops") {
+    import graft.operators.{MultimodalOps, ClusterState, SplitState, DedupOps}
+    import spark.implicits._
+    // planted PERCEPTUAL geometry (validated Hamming distances in
+    // comments): corpus docs 1/2 share payload D exactly; idA holds A
+    // (40 tokens), idB holds B (A with the first 20 tokens replaced) —
+    // d(A, B) = 13 > 11, so they are NOT near-dups and record under
+    // DIFFERENT splits; batch-1 asset 21 holds X (A with the first 10
+    // replaced), the halfway point: d(A, X) = 6 and d(B, X) = 9 — the
+    // media bridge; batch-1 asset 20 is a jittered copy of D (d = 0);
+    // batch-2 asset 30 copies X exactly, 31 is fresh (all other pairs
+    // sit at Hamming ≥ 21)
+    val bucket = spark.range(0, 40)
+      .select(col("id"), SplitState.splitOf(col("id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val Seq(idA, idB) = (3L to 9L).combinations(2).map(_.toSeq)
+      .find { case Seq(i, j) => bucket(i) != bucket(j) }.get
+    val baseToks = (0 until 40).map(j => f"aa$j%02dtok")
+    def repl(n: Int): String = baseToks.zipWithIndex
+      .map { case (t, j) => if (j < n) f"zq$j%02dxx" else t }.mkString(" ")
+    val aPay = baseToks.mkString(" ")
+    val bPay = repl(20)
+    val xPay = repl(10)
+    val dPay = (0 until 40).map(j => f"dd$j%02dtok").mkString(" ")
+    def media(rows: Seq[(Long, String)]) = rows
+      .map { case (id, s) => (id, "image", s.getBytes("UTF-8")) }
+      .toDF("doc_id", "kind", "payload")
+    val corpus = media(Seq(1L -> dPay, 2L -> dPay, idA -> aPay, idB -> bPay))
+    val b1 = Seq(20L -> (dPay + " jitter"), 21L -> xPay)
+    val b2 = Seq(30L -> xPay,
+      31L -> (0 until 40).map(j => f"ff$j%02dtok").mkString(" "))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-md-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-md-ck").toString
+    val auditRoot = java.nio.file.Files.createTempDirectory("graft-md-au").toString
+    val clRoot = java.nio.file.Files.createTempDirectory("graft-md-cs").toString
+    def dropAll(): Unit = {
+      for (t <- Seq("chunks", "chunks_compact", "meta", "tombstones"))
+        spark.sql(s"DROP TABLE IF EXISTS md_mp_$t")
+      for (t <- Seq("assign", "assign_compact", "meta", "meta_migrate",
+          "moves", "moves_compact", "pairs", "pairs_compact", "tombstones"))
+        spark.sql(s"DROP TABLE IF EXISTS md_sp_$t")
+    }
+    try {
+      dropAll()
+      // day 0: phash index + cluster + split state + recorded corpus pairs
+      MultimodalOps.saveMediaPhashIndex(corpus, "md_mp", nBuckets = 4)
+      val pairs0 = MultimodalOps.mediaNearDupPairs(corpus, maxHamming = 10)
+        .localCheckpoint(true)
+      val st0 = ClusterState.build(pairs0.select("a", "b"), maxIter = 50)
+      st0.save(clRoot)
+      SplitState.init(spark, "md_sp", corpus.select("doc_id"), st0.labels,
+        nBuckets = 4)
+      SplitState.recordPairs(spark, "md_sp",
+        pairs0.select(col("a"), col("b"),
+          (lit(1.0) - col("hamming") / 64.0).as("jac")),
+        1L, math.max(idA, idB), nBuckets = 4)
+      val schema = media(Seq.empty).schema
+      def drain(ck: String, onePerTrigger: Boolean = true): Unit = {
+        val r = spark.readStream.schema(schema)
+        graft.streaming.DocStream.mediaDrain(
+          (if (onePerTrigger) r.option("maxFilesPerTrigger", 1) else r)
+            .parquet(srcDir.toString + "/*"),
+          "md_mp", 10, auditRoot, ck, Some("md_sp"), Some(clRoot))
+      }
+      def splits: Map[Long, String] = SplitState.load(spark, "md_sp").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // batch 1: the copy inherits; the bridge QUARANTINES at assign and
+      // drains to the senior side in the same cycle (resolve runs per
+      // batch), junior realigns — all audited
+      media(b1).repartition(1).write.parquet(srcDir.resolve("b1").toString)
+      drain(ckpt)
+      val senior = math.min(idA, idB); val junior = math.max(idA, idB)
+      val at1 = splits
+      assert(at1(20L) == at1(1L), "media copy must inherit its original's split")
+      assert(at1(21L) == bucket(senior) && at1(junior) == bucket(senior), s"$at1")
+      assert(!at1.values.exists(_ == "quarantine"))
+      val moves1 = spark.table("md_sp_moves")
+        .select("doc_id", "reason").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(moves1 == Set((21L, "quarantine_enter"),
+        (21L, "quarantine_drain"), (junior, "realign")), s"$moves1")
+      // batch 2: the X copy matches through the APPENDED index and
+      // inherits the drained canonical split; the fresh asset hashes itself
+      media(b2).repartition(1).write.parquet(srcDir.resolve("b2").toString)
+      drain(ckpt)
+      val at2 = splits
+      assert(at2(30L) == bucket(senior) && at2(31L) == bucket(31L), s"$at2")
+      // the at-rest pair artifact ≡ the full re-mine over everything
+      // admitted, and the WALL AUDIT over it is clean — with the media
+      // copy's pair among the ok rows (VERDICT r13 demand 4)
+      def pairSet(df: org.apache.spark.sql.DataFrame) = df.select("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val everything = corpus.unionByName(media(b1)).unionByName(media(b2))
+      assert(pairSet(SplitState.loadPairs(spark, "md_sp")) ==
+        pairSet(MultimodalOps.mediaNearDupPairs(everything, maxHamming = 10)))
+      val audit = DedupOps.wallAudit(
+        SplitState.loadPairs(spark, "md_sp").select("a", "b"),
+        SplitState.load(spark, "md_sp"))
+      val statuses = audit.groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(statuses.keySet == Set("ok"), s"$statuses")
+      assert(pairSet(audit) contains (1L, 20L),
+        "the drained media pair must be an ok row of the wall audit")
+      // audit rows flagged the expected seniors
+      val flags = spark.read.parquet(auditRoot)
+        .select("doc_id", "dup_of").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      // best match by (hamming, id): 20 → doc 1 (d = 0, senior of the
+      // exact pair); 21 → idA (d = 6 beats idB's d = 9)
+      assert(flags(20L) == Some(1L) && flags(21L) == Some(idA), s"$flags")
+      assert(flags(31L).isEmpty, s"$flags")
+      // REPLAY with a fresh checkpoint: the span fence routes both
+      // batches to the heal path — nothing grows, nothing moves
+      val assignBefore = spark.table("md_sp_assign").count()
+      val chunksBefore = spark.table("md_mp_chunks").count()
+      val pairsBefore = spark.table("md_sp_pairs").count()
+      drain(java.nio.file.Files.createTempDirectory("graft-md-ck2").toString)
+      assert(splits == at2)
+      assert(spark.table("md_sp_assign").count() == assignBefore)
+      assert(spark.table("md_mp_chunks").count() == chunksBefore)
+      assert(spark.table("md_sp_pairs").count() == pairsBefore)
+      // CHANGED-BATCHING replay: both files in ONE micro-batch — span
+      // (20, 31) was never fenced but every id is committed → heal path
+      drain(java.nio.file.Files.createTempDirectory("graft-md-ck3").toString,
+        onePerTrigger = false)
+      assert(splits == at2)
+      assert(spark.table("md_sp_assign").count() == assignBefore)
+      assert(spark.table("md_mp_chunks").count() == chunksBefore)
+    } finally dropAll()
+  }
+
   test("admissionDrain fast-path probe reads the admissions manifest, never the shingle table (plan-asserted)") {
     import graft.operators.DedupOps
     import spark.implicits._
