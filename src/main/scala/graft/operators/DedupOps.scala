@@ -409,27 +409,60 @@ object DedupOps {
 
   /** SimHash near-dup pair detection over any (doc_id, text) frame:
     * 64-bit signatures from md5 token hashes ([[SimHashSketchAgg]]), 16-bit
-    * chunk LSH for candidates — pigeonhole-COMPLETE for verify radii ≤ 3,
-    * the standard 64-bit SimHash dedup operating point (Manku et al.,
-    * WWW'07, use k = 3); wider radii trade recall, MEASURED per Hamming
-    * band by q126 (the same signature/chunk arithmetic) — callers needing
-    * guaranteed recall at wider radii should use the multi-index-hashing
-    * enumeration [[MultimodalOps.mediaNearDupPairs]] ships (complete to
-    * 11). Exact Hamming verify. Returns (a, b, hamming) with a < b; used
-    * by q52 and [[DedupPipeline]]. */
-  def simHashNearDupPairs(docs: DataFrame): DataFrame = {
-    val sigs = docs
+    * chunk LSH for candidates, exact Hamming verify. Returns
+    * (a, b, hamming) with a < b; used by q52 and [[DedupPipeline]].
+    *
+    * `mihRadius` picks the candidate rule: 0 (default, q52's contract) =
+    * exact chunk equality — pigeonhole-COMPLETE for verify radii ≤ 3, the
+    * standard 64-bit SimHash dedup operating point (Manku et al., WWW'07,
+    * use k = 3), with recall at wider radii MEASURED per Hamming band by
+    * q126 (19% at band 10); 1 or 2 = multi-index-hashing query-side chunk
+    * enumeration (Norouzi et al., CVPR'12 — the
+    * [[MultimodalOps.mediaNearDupPairs]] machinery), complete to 4r + 3 =
+    * 7 / 11 at 17× / 137× one-sided candidate-key blow-up. Callers that
+    * VERIFY above 3 must pass the radius that covers their threshold —
+    * [[DedupPipeline]] derives it — or accept documented recall loss. */
+  def simHashNearDupPairs(docs: DataFrame, mihRadius: Int = 0): DataFrame = {
+    require(mihRadius >= 0 && mihRadius <= 2,
+      s"simHashNearDupPairs: mihRadius $mihRadius unsupported — radius 2 " +
+        "already covers Hamming 11; beyond that a 64-bit SimHash is the " +
+        "wrong fingerprint width")
+    val sigsRaw = docs
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
       .select(col("doc_id"), Md5Lower64.of(col("tok")).as("th"))
       .groupBy("doc_id")
       .agg(SimHashSketchAgg.sketch(col("th")).as("simhash"))
+    // radius > 0: pin sigs — the enumerated and exact sides would each
+    // re-run the token/signature pipeline (no exchange reuse across
+    // self-join branches; the media family's measured trap). radius 0
+    // keeps q52's committed single-subtree broadcast plan untouched.
+    val sigs = if (mihRadius == 0) sigsRaw
+               else sigsRaw.localCheckpoint(eager = true)
     val chunks = sigs.select(
       col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"), shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ch"))): _*)).as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.c").as("c"), col("cc.ch").as("ch"))
-    chunks.as("x")
-      .join(chunks.as("y"),
+    val (xSide, ySide) =
+      if (mihRadius == 0) (chunks, chunks)
+      else {
+        val masks = Seq(0L) ++
+          (0 until 16).map(i => 1L << i) ++
+          (if (mihRadius >= 2)
+             for (i <- 0 until 16; j <- i + 1 until 16) yield (1L << i) | (1L << j)
+           else Seq.empty[Long])
+        val variants = chunks.select(col("doc_id"), col("simhash"), col("c"),
+            explode(array(masks.map(lit): _*)).as("m"), col("ch"))
+          .select(col("doc_id"), col("simhash"), col("c"),
+            col("ch").bitwiseXOR(col("m")).as("ch"))
+        // shuffled hash join built on the compact exact side — the
+        // Generate fan-out hides the variant side's size from the
+        // planner, which would otherwise broadcast it (measured on the
+        // media twin)
+        (variants, chunks.hint("shuffle_hash"))
+      }
+    xSide.as("x")
+      .join(ySide.as("y"),
         col("x.c") === col("y.c") && col("x.ch") === col("y.ch") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),

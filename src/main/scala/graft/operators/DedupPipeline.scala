@@ -22,9 +22,15 @@ object DedupPipeline {
   /** MinHash+LSH candidate generation, exact-Jaccard verification at
     * `threshold`. */
   final case class MinHashLsh(threshold: Double = 0.8) extends Strategy
-  /** SimHash 64-bit signatures, 16-bit-chunk LSH candidates, exact Hamming
-    * verification at `maxHamming` (chunk LSH guarantees recall for
-    * distance <= 3; larger radii are best-effort). */
+  /** SimHash 64-bit signatures, exact Hamming verification at
+    * `maxHamming`, candidates COMPLETE for the requested radius: exact
+    * 16-bit-chunk LSH for maxHamming ≤ 3 (the Manku et al. operating
+    * point), multi-index-hash chunk enumeration at the smallest radius
+    * covering wider thresholds (≤ 7 → radius 1, ≤ 11 → radius 2 — see
+    * [[DedupOps.simHashNearDupPairs]]; r14, closing the silent recall
+    * loss q126 measured: the old exact-chunk rule found 19% of
+    * band-10 pairs). maxHamming > 11 is rejected — at that distance a
+    * 64-bit SimHash is the wrong fingerprint, not the wrong banding. */
   final case class SimHash(maxHamming: Int = 3) extends Strategy
 
   /** Rows of `docs` that survive deduplication (all columns preserved).
@@ -48,8 +54,14 @@ object DedupPipeline {
         dropJuniors(docs, idCol, nearDupPairs(docs, idCol, textCol, threshold),
           maxIter, strict)
       case SimHash(maxHamming) =>
+        require(maxHamming <= 11,
+          s"SimHash(maxHamming = $maxHamming): beyond Hamming 11 the " +
+            "radius-2 enumeration no longer guarantees recall — use a " +
+            "wider fingerprint (or MinHashLsh) instead of a looser verify")
+        val radius = math.max(0, math.ceil((maxHamming - 3) / 4.0).toInt)
         val pairs = DedupOps.simHashNearDupPairs(
-          docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+          docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+          mihRadius = radius)
           .filter(col("hamming") <= maxHamming)
         dropJuniors(docs, idCol, pairs, maxIter, strict)
     }

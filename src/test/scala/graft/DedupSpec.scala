@@ -105,6 +105,51 @@ class DedupSpec extends AnyFunSuite {
     assert(n2 == n1, s"second pass dropped ${n1 - n2} more rows")
   }
 
+  test("SimHash above Hamming 3: enumeration finds the pair exact chunks miss; DedupPipeline derives the covering radius; >11 rejected") {
+    import graft.operators.{DedupOps, DedupPipeline}
+    import spark.implicits._
+    // planted pair at token-SimHash Hamming 10 with min chunk distance 2
+    // (40 tokens, first 6 replaced — distances verified offline): the
+    // exact-chunk rule (radius 0) cannot see it, radius 1 cannot either,
+    // radius 2 must — and its completeness bound (4·2+3 = 11) covers the
+    // verify threshold 10
+    val base = (0 until 40).map(j => f"tok$j%02dword")
+    val a = base.mkString(" ")
+    val b = base.zipWithIndex
+      .map { case (t, j) => if (j < 6) f"rep$j%02dnew" else t }.mkString(" ")
+    val far = (0 until 40).map(j => f"oth$j%02dzz").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, far)).toDF("doc_id", "text")
+    def found(radius: Int): Set[(Long, Long)] =
+      DedupOps.simHashNearDupPairs(docs, mihRadius = radius)
+        .filter(col("hamming") <= 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found(0) == Set.empty, s"radius 0 should miss the planted pair: ${found(0)}")
+    assert(found(1) == Set.empty, s"radius 1 should miss the planted pair: ${found(1)}")
+    assert(found(2) == Set((1L, 2L)), s"radius 2 must find it: ${found(2)}")
+    // the pipeline derives radius 2 from maxHamming = 10 and drops the junior
+    val kept = DedupPipeline.dedup(docs, "doc_id", "text", DedupPipeline.SimHash(10))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"$kept")
+    // radius 1 covers thresholds ≤ 7 — derived for SimHash(7), which must
+    // keep the Hamming-10 pair apart
+    val kept7 = DedupPipeline.dedup(docs, "doc_id", "text", DedupPipeline.SimHash(7))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept7 == Set(1L, 2L, 3L), s"$kept7")
+    // beyond the radius-2 completeness bound the pipeline fails fast
+    val e = intercept[IllegalArgumentException](
+      DedupPipeline.dedup(docs, "doc_id", "text", DedupPipeline.SimHash(12)))
+    assert(e.getMessage.contains("wider fingerprint"))
+    // on real data the enumerated candidate set is a SUPERSET of the
+    // exact-chunk one at every radius (verified pairs only grow)
+    val corpus = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")
+    def pairsAt(radius: Int): Set[(Long, Long)] =
+      DedupOps.simHashNearDupPairs(corpus, mihRadius = radius)
+        .filter(col("hamming") <= 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p0 = pairsAt(0); val p2 = pairsAt(2)
+    assert(p0.subsetOf(p2), s"enumeration lost pairs: ${p0 -- p2}")
+  }
+
   test("dedupByEmbedding drops planted exact-copy vectors, keeps seniors") {
     import graft.operators.DedupPipeline
     val base = Tables.load(spark, TestSpark.sf, "embeddings")
