@@ -25,7 +25,12 @@ CLOSURE = {"q58_dedup_clusters", "q87_incremental_clusters",
            # the split/quarantine family's oracles are recursive-CTE
            # closures too — tools/split_oracle.py is their sf-scale truth
            "q119_split_state", "q120_split_resolve", "q121_wall_audit",
-           "q123_quarantine_aging", "q124_quarantine_pool"}
+           "q123_quarantine_aging", "q124_quarantine_pool",
+           # q122/q125's committed oracles pair EXHAUSTIVELY (sig × sig,
+           # r14 — independent of the candidate path), O(N²) above
+           # sf0.01 — tools/media_sf1_oracle.py is their sf-scale truth
+           # (radius-2 enumeration replay, same exact answer)
+           "q122_media_neardup", "q125_media_vs_index"}
 # longest-observed-first (sf1 sweep telemetry); everything else after
 HEAVY_ORDER = ["q53_ngram_jaccard", "q51_minhash_lsh", "q74_incremental_dedup",
                "q97_cross_source_dups", "q52_simhash", "q63_embedding_neardup",
