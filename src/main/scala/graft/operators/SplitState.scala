@@ -540,7 +540,11 @@ object SplitState {
     * and prefix-summed over the committed seq list. The final window is
     * unpartitioned BY DESIGN: it runs over one row per committed
     * OPERATION (maintenance cadence — dozens, not corpus-sized), after
-    * all doc-keyed work is reduced. Returns (seq, pool). */
+    * all doc-keyed work is reduced. Returns (seq, pool). Caveat for
+    * PRE-UPGRADE state only: a family that both quarantined AND
+    * compacted before the r14 `quarantine_enter` audit rows existed has
+    * drain events with no surviving entry evidence — its historical pool
+    * curve can read low; state maintained by r14+ code is exact. */
   def quarantinePool(s: SparkSession, namePrefix: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val committed = committedSeq(s, namePrefix)

@@ -467,6 +467,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally dropAll()
   }
 
+  test("mediaDrain (unwired): flag-and-admit over the durable phash index; later batches match earlier admissions; replay is a fingerprint-verified no-op") {
+    import graft.operators.MultimodalOps
+    import spark.implicits._
+    def blob(tag: String): String =
+      (0 until 40).map(j => s"${tag}byte$j").mkString(" ")
+    def media(rows: Seq[(Long, String)]) = rows
+      .map { case (id, s) => (id, "image", s.getBytes("UTF-8")) }
+      .toDF("doc_id", "kind", "payload")
+    val corpus = media(Seq(1L -> blob("aa"), 2L -> blob("qq")))
+    val b1 = Seq(10L -> (blob("aa") + " jitter"), 11L -> blob("uu"))
+    val b2 = Seq(20L -> (blob("uu") + " zz2")) // near-dup of batch-1's ADMISSION
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-mdu-src")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mdu-ck").toString
+    val auditRoot = java.nio.file.Files.createTempDirectory("graft-mdu-au").toString
+    def dropAll(): Unit =
+      for (t <- Seq("chunks", "chunks_compact", "meta", "tombstones"))
+        spark.sql(s"DROP TABLE IF EXISTS mdu_mp_$t")
+    try {
+      dropAll()
+      MultimodalOps.saveMediaPhashIndex(corpus, "mdu_mp", nBuckets = 4)
+      val schema = media(Seq.empty).schema
+      def drain(ck: String): Unit = graft.streaming.DocStream.mediaDrain(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.toString + "/*"),
+        "mdu_mp", 10, auditRoot, ck)
+      media(b1).repartition(1).write.parquet(srcDir.resolve("b1").toString)
+      drain(ckpt)
+      media(b2).repartition(1).write.parquet(srcDir.resolve("b2").toString)
+      drain(ckpt)
+      // flags: the jittered copy names its corpus original; the fresh
+      // asset is unflagged in batch 1 but its batch-2 near-dup matches it
+      // THROUGH the index (the admission closed the loop)
+      val flags = spark.read.parquet(auditRoot)
+        .select("doc_id", "dup_of").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(flags == Map(10L -> Some(1L), 11L -> None, 20L -> Some(11L)),
+        s"$flags")
+      assert(MultimodalOps.mediaPhashWatermark(spark, "mdu_mp").contains(20L))
+      // fresh-checkpoint replay: audit partitions rewritten byte-identical,
+      // index appends are fingerprint-verified no-ops
+      val chunksBefore = spark.table("mdu_mp_chunks").count()
+      drain(java.nio.file.Files.createTempDirectory("graft-mdu-ck2").toString)
+      assert(spark.table("mdu_mp_chunks").count() == chunksBefore)
+      val flags2 = spark.read.parquet(auditRoot)
+        .select("doc_id", "dup_of").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(flags2 == flags, s"$flags2")
+    } finally dropAll()
+  }
+
   test("mediaDrain with split wiring: media pairs reach the wall audit as ok rows; a cross-split media bridge quarantines and drains; replay and changed batching are no-ops") {
     import graft.operators.{MultimodalOps, ClusterState, SplitState, DedupOps}
     import spark.implicits._
