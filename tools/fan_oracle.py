@@ -26,6 +26,11 @@ CLOSURE = {"q58_dedup_clusters", "q87_incremental_clusters",
            # closures too — tools/split_oracle.py is their sf-scale truth
            "q119_split_state", "q120_split_resolve", "q121_wall_audit",
            "q123_quarantine_aging", "q124_quarantine_pool",
+           # q117/q118 embed the same closure CTEs (multi-CPU-hour in
+           # DuckDB at sf1, measured r14); their sf-scale truth is
+           # derived from q58's closure-oracle validation (BUILDLOG r11)
+           # — gate them at sf0.01 + specs, never through this fan
+           "q117_cluster_split", "q118_split_apply",
            # q122/q125's committed oracles pair EXHAUSTIVELY (sig × sig,
            # r14 — independent of the candidate path), O(N²) above
            # sf0.01 — tools/media_sf1_oracle.py is their sf-scale truth
