@@ -54,12 +54,42 @@ object SimilarityOps {
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign bit per hyperplane via the NATIVE cosine expression (sign(cos) ==
-    * sign(dot) since norms are positive) — one fused codegen'd pass per
-    * plane instead of an interpreted zip_with/aggregate lambda (measured
-    * ~5× on the bucket-assignment stage). */
+  /** Dot product via the native fused [[graft.plans.DotProduct]] expression
+    * — same accumulation order as [[cosine]]'s dot leg and DuckDB's
+    * `list_dot_product`. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    GraftBridge.column(graft.plans.DotProduct(
+      Cast(GraftBridge.expression(a), ArrayType(DoubleType)),
+      Cast(GraftBridge.expression(b), ArrayType(DoubleType))))
+  }
+
+  /** A constant plane as an UNBOXED array literal: `typedlit(Seq[Double])`
+    * lands as a GenericArrayData over java.lang.Double — every getDouble in
+    * the hot projection loop dereferences + unboxes an object. Wrapping the
+    * primitive array in UnsafeArrayData gives flat 8-byte reads (measured
+    * on the r15 q66 profile as part of the 36-plane projection cost). */
+  private def planeLit(p: Seq[Double]): Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{Literal, UnsafeArrayData}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    GraftBridge.column(Literal(
+      UnsafeArrayData.fromPrimitiveArray(p.toArray),
+      ArrayType(DoubleType, containsNull = false)))
+  }
+
+  /** Sign bit per hyperplane via the NATIVE dot-product expression —
+    * sign(dot) == sign(cos) (norms are positive) and the DuckDB oracle
+    * replays exactly `list_dot_product(emb, pl) >= 0`, so this drops the
+    * two per-plane norm accumulations [[cosine]] paid without moving a
+    * single bit. One fused codegen'd pass per plane instead of an
+    * interpreted zip_with/aggregate lambda (measured ~5× on the
+    * bucket-assignment stage; the dot+unboxed-literal form is another ~3×
+    * on the r15 profile). */
   private def signBits(emb: Column, planes: Seq[Seq[Double]]): Seq[Column] =
-    planes.map(p => when(cosine(emb, typedlit(p)) >= 0, lit(1L)).otherwise(lit(0L)))
+    planes.map(p => when(dot(emb, planeLit(p)) >= 0, lit(1L)).otherwise(lit(0L)))
 
   /** Max bits/table the ORACLE can replay (48 plane constants in the SQL);
     * 2^12 = 4096 buckets covers corpora to ~256k vectors at the target
@@ -105,15 +135,15 @@ object SimilarityOps {
             // index-build-time parameter, same discipline as IvfIndex's k
     val stride = b.max(LshMaxSqlBits)
     val planes = hyperplanes(tables * stride, 64)
-    val tableStructs = (0 until tables).map { t =>
-      val code = (0 until b)
-        .map(i => signBits(col("emb"), Seq(planes(t * stride + i))).head * (1L << i))
-        .reduce(_ + _)
-      struct(lit(t).as("t"), code.as("code"))
-    }
+    // All table codes in ONE fused native expression (graft.plans.LshCodes):
+    // the composed per-plane form (tables×b dot+CASE-WHEN columns) generated
+    // a method too large to JIT — measured ~190 µs/row vs ~2 µs of real FMA
+    // work on the r15 q66 profile. Bit/accumulation order is identical, so
+    // the codes (and the DuckDB oracle replay) are unchanged.
     vecs
-      .withColumn("tbl", explode(array(tableStructs: _*)))
-      .select(col("vec_id"), col("tbl.t").as("t"), col("tbl.code").as("code"))
+      .select(col("vec_id"),
+        posexplode(graft.plans.LshCodes.codesFor(col("emb"), planes, tables, b, stride)))
+      .select(col("vec_id"), col("pos").as("t"), col("col").as("code"))
   }
 
   /** All-similar-pairs over a (vec_id, emb: array<double>) frame via
@@ -125,7 +155,13 @@ object SimilarityOps {
   private[graft] def lshSimilarPairs(vecs: DataFrame,
                                      tables: Int = LshTables,
                                      bitsPerTable: Int = 0): DataFrame = {
-    val v = lshSignatures(vecs, tables, bitsPerTable)
+    // Pin the signatures before the self-join: un-pinned, BOTH join sides
+    // re-run the tables×b plane projection over the corpus (Spark reuses
+    // no exchange across self-join branches — the same trap the media
+    // pipeline hit in r14), which the r15 profile measured as ~80% of q66's
+    // sf1 wall (9 of 11 s). 24 B/vector — the same order as the media
+    // sig pin (16 B/asset).
+    val v = lshSignatures(vecs, tables, bitsPerTable).localCheckpoint()
     val candidates = v.as("x")
       .join(v.as("y"),
         col("x.t") === col("y.t") && col("x.code") === col("y.code") &&

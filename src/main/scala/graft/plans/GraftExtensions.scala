@@ -42,6 +42,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => { arity("graft_md5_64", children, 1)
         Md5Lower64(children.head) }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      DotProduct.info,
+      (children: Seq[Expression]) => { arity("graft_dot", children, 2)
+        DotProduct(
+          Cast(children.head, ArrayType(DoubleType)),
+          Cast(children(1), ArrayType(DoubleType))) }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_jaccard"),
       JaccardSimilarity.info,
       (children: Seq[Expression]) => { arity("graft_jaccard", children, 2)

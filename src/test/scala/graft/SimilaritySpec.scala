@@ -507,4 +507,68 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rStale < rFresh,
       s"stale recall $rStale not below re-seeded $rFresh — fixture not adversarial")
   }
+
+  test("dot: native DotProduct matches hand-computed sum, nulls, length mismatch") {
+    val out = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, -5.0, 6.0)),   // 4 - 10 + 18 = 12
+      (Seq(0.5, -0.5), Seq(2.0, 2.0))              // 1 - 1 = 0
+    ).toDF("a", "b")
+      .select(SimilarityOps.dot(col("a"), col("b")).as("d"))
+      .as[Double].collect()
+    assert(out.toSeq == Seq(12.0, 0.0), out.toSeq.toString)
+    // length mismatch → NULL (DuckDB list_dot_product errors; a truncated
+    // finite value would be plausible-but-wrong)
+    val mismatch = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(SimilarityOps.dot(col("a"), col("b")).as("d"))
+      .collect().head
+    assert(mismatch.isNullAt(0), s"length mismatch gave ${mismatch.get(0)}")
+    // NULL element → NULL (not a fabricated 0-contribution)
+    val nullElem = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 1.0)))
+      .toDF("a", "b")
+      .select(SimilarityOps.dot(col("a"), col("b")).as("d"))
+      .collect().head
+    assert(nullElem.isNullAt(0), s"null element gave ${nullElem.get(0)}")
+  }
+
+  test("LshCodes: fused codes match a plain-Scala sign-LSH reference, edge rows → code 0") {
+    import graft.plans.LshCodes
+    val tables = 4; val bits = 9; val stride = 12; val dim = 8
+    val rnd = new scala.util.Random(7)
+    val planes = Seq.fill(tables * stride)(Seq.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 50).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+    // reference: dot accumulated in index order (the expression's contract),
+    // bit i set iff dot(emb, plane(t*stride+i)) >= 0
+    def refCodes(emb: Seq[Double]): Seq[Long] =
+      (0 until tables).map { t =>
+        (0 until bits).map { i =>
+          val p = planes(t * stride + i)
+          var dot = 0.0
+          var k = 0
+          while (k < dim) { dot += emb(k) * p(k); k += 1 }
+          if (dot >= 0) 1L << i else 0L
+        }.sum
+      }
+    val got = vecs.toDF("vec_id", "emb")
+      .select(col("vec_id"),
+        LshCodes.codesFor(col("emb"), planes, tables, bits, stride).as("codes"))
+      .as[(Long, Seq[Long])].collect().toMap
+    vecs.foreach { case (id, emb) =>
+      assert(got(id) == refCodes(emb), s"vec $id: ${got(id)} != ${refCodes(emb)}")
+    }
+    // degenerate rows land in bucket 0 of every table — kept, not dropped
+    // (the composed when(dot >= 0, 1).otherwise(0) form's behavior: NULL
+    // dot → bit 0; same for the oracle's CASE WHEN ... ELSE 0 END)
+    val edge = Seq(
+      (0L, Seq.fill(dim)(1.0)),          // control: normal row
+      (1L, Seq.fill(dim + 1)(1.0)),      // wrong length
+      (2L, null.asInstanceOf[Seq[Double]]) // NULL embedding
+    ).toDF("vec_id", "emb")
+      .select(col("vec_id"),
+        LshCodes.codesFor(col("emb"), planes, tables, bits, stride).as("codes"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(edge.size == 3, s"edge rows dropped: ${edge.keys}")
+    assert(edge(1L) == Seq(0L, 0L, 0L, 0L), edge(1L).toString)
+    assert(edge(2L) == Seq(0L, 0L, 0L, 0L), edge(2L).toString)
+    assert(edge(0L) == refCodes(Seq.fill(dim)(1.0)), edge(0L).toString)
+  }
 }
