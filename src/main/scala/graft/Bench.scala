@@ -90,20 +90,29 @@ object Bench {
     graft.Tables.names.foreach { n =>
       try graft.Tables.load(spark, sfDir, n).count() catch { case _: Throwable => () }
     }
-    try SparkEntry.queries("q25_star_join")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
-    // q87's and q110's corpus cluster bootstraps are deliberate one-time
-    // per-session state (DedupOps session caches); build them HERE so every
-    // timed trial measures only the per-batch path (updateClusters /
-    // ClusterState.remove) — otherwise the first timed trial pays the
-    // O(corpus) build, which with 1–2 trials lands in the reported number
-    // and always lands in the query's heap attribution.
-    for (warm <- Seq("q87_incremental_clusters", "q110_cluster_deletion")
-         if ordered.exists(_._1 == warm))
-      try SparkEntry.queries(warm)(spark, sfDir)
+    // FULL untimed warmup sweep (r15, VERDICT r14 item 2): one pass over
+    // every selected query before the timed trials. This pays, per query,
+    // (a) whole-stage codegen compilation + JIT, and (b) every session
+    // state-cache bootstrap (q87/q110 cluster state, q118 split wall,
+    // q119/q120/q123 split caches, q116 containment index, q125 media
+    // index) — the deliberate build-once-serve-many state whose O(corpus)
+    // build otherwise lands in trial 1 and poisons the MEDIAN (BENCH_r14:
+    // q118 min 2.26 s vs median 8.71 s). The warmup wall is reported
+    // separately as `bootstrap_sec` so the one-time cost stays visible
+    // rather than silently vanishing. Disable with SPARK_GRAFT_WARMUP=0
+    // to profile cold/bootstrap costs.
+    val warmupSweep = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
+    val boot0 = System.nanoTime()
+    if (warmupSweep)
+      ordered.foreach { case (_, fn) =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    else
+      try SparkEntry.queries("q25_star_join")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+    val bootstrapSec = math.rint((System.nanoTime() - boot0) / 1e6) / 1e3
     // noop sink forces FULL evaluation of every output column — count()
     // would let Catalyst prune the projections being measured (sha2,
     // regex, cosine arithmetic would vanish from the timed plan).
@@ -290,7 +299,7 @@ object Bench {
     // stores a bounded tail of stdout, which truncates the FRONT of this
     // line — total_sec at the end survives that
     def line(queries: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queries,"queries_min":$qsMin,"sf":"$sfDir","trials":$trials,"failed":$failedJson,"gc_sec":$gcSec,"gc_frac":$gcFrac,"heap_mb":$heapMb,"heap_peak_mb":$heapPeakMb,"heap_peak_def":"sum of per-pool JVM peaks (non-simultaneous upper bound; may exceed heap_max_mb)","heap_used_peak_mb":$heapUsedPeakMb,"heap_max_mb":$heapMaxMb,"heap_warn":$heapWarn,"cpu_cores":$cpuCores,"load_avg":${math.rint(maxLoad * 100) / 100},"ambient_cores":${math.rint(maxAmbient * 100) / 100},"noise_spread":$noise,"contended":$contended,"wall_sec":${math.rint(wallSec * 10) / 10},"total_min_sec":${math.rint(totalMin * 1000) / 1000},"total_sec":$total}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queries,"queries_min":$qsMin,"sf":"$sfDir","trials":$trials,"failed":$failedJson,"gc_sec":$gcSec,"gc_frac":$gcFrac,"heap_mb":$heapMb,"heap_peak_mb":$heapPeakMb,"heap_peak_def":"sum of per-pool JVM peaks (non-simultaneous upper bound; may exceed heap_max_mb)","heap_used_peak_mb":$heapUsedPeakMb,"heap_max_mb":$heapMaxMb,"heap_warn":$heapWarn,"cpu_cores":$cpuCores,"load_avg":${math.rint(maxLoad * 100) / 100},"ambient_cores":${math.rint(maxAmbient * 100) / 100},"noise_spread":$noise,"contended":$contended,"wall_sec":${math.rint(wallSec * 10) / 10},"warm_sweep":$warmupSweep,"bootstrap_sec":$bootstrapSec,"total_min_sec":${math.rint(totalMin * 1000) / 1000},"total_sec":$total}"""
     // full-precision copy the driver can read WHOLE — BENCH_r04's stdout
     // tail lost 29 of 86 per-query numbers (VERDICT r4 item 8). The file
     // also carries every per-trial sample ("samples"): a grader can see

@@ -544,7 +544,13 @@ object SplitState {
     * PRE-UPGRADE state only: a family that both quarantined AND
     * compacted before the r14 `quarantine_enter` audit rows existed has
     * drain events with no surviving entry evidence — its historical pool
-    * curve can read low; state maintained by r14+ code is exact. */
+    * curve can read low; state maintained by r14+ code is exact. The
+    * running sum is clamped at 0 (ADVICE r14): with orphaned drains the
+    * raw prefix sum can go NEGATIVE, which reads as corruption to an
+    * operator — a floor of 0 keeps the "reads low" caveat the worst
+    * case. The clamp is a no-op on any state with complete entry
+    * evidence (entries always precede their drains), so oracle replays
+    * on fresh state are unaffected. */
   def quarantinePool(s: SparkSession, namePrefix: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val committed = committedSeq(s, namePrefix)
@@ -564,7 +570,7 @@ object SplitState {
       .withColumn("pool",
         sum(coalesce(col("d"), lit(0L))).over(
           Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("seq"), col("pool").cast("long").as("pool"))
+      .select(col("seq"), greatest(col("pool"), lit(0L)).cast("long").as("pool"))
   }
 
   /** Artifact-consistency audit across the cluster/split pair: every

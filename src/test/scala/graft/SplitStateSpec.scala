@@ -457,6 +457,35 @@ class SplitStateSpec extends AnyFunSuite {
     } finally drop(p)
   }
 
+  test("quarantinePool clamps at 0 on pre-audit legacy state (orphaned drains, ADVICE r14)") {
+    val p = "graft_sp_clamp"
+    try {
+      drop(p)
+      val a = idWith("train"); val b = idWith("test", a + 1)
+      SplitState.init(spark, p, Seq(a, b).toDF("doc_id"),
+        Seq.empty[(Long, Long)].toDF("node", "label"))
+      // seq 1: bridge a~b → 500 quarantines; seq 2: resolve drains it
+      val lab = Seq((a, a), (b, a), (500L, a)).toDF("node", "label")
+      SplitState.assign(spark, p, Seq(500L).toDF("doc_id"), lab)
+      SplitState.resolve(spark, p, lab)
+      // simulate a family that quarantined+compacted BEFORE the r14
+      // quarantine_enter audit rows existed: compact collapses _assign
+      // history (the quarantine row vanishes), then strip the audit rows
+      // from _moves — the drain event is now orphaned
+      SplitState.compact(spark, p)
+      val legacy = spark.table(s"${p}_moves")
+        .filter(col("reason") =!= "quarantine_enter")
+        .localCheckpoint(eager = true)
+      legacy.write.mode("overwrite").format("parquet").saveAsTable(s"${p}_moves")
+      val pool = SplitState.quarantinePool(spark, p).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // without the clamp the drain seq reads -1 (corruption to an
+      // operator); with it the documented worst case is "reads low" — 0
+      assert(pool.values.forall(_ >= 0L), s"negative pool: $pool")
+      assert(pool.nonEmpty && pool.values.max == 0L, s"$pool")
+    } finally drop(p)
+  }
+
   test("wallAudit surfaces unassigned endpoints instead of dropping the pair") {
     val p = "graft_sp_unas"
     try {

@@ -47,6 +47,12 @@ def main():
     patched = 0
     for q in ("q122_media_neardup", "q125_media_vs_index"):
         if q in oracles:
+            if ENUMERATED_TAIL in oracles[q]:
+                # idempotent re-run (ADVICE r14): a previous invocation
+                # already rewrote this oracle in place — count it as
+                # patched and move on instead of tripping the shape assert
+                patched += 1
+                continue
             assert EXHAUSTIVE_TAIL in oracles[q], \
                 f"{q}: exhaustive pairs CTE not found — oracle shape changed?"
             oracles[q] = oracles[q].replace(EXHAUSTIVE_TAIL, ENUMERATED_TAIL)
