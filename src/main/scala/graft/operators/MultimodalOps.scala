@@ -88,53 +88,58 @@ object MultimodalOps {
       .groupBy("doc_id")
       .agg(graft.plans.SimHashSketchAgg.sketch(col("th")).as("phash"))
 
-  /** The multi-index-hashing enumeration radius: a query chunk matches a
-    * stored chunk when their 16-bit values differ in at most MIH_RADIUS
-    * bits, implemented by enumerating the query chunk's
-    * Hamming-≤MIH_RADIUS neighbourhood (1 + 16 + C(16,2) = 137 masks) as
-    * extra join keys. By pigeonhole a pair within Hamming h of the
-    * 64-bit phash has SOME chunk within floor(h/4) bits, so radius 2
-    * makes the 4×16 banding COMPLETE for every h ≤ 4·2+3 = 11 — above
-    * the verify threshold 10, turning the media near-dup queries into
-    * EXACT Hamming-range queries (the public multi-index hashing result,
-    * Norouzi/Punjani/Fleet CVPR'12). Chosen over the r13 verdict's 8×8
-    * alternative (also audited by q126): 8-bit chunks shrink the join
-    * key space to 256 values — expected candidates N²·8/2/256 = N²/64, a
-    * corpus-sized hot-key trap — while enumeration keeps the 65536-value
-    * key space and the AT-REST chunk table unchanged (query-side-only
-    * blow-up: 548 rows per asset on ONE side, candidates N²·4·137/2/2¹⁶
-    * ≈ N²/239, 3.7× fewer). Measured recall of the alternatives per
-    * Hamming band is q126's output. */
-  private val MIH_RADIUS = 2
+  // Multi-index hashing (Norouzi/Punjani/Fleet CVPR'12): a query chunk
+  // matches a stored chunk when their 16-bit values differ in ≤ radius
+  // bits, implemented by enumerating the query chunk's Hamming-≤radius
+  // neighbourhood as extra join keys. Chosen over the r13 verdict's 8×8
+  // alternative (also audited by q126): 8-bit chunks shrink the join key
+  // space to 256 values — expected candidates N²·8/2/256 = N²/64, a
+  // corpus-sized hot-key trap — while enumeration keeps the 65536-value
+  // key space and the AT-REST chunk table unchanged (query-side-only
+  // blow-up on ONE side; at radius 2, candidates N²·4·137/2/2¹⁶ ≈ N²/239,
+  // 3.7× fewer). Measured recall of the rules per Hamming band is q126's
+  // output.
 
-  /** Completeness bound of the enumeration: 4·radius + 3. */
-  private val MIH_COMPLETE_TO = 4 * MIH_RADIUS + 3
+  /** THE COST KNOB (VERDICT r14 item 4): the smallest enumeration radius
+    * whose pigeonhole bound covers `maxHamming` — a pair within Hamming h
+    * of the 64-bit phash has SOME 16-bit chunk within ⌊h/4⌋ bits, so
+    * radius r is complete for every h ≤ 4r+3, i.e. r = ⌊h/4⌋ suffices.
+    * The verify threshold therefore BUYS its own enumeration cost:
+    * h ≤ 3 → 1 mask (exact chunks), h ≤ 7 → 17 masks, h ≤ 11 → 137,
+    * h ≤ 15 → 697. q126 measures the recall each rule would have at
+    * every band, so the threshold↔cost trade is chosen on data. */
+  private[graft] def mihRadiusFor(maxHamming: Int): Int = maxHamming / 4
 
-  /** The 137 16-bit masks at Hamming ≤ [[MIH_RADIUS]], as an array
-    * column literal (codegen'd explode, no join against a mask table). */
-  private val mihMaskArray: Column = {
-    val ms = Seq(0L) ++
-      (0 until 16).map(i => 1L << i) ++
-      (for (i <- 0 until 16; j <- i + 1 until 16) yield (1L << i) | (1L << j))
+  /** Enumeration-cost ceiling: radius 3 = 697 masks/chunk is the largest
+    * fan-out that stays cheaper than brute pair verify at realistic
+    * corpus sizes; beyond it (h ≥ 16) a wider-chunk banding, not deeper
+    * enumeration, is the right tool. */
+  private val MIH_MAX_RADIUS = 3
+
+  /** The 16-bit masks at Hamming ≤ `radius` (radius 2: 1+16+C(16,2) =
+    * 137), as an array column literal (codegen'd explode, no join
+    * against a mask table). */
+  private def mihMaskArray(radius: Int): Column = {
+    val ms = (0L until 65536L).filter(m => java.lang.Long.bitCount(m) <= radius)
     array(ms.map(lit): _*)
   }
 
   /** The query-side enumeration of [[phashChunks]] rows: each (c, ch)
-    * row fans out to its 137 Hamming-≤2 chunk variants — the ONE side of
-    * the candidate join that blows up (548 rows/asset); the stored side
-    * stays 4 exact rows/asset and (for the at-rest index) reaches the
-    * join shuffle-free off its (c, ch) bucketing. */
-  private def mihVariants(chunks: DataFrame): DataFrame =
+    * row fans out to its Hamming-≤`radius` chunk variants — the ONE side
+    * of the candidate join that blows up (137 masks → 548 rows/asset);
+    * the stored side stays 4 exact rows/asset and (for the at-rest
+    * index) reaches the join shuffle-free off its (c, ch) bucketing. */
+  private def mihVariants(chunks: DataFrame, radius: Int): DataFrame =
     chunks.select(col("doc_id"), col("phash"), col("c"),
-        explode(mihMaskArray).as("m"),
+        explode(mihMaskArray(radius)).as("m"),
         col("ch"))
       .select(col("doc_id"), col("phash"), col("c"),
         col("ch").bitwiseXOR(col("m")).as("ch"))
 
   /** Media near-dup pairs over [[mediaFingerprint]]: multi-index-hash
-    * candidates (16-bit chunk join with radius-[[MIH_RADIUS]] query-side
-    * enumeration — COMPLETE for Hamming ≤ [[MIH_COMPLETE_TO]], enforced
-    * against `maxHamming`, so the result is the EXACT set of pairs
+    * candidates (16-bit chunk join with query-side enumeration at the
+    * radius [[mihRadiusFor]] derives from `maxHamming` — pigeonhole-
+    * complete for it by construction, so the result is the EXACT set of pairs
     * within `maxHamming`; VERDICT r13 demand 1 — the r12-r13 4×16
     * exact-chunk rule was only pigeonhole-complete to 3 and measured
     * ~22% recall at Hamming 10, q126), exact Hamming verify BEFORE the
@@ -145,10 +150,10 @@ object MultimodalOps {
     * ride the SAME takedown/quarantine/wall-audit machinery as
     * documents. */
   def mediaNearDupPairs(media: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming <= MIH_COMPLETE_TO,
-      s"mediaNearDupPairs: the radius-$MIH_RADIUS chunk enumeration is " +
-        s"complete only to Hamming $MIH_COMPLETE_TO; verifying at " +
-        s"$maxHamming would silently miss pairs")
+    val radius = mihRadiusFor(maxHamming)
+    require(radius <= MIH_MAX_RADIUS,
+      s"mediaNearDupPairs: Hamming $maxHamming needs enumeration radius " +
+        s"$radius > $MIH_MAX_RADIUS — use a wider-chunk banding instead")
     // sigs are PINNED (eager local checkpoint, 16 bytes per asset): both
     // join sides read them, and without the pin each side re-runs the
     // whole gram-explode + md5 + SimHash pipeline — at 100 TB that is a
@@ -163,7 +168,7 @@ object MultimodalOps {
     // single-threaded driver build (measured 5.5 s at sf0.1; and at 100 TB
     // the self-join's sides are both corpus-sized, so the banded shuffle
     // on (c, ch) is the only correct shape anyway)
-    mihVariants(chunks).as("x")
+    mihVariants(chunks, radius).as("x")
       .join(chunks.as("y").hint("shuffle_hash"),
         col("x.c") === col("y.c") && col("x.ch") === col("y.ch") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -211,7 +216,7 @@ object MultimodalOps {
 
   /** The 4 × 16-bit LSH chunk rows of a (doc_id, phash) fingerprint
     * frame — the STORED side of the candidate join (the query side
-    * enumerates its Hamming-≤[[MIH_RADIUS]] variants, [[mihVariants]]).
+    * enumerates its Hamming-≤radius variants, [[mihVariants]]).
     * The full phash rides along so the Hamming verify needs NO second
     * join back to a signature table (4 rows ≈ 40 bytes per asset; the
     * join is the whole read). */
@@ -371,21 +376,21 @@ object MultimodalOps {
     * (c, ch) bucketing covers the join keys, and the stored side is
     * never enumerated) plus a batch-sized self-join for batch~batch
     * pairs, Hamming verify straight off the joined phashes. Complete
-    * for `maxHamming` ≤ [[MIH_COMPLETE_TO]] (enforced). Returns
+    * for `maxHamming` at the [[mihRadiusFor]]-derived radius. Returns
     * (a, b, hamming), a < b. Callers own batch-vs-corpus doc_id
     * uniqueness. */
   def mediaNearDupVsIndex(batch: DataFrame, s: SparkSession,
                           namePrefix: String, maxHamming: Int): DataFrame = {
-    require(maxHamming <= MIH_COMPLETE_TO,
-      s"mediaNearDupVsIndex: the radius-$MIH_RADIUS chunk enumeration is " +
-        s"complete only to Hamming $MIH_COMPLETE_TO; verifying at " +
-        s"$maxHamming would silently miss pairs")
+    val radius = mihRadiusFor(maxHamming)
+    require(radius <= MIH_MAX_RADIUS,
+      s"mediaNearDupVsIndex: Hamming $maxHamming needs enumeration radius " +
+        s"$radius > $MIH_MAX_RADIUS — use a wider-chunk banding instead")
     // batch sigs pinned: three branches read them (corpus-join variants,
     // self-join variants, self-join exact side) — one batch fingerprint
     // pass, not three
     val bChunks = phashChunks(
       mediaFingerprint(batch).localCheckpoint(eager = true))
-    val bVariants = mihVariants(bChunks)
+    val bVariants = mihVariants(bChunks, radius)
     val corpus = loadMediaPhashChunks(s, namePrefix)
     val candCorpus = bVariants.as("x")
       .join(corpus.as("y"),
@@ -470,6 +475,22 @@ object MultimodalOps {
           concat(col("payload").cast("string"), lit(" zz"),
             (col("doc_id") % 7).cast("string")).cast("binary").as("payload"))
       mediaNearDupPairs(media.unionByName(planted), maxHamming = 10)
+        .orderBy("a", "b")
+    }),
+
+    // q122's CHEAP CONFIGURATION (VERDICT r14 item 4): verify threshold 7
+    // → mihRadiusFor derives radius 1 (17 masks/chunk vs 137 — an 8×
+    // smaller query-side fan-out) and the answer is still the EXACT
+    // Hamming-≤7 pair set by the same pigeonhole bound (4·1+3 = 7). The
+    // takedown loop picks its threshold from q126's per-band recall curve;
+    // this entry prices the tighter band and oracle-proves its exactness.
+    "q127_media_neardup_h7" -> ((s, d) => {
+      val media = mediaOf(s, d).toDF()
+      val planted = media.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + plantOffset).as("doc_id"), col("kind"),
+          concat(col("payload").cast("string"), lit(" zz"),
+            (col("doc_id") % 7).cast("string")).cast("binary").as("payload"))
+      mediaNearDupPairs(media.unionByName(planted), maxHamming = 7)
         .orderBy("a", "b")
     }),
 
@@ -649,6 +670,18 @@ object MultimodalOps {
         |   FROM documents WHERE doc_id % 5 = 0),
         |$phashPairsSql
         |SELECT a, b, hamming FROM pairs WHERE hamming <= 10 ORDER BY a, b""".stripMargin,
+
+    // The cheap configuration's oracle is q122's exhaustive computation
+    // at the tighter threshold — same independence from the candidate
+    // path, so a radius-1 recall miss would surface as a hash mismatch.
+    "q127_media_neardup_h7" ->
+      s"""WITH media AS (
+        |   SELECT doc_id, text AS s FROM documents
+        |   UNION ALL
+        |   SELECT doc_id + $plantOffset AS doc_id, text || ' zz' || CAST(doc_id % 7 AS VARCHAR) AS s
+        |   FROM documents WHERE doc_id % 5 = 0),
+        |$phashPairsSql
+        |SELECT a, b, hamming FROM pairs WHERE hamming <= 7 ORDER BY a, b""".stripMargin,
 
     // The incremental path must equal the full corpus∪batch EXACT
     // Hamming-range answer, so its oracle is q122's exhaustive

@@ -132,6 +132,39 @@ class MultimodalSpec extends AnyFunSuite {
     } finally dropAll()
   }
 
+  test("cost knob: mihRadiusFor derives the smallest complete radius; radius-1 answer == radius-2 answer filtered to Hamming <= 7") {
+    // threshold -> radius: the pigeonhole identity r = floor(h/4)
+    assert((0 to 15).map(MultimodalOps.mihRadiusFor) ==
+      Seq(0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3))
+    // exactness cross-check on real data: both configurations are exact
+    // Hamming-range answers, so the cheap one must equal the expensive
+    // one restricted to its threshold
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val media = docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.lit("image").as("kind"),
+        col("text").cast("binary").as("payload"))
+    val planted = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000000L).as("doc_id"),
+        org.apache.spark.sql.functions.lit("image").as("kind"),
+        org.apache.spark.sql.functions.concat(col("text"),
+          org.apache.spark.sql.functions.lit(" zz")).cast("binary").as("payload"))
+    val corpus = media.unionByName(planted)
+    val h7 = MultimodalOps.mediaNearDupPairs(corpus, maxHamming = 7)
+      .select("a", "b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val h10to7 = MultimodalOps.mediaNearDupPairs(corpus, maxHamming = 10)
+      .filter(col("hamming") <= 7)
+      .select("a", "b", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(h7.nonEmpty, "no Hamming<=7 pairs found — planted copies missing")
+    assert(h7 == h10to7,
+      s"radius-1 answer diverges: only-h7=${(h7 -- h10to7).take(5)}, only-h10=${(h10to7 -- h7).take(5)}")
+    // the knob refuses thresholds past the enumeration-cost ceiling
+    val e = intercept[IllegalArgumentException](
+      MultimodalOps.mediaNearDupPairs(corpus, maxHamming = 16))
+    assert(e.getMessage.contains("wider-chunk banding"))
+  }
+
   test("media near-dup bridges into cluster/split membership: the perturbed copy joins its original's cluster and split; unrelated assets stay apart") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -4,7 +4,7 @@
 At sf0.01 the committed oracles for q122/q125 pair EXHAUSTIVELY
 (sig x sig bit_count — independent of any candidate machinery). That
 form is O(N^2) in DuckDB and infeasible at sf1 (~60k signatures), so
-this tool patches those two oracles' `pairs` CTE into the radius-2
+this tool patches those oracles' `pairs` CTE into the radius-2
 chunk-variant enumeration (137 masks per 16-bit chunk, one side) —
 pigeonhole-COMPLETE for Hamming <= 11 > the verify threshold 10, so it
 computes the SAME exact Hamming-range answer with banded-join cost —
@@ -13,7 +13,7 @@ fixed-size (500 docs x 13 grades) and runs unpatched at any sf.
 
 Usage: python3 tools/media_sf1_oracle.py <sfDir> <verifyOutDir>
   (expects <verifyOutDir> to hold Verify output incl. oracle_sql.json
-   for q122_media_neardup, q125_media_vs_index, q126_media_lsh_recall)
+   for q122_media_neardup, q125/q127 variants, q126_media_lsh_recall)
 """
 import sys, os, json, subprocess
 
@@ -45,7 +45,7 @@ def main():
     with open(path) as f:
         oracles = json.load(f)
     patched = 0
-    for q in ("q122_media_neardup", "q125_media_vs_index"):
+    for q in ("q122_media_neardup", "q125_media_vs_index", "q127_media_neardup_h7"):
         if q in oracles:
             if ENUMERATED_TAIL in oracles[q]:
                 # idempotent re-run (ADVICE r14): a previous invocation
