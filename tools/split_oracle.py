@@ -1,6 +1,7 @@
 #!/usr/bin/env python3
-"""External sf-scale ground truth for the durable split family
-(q119/q120/q121 and the planted q123/q124 quarantine analytics).
+"""External sf-scale ground truth for the split family: the sticky
+assignment queries q117/q118 plus the durable q119/q120/q121 and the
+planted q123/q124 quarantine analytics.
 
 Both queries' committed DuckDB oracles are recursive-CTE closures —
 intractable above sf0.1 (see closure_oracle.py). This tool lifts the
@@ -126,6 +127,21 @@ def main():
     tests = [c for c in corpus_comps if split_of(c) == "test"][:3]
     kk = min(len(trains), len(tests))
     truths = {
+        # q117/q118 (r15, VERDICT r14 item 7): the closure-shaped DuckDB
+        # oracles are multi-CPU-hour at sf1, but their truths are pure
+        # reads off the SAME two closures this tool already builds —
+        # q117 = full-closure rep + md5 bucket over every doc, q118 =
+        # the batch rows' sticky inherit/quarantine/hash verdict with
+        # the component rep carried along.
+        "q117_cluster_split": pd.DataFrame({
+            "doc_id": pd.array(ids, dtype="int64"),
+            "rep": pd.array([full.get(i, i) for i in ids], dtype="int64"),
+            "split": [split_of(full.get(i, i)) for i in ids]}),
+        "q118_split_apply": pd.DataFrame({
+            "doc_id": pd.array([i for i in ids if i > mx], dtype="int64"),
+            "rep": pd.array([full.get(i, i) for i in ids if i > mx],
+                            dtype="int64"),
+            "split": [batch_split(i) for i in ids if i > mx]}),
         "q119_split_state": pd.DataFrame({
             "doc_id": pd.array(ids, dtype="int64"),
             "split": [state[i] for i in ids]}),
