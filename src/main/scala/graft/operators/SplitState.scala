@@ -440,6 +440,41 @@ object SplitState {
     commitMeta(s, namePrefix, next, None, "resolve", None)
   }
 
+  /** Legacy quarantine-history backfill (VERDICT r14 item 8): synthesize
+    * the durable `quarantine_enter` audit rows for quarantine history
+    * that PRE-DATES the r14 `_moves` upgrade, while the evidence is
+    * still recoverable from uncompacted `_assign` history. For every doc
+    * holding an `_assign` row at split 'quarantine' with no
+    * `quarantine_enter` move, append the move at the doc's first
+    * quarantine seq (the same seq [[enteredSeqs]]' assign-derived branch
+    * reports, so the aging/pool analytics are unchanged by the backfill
+    * — it only makes them [[compact]]-proof). Run BEFORE the next
+    * compact: once `_assign` is collapsed the entry evidence is gone and
+    * the documented reads-low caveat applies permanently. Idempotent;
+    * returns the number of synthesized rows. */
+  def backfillQuarantineEnters(s: SparkSession, namePrefix: String): Long = {
+    if (!s.catalog.tableExists(assignT(namePrefix))) return 0L
+    val committed = committedSeq(s, namePrefix)
+    val fromAssign = s.table(assignT(namePrefix))
+      .filter(col("seq") <= committed && col("split") === "quarantine")
+      .groupBy("doc_id").agg(min("seq").as("seq"))
+    val existing =
+      if (!s.catalog.tableExists(movesT(namePrefix)))
+        fromAssign.limit(0).select("doc_id")
+      else s.table(movesT(namePrefix))
+        .filter(col("reason") === "quarantine_enter").select("doc_id")
+    val missing = fromAssign.join(existing, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(null).cast("string").as("from_split"),
+        lit("quarantine").as("to_split"),
+        lit("quarantine_enter").as("reason"), col("seq"))
+      .localCheckpoint(eager = true) // severs the read of the append target
+    val n = missing.count()
+    if (n > 0)
+      missing.write.mode("append").format("parquet")
+        .saveAsTable(movesT(namePrefix))
+    n
+  }
+
   /** Append audit rows (doc_id, from_split, to_split, reason, seq=`next`)
     * to `_moves`, adopting a crashed attempt's orphans: rows already
     * present at `next` for the same docs are skipped (the deterministic

@@ -457,6 +457,43 @@ class SplitStateSpec extends AnyFunSuite {
     } finally drop(p)
   }
 
+  test("backfillQuarantineEnters restores pre-r14 entry evidence from uncompacted assign history; analytics survive a later compact") {
+    val p = "graft_sp_bf"
+    try {
+      drop(p)
+      val a = idWith("train"); val b = idWith("test", a + 1)
+      SplitState.init(spark, p, Seq(a, b).toDF("doc_id"),
+        Seq.empty[(Long, Long)].toDF("node", "label"))
+      val lab = Seq((a, a), (b, a), (500L, a)).toDF("node", "label")
+      SplitState.assign(spark, p, Seq(500L).toDF("doc_id"), lab)
+      SplitState.resolve(spark, p, lab)
+      val agingBefore = SplitState.quarantineAging(spark, p).collect()
+        .map(_.toSeq).toSet
+      val poolBefore = SplitState.quarantinePool(spark, p).collect()
+        .map(_.toSeq).toSet
+      // simulate a pre-r14 family: strip the quarantine_enter audit rows
+      // (but leave _assign history — NOT yet compacted, so recoverable)
+      val legacy = spark.table(s"${p}_moves")
+        .filter(col("reason") =!= "quarantine_enter")
+        .localCheckpoint(eager = true)
+      legacy.write.mode("overwrite").format("parquet").saveAsTable(s"${p}_moves")
+      assert(SplitState.backfillQuarantineEnters(spark, p) == 1L)
+      assert(SplitState.backfillQuarantineEnters(spark, p) == 0L) // idempotent
+      // the synthesized rows carry the same entry seq the assign-derived
+      // branch reported, so the analytics are unchanged...
+      assert(SplitState.quarantineAging(spark, p).collect()
+        .map(_.toSeq).toSet == agingBefore)
+      assert(SplitState.quarantinePool(spark, p).collect()
+        .map(_.toSeq).toSet == poolBefore)
+      // ...and now durable: compact collapses _assign, analytics hold
+      SplitState.compact(spark, p)
+      assert(SplitState.quarantineAging(spark, p).collect()
+        .map(_.toSeq).toSet == agingBefore)
+      assert(SplitState.quarantinePool(spark, p).collect()
+        .map(_.toSeq).toSet == poolBefore)
+    } finally drop(p)
+  }
+
   test("quarantinePool clamps at 0 on pre-audit legacy state (orphaned drains, ADVICE r14)") {
     val p = "graft_sp_clamp"
     try {
