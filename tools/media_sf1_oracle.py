@@ -61,9 +61,14 @@ def main():
     with open(path, "w") as f:
         json.dump(oracles, f)
     print(f"[media_sf1_oracle] patched {patched} oracles -> enumeration form")
+    # restrict check_oracle to the media queries: an unfiltered run walks
+    # the WHOLE oracle list, including the closure-shaped q53/q58/q117/...
+    # oracles that are multi-CPU-hours at sf1 (r15 — the r14 run was
+    # watched and killed by hand after the media lines printed)
+    media = "q122_media_neardup,q125_media_vs_index,q127_media_neardup_h7,q126_media_lsh_recall"
     sys.exit(subprocess.call([sys.executable,
         os.path.join(os.path.dirname(__file__), "check_oracle.py"),
-        sf_dir, out_dir]))
+        sf_dir, out_dir, media]))
 
 
 if __name__ == "__main__":
