@@ -148,12 +148,28 @@ object IvfIndex {
     assign(vecs, centroids)
 
   private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("cdist").desc, col("cell"))
-    vecs.join(broadcast(centroids))
-      .withColumn("cdist", SimilarityOps.cosine(col("emb"), col("centroid")))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("emb"), col("cell"))
+    // r15: the previous shape — broadcast-join all k centroids onto every
+    // vector, then row_number over a per-vector window — MATERIALIZED AND
+    // SHUFFLED n×k rows (sf10 record: 2M vectors × ~2000 cells = 4×10⁹
+    // rows, q102 at 302 s). The argmax is per-row arithmetic: collect the
+    // k×dim matrix to the driver (bounded by construction — the exact
+    // budget the broadcast already assumed) and fuse it into ONE narrow
+    // map pass via the native NearestCell expression, which replicates
+    // the window's (cdist DESC, cell ASC) ordering bit-for-bit. n rows
+    // in, n rows out, zero shuffle.
+    val cents = centroids
+      .select(col("cell").cast("long"), col("centroid").cast("array<double>"))
+      .collect()
+      .map { r =>
+        require(!r.isNullAt(1), s"null centroid vector for cell ${r.getLong(0)}")
+        (r.getLong(0), r.getSeq[Double](1).toArray)
+      }
+    // the joined shape carried the centroids' own cell dtype (e.g. the
+    // int label column) — preserve it so downstream schemas are unchanged
+    val cellType = centroids.schema("cell").dataType
+    vecs.select(col("vec_id"), col("emb"),
+      graft.plans.NearestCell.cellFor(col("emb"), cents.toSeq)
+        .cast(cellType).as("cell"))
   }
 
   /** Build from a (vec_id, emb, label) corpus: label-seeded centroids

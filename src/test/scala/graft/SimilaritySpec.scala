@@ -77,6 +77,41 @@ class SimilaritySpec extends AnyFunSuite {
     // reports the honest measurement and is oracle-checked.
   }
 
+  test("NearestCell == the window-over-broadcast-join assignment it replaced, incl. degenerate rows") {
+    import org.apache.spark.sql.expressions.Window
+    // corpus with planted degenerates: a zero vector (NaN cosine against
+    // every centroid), a null-element vector and a wrong-length vector
+    // (NULL cosine) — each must land where the old (cdist DESC, cell ASC)
+    // row_number put it (smallest cell id)
+    val base = (1 to 40).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 31 + j * 7).abs + (if ((i + j) % 3 == 0) -0.9 else 0.1)))
+    }
+    val degenerate = Seq(
+      (90L, Seq.fill(8)(0.0)),
+      (92L, Seq.fill(5)(1.0))) // wrong length
+    val vecs = (base ++ degenerate).toDF("vec_id", "emb")
+      .unionByName(Seq((91L, Seq[Option[Double]](Some(1.0), None, Some(1.0), Some(1.0), Some(1.0), Some(1.0), Some(1.0), Some(1.0))))
+        .toDF("vec_id", "emb"))
+    val centroids = Seq(
+      (3L, Seq.tabulate(8)(j => math.cos(j * 5).abs)),
+      (7L, Seq.tabulate(8)(j => -math.cos(j * 3))),
+      (11L, Seq.tabulate(8)(j => math.sin(j * 11)))).toDF("cell", "centroid")
+    val cents = centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val fused = vecs.select(col("vec_id"),
+        graft.plans.NearestCell.cellFor(col("emb"), cents).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    val w = Window.partitionBy("vec_id").orderBy(col("cdist").desc, col("cell"))
+    val legacy = vecs.join(broadcast(centroids))
+      .withColumn("cdist", SimilarityOps.cosine(col("emb"), col("centroid")))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(fused == legacy, s"divergence: ${fused.toSet -- legacy.toSet}")
+    assert(fused(90L) == 3L && fused(91L) == 3L && fused(92L) == 3L,
+      s"degenerates not in smallest cell: ${fused.view.filterKeys(_ >= 90).toMap}")
+  }
+
   test("IvfIndex save/load round-trips and reproduces the inline search") {
     import graft.operators.IvfIndex
     val v = Tables.load(spark, TestSpark.sf, "embeddings")
