@@ -120,7 +120,12 @@ object TextOps {
     * error is the standard MinHash bound (sigma <= 0.031 at the default
     * 256 hashes), contract-checked by q101. */
   def vocabOverlapSketch(docs: DataFrame, numHashes: Int = vocabSketchHashes): DataFrame = {
-    val sigs = vocabSignatures(docs, numHashes)
+    // pin the signatures before the self-join (the q66/media-sig trap):
+    // un-pinned, BOTH join branches re-run the full corpus token explode +
+    // md5 + 256-perm sketch — a second whole-corpus pass for a
+    // |sources|×k result (20 rows × 256 longs here). At-rest size is
+    // sources×k×8 B: always pinnable.
+    val sigs = vocabSignatures(docs, numHashes).localCheckpoint(true)
     sigs.as("x")
       .join(sigs.as("y"), col("x.source") < col("y.source"))
       .select(col("x.source").as("source_x"), col("y.source").as("source_y"),
