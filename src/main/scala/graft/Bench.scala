@@ -75,6 +75,16 @@ object Bench {
       // sweep; the default 100-entry codegen cache evicts them all between
       // a query's trials (measured +35% total from recompiles)
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // shuffle files live until a JVM GC lets ContextCleaner notice the
+      // dropped ShuffleDependency; Spark's default periodic forced GC is
+      // 30 MINUTES, and the r15 sf10 chunk-2 sweep (31 heavy queries,
+      // 4200 s warmup + 2900 s timed in ONE JVM) accumulated enough live
+      // shuffle on /tmp to fill the disk — q122 died with "No space left
+      // on device" (scratch/BENCH_SF10_c2.json, stage 363/1006). 2 min
+      // bounds the accumulation window at every scale; the GC itself runs
+      // on the cleaner's thread and is billed to gc_sec like any other.
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -102,11 +112,21 @@ object Bench {
     // rather than silently vanishing. Disable with SPARK_GRAFT_WARMUP=0
     // to profile cold/bootstrap costs.
     val warmupSweep = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
+    // SPARK_GRAFT_GC_EACH=1: force a GC after EVERY query (warmup and
+    // timed) so each query's shuffle files are reclaimed before the next
+    // starts — the per-query disk high-water mark becomes that query's OWN
+    // footprint instead of the sweep's running sum. Use for big-SF chunk
+    // sweeps (the r15 sf10 ENOSPC); leave off for the canonical sf0.1
+    // record, where the 2-minute periodic GC suffices and per-query forced
+    // pauses would only add wall. Forced time is billed to forcedGcMs so
+    // gc_sec keeps measuring ENVIRONMENT pressure.
+    val gcEach = sys.env.getOrElse("SPARK_GRAFT_GC_EACH", "0") == "1"
     val boot0 = System.nanoTime()
     if (warmupSweep)
       ordered.foreach { case (_, fn) =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        if (gcEach) System.gc()
       }
     else
       try SparkEntry.queries("q25_star_join")(spark, sfDir)
@@ -165,6 +185,15 @@ object Bench {
     // documented requirement, which is already like-for-like.
     val memBean = java.lang.management.ManagementFactory.getMemoryMXBean
     var heapUsedPeakMb = 0L
+    // disk headroom telemetry: min usable space on the shuffle volume,
+    // sampled after every timed query — an ENOSPC post-mortem (the r15
+    // q122 failure) then reads directly off the record instead of needing
+    // the executor stack trace. Sampled AFTER the query so a big writer's
+    // own footprint is attributed to it.
+    val diskProbe = new java.io.File(
+      spark.sparkContext.getConf.get("spark.local.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp")))
+    var diskMinFreeGb = diskProbe.getUsableSpace / 1e9
     def poolPeakMb(): Long = heapPools.map(p =>
       try p.getPeakUsage.getUsed catch { case _: Throwable => 0L }).sum / (1024 * 1024)
     // AMBIENT contention, measured directly: /proc/stat's whole-machine
@@ -215,6 +244,11 @@ object Bench {
         heapPeaks(name) = math.max(heapPeaks(name), poolPeakMb())
         heapUsedPeakMb = math.max(heapUsedPeakMb,
           memBean.getHeapMemoryUsage.getUsed / (1024 * 1024))
+        diskMinFreeGb = math.min(diskMinFreeGb,
+          diskProbe.getUsableSpace / 1e9)
+        if (gcEach) {
+          val g0 = gcMillis(); System.gc(); forcedGcMs += gcMillis() - g0
+        }
       }
       maxLoad = math.max(maxLoad, osBean.getSystemLoadAverage)
       val swSec = (System.nanoTime() - sw0) / 1e9
@@ -299,7 +333,7 @@ object Bench {
     // stores a bounded tail of stdout, which truncates the FRONT of this
     // line — total_sec at the end survives that
     def line(queries: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queries,"queries_min":$qsMin,"sf":"$sfDir","trials":$trials,"failed":$failedJson,"gc_sec":$gcSec,"gc_frac":$gcFrac,"heap_mb":$heapMb,"heap_peak_mb":$heapPeakMb,"heap_peak_def":"sum of per-pool JVM peaks (non-simultaneous upper bound; may exceed heap_max_mb)","heap_used_peak_mb":$heapUsedPeakMb,"heap_max_mb":$heapMaxMb,"heap_warn":$heapWarn,"cpu_cores":$cpuCores,"load_avg":${math.rint(maxLoad * 100) / 100},"ambient_cores":${math.rint(maxAmbient * 100) / 100},"noise_spread":$noise,"contended":$contended,"wall_sec":${math.rint(wallSec * 10) / 10},"warm_sweep":$warmupSweep,"bootstrap_sec":$bootstrapSec,"total_min_sec":${math.rint(totalMin * 1000) / 1000},"total_sec":$total}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queries,"queries_min":$qsMin,"sf":"$sfDir","trials":$trials,"failed":$failedJson,"gc_sec":$gcSec,"gc_frac":$gcFrac,"heap_mb":$heapMb,"heap_peak_mb":$heapPeakMb,"heap_peak_def":"sum of per-pool JVM peaks (non-simultaneous upper bound; may exceed heap_max_mb)","heap_used_peak_mb":$heapUsedPeakMb,"heap_max_mb":$heapMaxMb,"heap_warn":$heapWarn,"cpu_cores":$cpuCores,"load_avg":${math.rint(maxLoad * 100) / 100},"ambient_cores":${math.rint(maxAmbient * 100) / 100},"noise_spread":$noise,"contended":$contended,"wall_sec":${math.rint(wallSec * 10) / 10},"warm_sweep":$warmupSweep,"bootstrap_sec":$bootstrapSec,"gc_each":$gcEach,"disk_min_free_gb":${math.rint(diskMinFreeGb * 10) / 10},"total_min_sec":${math.rint(totalMin * 1000) / 1000},"total_sec":$total}"""
     // full-precision copy the driver can read WHOLE — BENCH_r04's stdout
     // tail lost 29 of 86 per-query numbers (VERDICT r4 item 8). The file
     // also carries every per-trial sample ("samples"): a grader can see

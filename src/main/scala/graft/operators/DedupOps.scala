@@ -461,13 +461,22 @@ object DedupOps {
         // media twin)
         (variants, chunks.hint("shuffle_hash"))
       }
+    // first-matching-chunk dedup (the media family's r16 fix, same math):
+    // keep a candidate only when no EARLIER chunk also matched within the
+    // radius — per-row arithmetic on the two simhashes replaces the
+    // distinct() exchange over 2-4x duplicated verified pairs
+    val xorS = col("x.simhash").bitwiseXOR(col("y.simhash"))
+    val firstChunk = (0 until 3).map(cp =>
+      col("x.c") <= cp ||
+        bit_count(shiftrightunsigned(xorS, cp * 16).bitwiseAND(lit(0xFFFFL))) > mihRadius)
+      .reduce(_ && _)
     xSide.as("x")
       .join(ySide.as("y"),
         col("x.c") === col("y.c") && col("x.ch") === col("y.ch") &&
           col("x.doc_id") < col("y.doc_id"))
+      .filter(firstChunk)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("bigint").as("hamming"))
-      .distinct()
   }
 
   /** Verified n-gram Jaccard pairs within (length-bucket) blocks. Returns

@@ -162,7 +162,14 @@ object IvfIndex {
       .collect()
       .map { r =>
         require(!r.isNullAt(1), s"null centroid vector for cell ${r.getLong(0)}")
-        (r.getLong(0), r.getSeq[Double](1).toArray)
+        // element-level guard (ADVICE r15): a null ELEMENT would unbox to
+        // 0.0 silently — the replaced broadcast-join path propagated SQL
+        // NULL cosine and sorted that centroid last, so fail loudly rather
+        // than silently diverge on malformed centroid data
+        val raw = r.getSeq[Any](1)
+        require(raw.forall(_ != null),
+          s"null element in centroid vector for cell ${r.getLong(0)}")
+        (r.getLong(0), raw.map(_.asInstanceOf[Double]).toArray)
       }
     // the joined shape carried the centroids' own cell dtype (e.g. the
     // int label column) — preserve it so downstream schemas are unchanged

@@ -454,16 +454,29 @@ object SplitState {
     * returns the number of synthesized rows. */
   def backfillQuarantineEnters(s: SparkSession, namePrefix: String): Long = {
     if (!s.catalog.tableExists(assignT(namePrefix))) return 0L
+    import org.apache.spark.sql.expressions.Window
     val committed = committedSeq(s, namePrefix)
+    // PER-STINT entry detection (ADVICE r15): a quarantine assign row whose
+    // previous assign for the doc is not quarantine opens a stint. Keying
+    // the anti-join on (doc_id, seq) — the enter move is written with the
+    // same seq as its assign row — backfills EVERY stint missing its enter
+    // row, not just a doc's first: a doc that re-quarantined under r14+
+    // code (enter row at a later seq) but lost its pre-r14 first-stint row
+    // is still recovered. The window shuffles _assign once on doc_id —
+    // linear, same order as the history scan it replaces.
+    val w = Window.partitionBy("doc_id").orderBy("seq")
     val fromAssign = s.table(assignT(namePrefix))
-      .filter(col("seq") <= committed && col("split") === "quarantine")
-      .groupBy("doc_id").agg(min("seq").as("seq"))
+      .filter(col("seq") <= committed)
+      .withColumn("prev_split", lag("split", 1).over(w))
+      .filter(col("split") === "quarantine" &&
+        (col("prev_split").isNull || col("prev_split") =!= "quarantine"))
+      .select("doc_id", "seq")
     val existing =
       if (!s.catalog.tableExists(movesT(namePrefix)))
-        fromAssign.limit(0).select("doc_id")
+        fromAssign.limit(0).select("doc_id", "seq")
       else s.table(movesT(namePrefix))
-        .filter(col("reason") === "quarantine_enter").select("doc_id")
-    val missing = fromAssign.join(existing, Seq("doc_id"), "left_anti")
+        .filter(col("reason") === "quarantine_enter").select("doc_id", "seq")
+    val missing = fromAssign.join(existing, Seq("doc_id", "seq"), "left_anti")
       .select(col("doc_id"), lit(null).cast("string").as("from_split"),
         lit("quarantine").as("to_split"),
         lit("quarantine_enter").as("reason"), col("seq"))

@@ -37,12 +37,17 @@ object RotatingLogs {
       level: String = "INFO")
 
   /** logbook numeric levels → log4j2 (logbook/base.py public constants:
-    * CRITICAL=6 ERROR=5 WARNING=4 NOTICE=3 INFO=2 DEBUG=1 TRACE=9, 0=NOTSET). */
+    * CRITICAL=6 ERROR=5 WARNING=4 NOTICE=3 INFO=2 DEBUG=1 TRACE=9, 0=NOTSET).
+    * log4j2 has no NOTICE tier, so "3" maps to the CONSERVATIVE neighbor
+    * WARN (ADVICE r15): a settings file pinning level=3 must not record
+    * INFO-level lines logbook's NOTICE threshold would suppress — a
+    * too-quiet log loses a notch of detail, a too-verbose one silently
+    * violates the operator's retention/volume expectations. */
   private[graft] def levelOf(s: String): Level = s.trim match {
     case "6" => Level.FATAL
     case "5" => Level.ERROR
-    case "4" => Level.WARN
-    case "3" | "2" => Level.INFO
+    case "4" | "3" => Level.WARN
+    case "2" => Level.INFO
     case "1" => Level.DEBUG
     case "9" => Level.TRACE
     case "0" => Level.ALL

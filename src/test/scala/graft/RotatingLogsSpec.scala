@@ -43,6 +43,9 @@ class RotatingLogsSpec extends AnyFunSuite {
     import org.apache.logging.log4j.Level
     assert(RotatingLogs.levelOf("5") == Level.ERROR)
     assert(RotatingLogs.levelOf("4") == Level.WARN)
+    // NOTICE (3) maps to the conservative neighbor — log4j2 has no NOTICE
+    // tier and INFO would be one notch MORE verbose than logbook (ADVICE r15)
+    assert(RotatingLogs.levelOf("3") == Level.WARN)
     assert(RotatingLogs.levelOf("2") == Level.INFO)
     assert(RotatingLogs.levelOf("1") == Level.DEBUG)
     assert(RotatingLogs.levelOf("WARN") == Level.WARN)

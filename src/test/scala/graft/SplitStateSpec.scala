@@ -477,6 +477,12 @@ class SplitStateSpec extends AnyFunSuite {
         .filter(col("reason") =!= "quarantine_enter")
         .localCheckpoint(eager = true)
       legacy.write.mode("overwrite").format("parquet").saveAsTable(s"${p}_moves")
+      // ADVICE r15: a LATER-stint enter row (as written by r14+ code on a
+      // re-quarantine) must not mask the missing first-stint row — the
+      // anti-join keys on (doc_id, seq) per stint, not doc_id alone
+      Seq((500L, "test", "quarantine", "quarantine_enter", 2L))
+        .toDF("doc_id", "from_split", "to_split", "reason", "seq")
+        .write.mode("append").format("parquet").saveAsTable(s"${p}_moves")
       assert(SplitState.backfillQuarantineEnters(spark, p) == 1L)
       assert(SplitState.backfillQuarantineEnters(spark, p) == 0L) // idempotent
       // the synthesized rows carry the same entry seq the assign-derived
