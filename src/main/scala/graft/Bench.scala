@@ -84,7 +84,12 @@ object Bench {
       // bounds the accumulation window at every scale; the GC itself runs
       // on the cleaner's thread and is billed to gc_sec like any other.
       .config("spark.cleaner.periodicGC.interval", "2min")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      // spark.sql.objectHashAggregate.sortBased.fallbackThreshold stays at
+      // its DEFAULT (128): r16 A/B at sf10 measured the sort-based fallback
+      // FASTER than a large hash map for every sketch aggregate tried
+      // (q114 132.6 vs 176.9 s, q101 47.4 vs 63.5, q51 32.5 vs 41.7,
+      // q96 35.6 vs 41.7 at threshold 131072) — the big per-group buffers
+      // thrash cache/GC harder than the fallback's streaming sort.
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
