@@ -195,10 +195,16 @@ object Bench {
     // q122 failure) then reads directly off the record instead of needing
     // the executor stack trace. Sampled AFTER the query so a big writer's
     // own footprint is attributed to it.
-    val diskProbe = new java.io.File(
-      spark.sparkContext.getConf.get("spark.local.dir",
-        sys.props.getOrElse("java.io.tmpdir", "/tmp")))
-    var diskMinFreeGb = diskProbe.getUsableSpace / 1e9
+    // spark.local.dir may be a comma-separated list — probe every listed
+    // volume and report the tightest one (a single File("d1,d2") resolves
+    // to a nonexistent path whose usable space reads 0 = false ENOSPC).
+    val diskProbes = spark.sparkContext.getConf
+      .get("spark.local.dir", sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+      .split(",").map(_.trim).filter(_.nonEmpty)
+      .map(new java.io.File(_)).toSeq
+    def diskFreeGb(): Double =
+      diskProbes.map(_.getUsableSpace / 1e9).min
+    var diskMinFreeGb = diskFreeGb()
     def poolPeakMb(): Long = heapPools.map(p =>
       try p.getPeakUsage.getUsed catch { case _: Throwable => 0L }).sum / (1024 * 1024)
     // AMBIENT contention, measured directly: /proc/stat's whole-machine
@@ -249,8 +255,7 @@ object Bench {
         heapPeaks(name) = math.max(heapPeaks(name), poolPeakMb())
         heapUsedPeakMb = math.max(heapUsedPeakMb,
           memBean.getHeapMemoryUsage.getUsed / (1024 * 1024))
-        diskMinFreeGb = math.min(diskMinFreeGb,
-          diskProbe.getUsableSpace / 1e9)
+        diskMinFreeGb = math.min(diskMinFreeGb, diskFreeGb())
         if (gcEach) {
           val g0 = gcMillis(); System.gc(); forcedGcMs += gcMillis() - g0
         }

@@ -62,9 +62,20 @@ object ScaleUp {
   def run(spark: SparkSession, src: String, dst: String, k: Int,
           tables: Option[Set[String]] = None): Unit = {
     def load(t: String): DataFrame = Tables.load(spark, src, t)
-    def save(df: => DataFrame, t: String): Unit =
+    /** Write the scaled table SPREAD over max(32, k) files. The old
+      * single-file writer capped every downstream scan's parallelism at
+      * the file's ROW-GROUP count — and a 500k-row text table compresses
+      * under the 128 MB parquet block size, i.e. ONE row group, so the
+      * whole per-row text family (regex, md5, shingles) ran serial at
+      * sf10 (measured 1.06 effective cores over a 1143 s chunk; VERDICT
+      * r16 defect 1). Real scaled datasets arrive in many files; the
+      * replica must too. Round-robin repartition is safe here — every
+      * engine operator is content-keyed (no rand()/partition-id
+      * dependence, grep-verified), so file layout can't change results. */
+    def save(df: => DataFrame, t: String, spread: Boolean = true): Unit =
       if (tables.forall(_.contains(t))) {
-        df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+        val out = if (spread) df.repartition(math.max(32, k)) else df
+        out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
         println(s"[scaleup] $t -> $dst/$t.parquet")
       }
     /** Key span of the SOURCE table (max+1) — the per-replica shift unit,
@@ -107,9 +118,10 @@ object ScaleUp {
     val partSpan = span("part", "p_partkey")
     val orderSpan = span("orders", "o_orderkey")
 
-    // geography dims stay fixed; facts grow around them
-    save(load("region"), "region")
-    save(load("nation"), "nation")
+    // geography dims stay fixed; facts grow around them (dims stay
+    // single-file — spreading 5 rows over 32 files is pure overhead)
+    save(load("region"), "region", spread = false)
+    save(load("nation"), "nation", spread = false)
     save(replicate(load("customer"), "c_custkey" -> custSpan), "customer")
     save(replicate(load("supplier"), "s_suppkey" -> suppSpan), "supplier")
     save(replicate(load("part"), "p_partkey" -> partSpan), "part")

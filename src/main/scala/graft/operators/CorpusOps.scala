@@ -426,7 +426,7 @@ object CorpusOps {
     firstSeenCache.computeIfAbsent(
       (s, try java.nio.file.Paths.get(d).toRealPath().toString
           catch { case _: java.io.IOException => d }), _ => {
-      val docs = Tables.load(s, d, "documents")
+      val docs = Tables.spread(Tables.load(s, d, "documents"))
       // 1-row aggregate: the order-respecting corpus/batch split point
       val thr = math.floor(
         docs.agg(max("doc_id")).collect()(0).getLong(0) * 0.9).toLong
@@ -435,9 +435,9 @@ object CorpusOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_ngram_novelty" -> ((s, d) =>
-      ngramNovelty(Tables.load(s, d, "documents")).orderBy("doc_id")),
+      ngramNovelty(Tables.spread(Tables.load(s, d, "documents"))).orderBy("doc_id")),
     "q113_vocab_growth" -> ((s, d) =>
-      vocabGrowth(Tables.load(s, d, "documents")).orderBy("doc_id")),
+      vocabGrowth(Tables.spread(Tables.load(s, d, "documents"))).orderBy("doc_id")),
 
     // INCREMENTAL novelty: the last-arrived 10% of docs audited against the
     // warm corpus first-seen index — answer-checked against the full q112
@@ -446,7 +446,7 @@ object CorpusOps {
     "q115_incremental_novelty" -> ((s, d) => {
       val (thr, index) = q115State(s, d)
       noveltyVsIndex(index,
-        Tables.load(s, d, "documents").filter(col("doc_id") > thr))
+        Tables.spread(Tables.load(s, d, "documents")).filter(col("doc_id") > thr))
         .orderBy("doc_id")
     }))
 

@@ -99,7 +99,7 @@ object DedupOps {
   private def q87PrefixIndex(s: SparkSession, d: String): NgramPrefixIndex =
     prefixIndexCache.computeIfAbsent((s, stateKey(d, "q87prefix")), _ =>
       indexNgramPrefix(
-        Tables.load(s, d, "documents").select("doc_id", "text", "n_chars")
+        Tables.spread(Tables.load(s, d, "documents")).select("doc_id", "text", "n_chars")
           .filter(col("doc_id") % 10 =!= 0),
         minJac = 0.5)
         .localCheckpointed())
@@ -115,7 +115,7 @@ object DedupOps {
 
   private def q116ContainmentIndex(s: SparkSession, d: String): (Long, NgramContainmentIndex) =
     containmentIndexCache.computeIfAbsent((s, stateKey(d, "q116containment")), _ => {
-      val docs = Tables.load(s, d, "documents")
+      val docs = Tables.spread(Tables.load(s, d, "documents"))
       val thr = math.floor(
         docs.agg(max("doc_id")).collect()(0).getLong(0) * 0.9).toLong
       (thr, indexNgramContainment(
@@ -125,7 +125,7 @@ object DedupOps {
 
   /** doc_id → distinct word-3-gram shingle array. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
-    TextOps.withShingles(Tables.load(s, d, "documents")).select("doc_id", "sh")
+    TextOps.withShingles(Tables.spread(Tables.load(s, d, "documents"))).select("doc_id", "sh")
 
   /** Full MinHash+LSH near-dup pair detection over any (doc_id, text)
     * frame: signatures → banded candidates → exact-Jaccard verify.
@@ -440,8 +440,7 @@ object DedupOps {
                else sigsRaw.localCheckpoint(eager = true)
     val chunks = sigs.select(
       col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("c"), shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ch"))): _*)).as("cc"))
+      explode(Mih.chunkStructs(col("simhash"))).as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.c").as("c"), col("cc.ch").as("ch"))
     val (xSide, ySide) =
       if (mihRadius == 0) (chunks, chunks)
@@ -461,15 +460,12 @@ object DedupOps {
         // media twin)
         (variants, chunks.hint("shuffle_hash"))
       }
-    // first-matching-chunk dedup (the media family's r16 fix, same math):
-    // keep a candidate only when no EARLIER chunk also matched within the
-    // radius — per-row arithmetic on the two simhashes replaces the
-    // distinct() exchange over 2-4x duplicated verified pairs
-    val xorS = col("x.simhash").bitwiseXOR(col("y.simhash"))
-    val firstChunk = (0 until 3).map(cp =>
-      col("x.c") <= cp ||
-        bit_count(shiftrightunsigned(xorS, cp * 16).bitwiseAND(lit(0xFFFFL))) > mihRadius)
-      .reduce(_ && _)
+    // first-matching-chunk dedup (the media family's r16 fix, same math,
+    // shared geometry — see [[Mih.firstMatchingChunk]]): keep a candidate
+    // only when no EARLIER chunk also matched within the radius — per-row
+    // arithmetic on the two simhashes replaces the distinct() exchange over
+    // 2-4x duplicated verified pairs
+    val firstChunk = Mih.firstMatchingChunk("simhash", mihRadius)
     xSide.as("x")
       .join(ySide.as("y"),
         col("x.c") === col("y.c") && col("x.ch") === col("y.ch") &&
@@ -511,7 +507,7 @@ object DedupOps {
   def ngramJaccardPairs(s: SparkSession, d: String,
                         minJac: Option[Double] = None): DataFrame =
     ngramJaccardPairsImpl(
-      Tables.load(s, d, "documents").select("doc_id", "text", "n_chars"), minJac)
+      Tables.spread(Tables.load(s, d, "documents")).select("doc_id", "text", "n_chars"), minJac)
 
   /** DataFrame-input variant of the thresholded path — same semantics over
     * any (doc_id, text, n_chars) frame. */
@@ -583,6 +579,35 @@ object DedupOps {
         size(array_intersect(col("sh_a"), col("sh_b"))) / least(col("na"), col("nb")))
       .filter(col("c_raw") >= minC)
       .select(col("a"), col("b"), round(col("c_raw"), 4).as("containment"))
+  }
+
+  /** REPRESENTATIVE output mode for containment dedup (VERDICT r16 item 5 —
+    * the q128 treatment applied to q114): rep(d) = min({d} ∪ {a < d :
+    * containment(a, d) ≥ minC}) — "doc → its earliest container-or-twin",
+    * the keep-first dedup mapping (keep rows with rep = doc_id, group by
+    * rep for subset-clusters). One row per document, rep = self when no
+    * smaller partner exists (including shingle-less docs).
+    *
+    * WHY IT EXISTS: [[ngramContainmentPairs]]' contract is the exact PAIR
+    * set — output (and its global ORDER BY) is quadratic in duplication-
+    * clique size, which made q114 the slowest query at every measured
+    * scale (5.4 s sf0.1 / 132.6 s sf10, pair-mass-driven). Here the
+    * verified candidate stream feeds a partial-agg MIN in the same stage:
+    * map-side combine collapses each b's partners before the exchange, so
+    * one row per DOCUMENT crosses the final wire and nothing pair-mass is
+    * ever sorted. Candidate generation and the exact array_intersect
+    * verify are byte-identical to q114's (same prefix filter, same recall
+    * proof); only the output contract shrinks. Like q128, rep edges are
+    * pointer chains, not components — transitive closure stays with the
+    * pair set + ClusterState when full closure is needed. */
+  def ngramContainmentReps(docs: DataFrame, minC: Double): DataFrame = {
+    val d = docs.select("doc_id", "text")
+    val repOf = ngramContainmentPairs(d, minC)
+      .groupBy("b")
+      .agg(min("a").as("rep_min"))
+    d.select("doc_id")
+      .join(repOf, col("doc_id") === col("b"), "left")
+      .select(col("doc_id"), coalesce(col("rep_min"), col("doc_id")).as("rep"))
   }
 
   /** BATCH-INCIDENT thresholded pairs: exactly the (a, b, jac ≥ minJac)
@@ -1309,7 +1334,7 @@ object DedupOps {
     // Exact dedup: group by canonical content fingerprint, keep the smallest
     // doc_id (deterministic keeper), count copies.
     "q50_dedup_exact" -> ((s, d) => {
-      Tables.load(s, d, "documents")
+      Tables.spread(Tables.load(s, d, "documents"))
         .select(col("doc_id"), md5(TextOps.normText).as("fp"))
         .groupBy("fp")
         .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
@@ -1321,7 +1346,7 @@ object DedupOps {
     // → top pairs (see minHashNearDupPairs for the materialization
     // trade-off).
     "q51_minhash_lsh" -> ((s, d) => {
-      minHashNearDupPairs(Tables.load(s, d, "documents").select("doc_id", "text"))
+      minHashNearDupPairs(Tables.spread(Tables.load(s, d, "documents")).select("doc_id", "text"))
         .filter(col("jac") >= 0.5)
         .orderBy(col("jac").desc, col("a"), col("b"))
         .limit(50)
@@ -1330,7 +1355,7 @@ object DedupOps {
     // SimHash near-dedup: 64-bit signature via the imperative SimHashAgg
     // sketch, 16-bit chunk LSH for candidates, Hamming-distance verify.
     "q52_simhash" -> ((s, d) => {
-      simHashNearDupPairs(Tables.load(s, d, "documents").select("doc_id", "text"))
+      simHashNearDupPairs(Tables.spread(Tables.load(s, d, "documents")).select("doc_id", "text"))
         .filter(col("hamming") <= 16)
         .orderBy(col("hamming"), col("a"), col("b"))
         .limit(50)
@@ -1354,8 +1379,17 @@ object DedupOps {
     // long-doc near-dups that Jaccard thresholds structurally miss).
     "q114_containment_pairs" -> ((s, d) => {
       ngramContainmentPairs(
-        Tables.load(s, d, "documents").select("doc_id", "text"), 0.8)
+        Tables.spread(Tables.load(s, d, "documents")).select("doc_id", "text"), 0.8)
         .orderBy("a", "b")
+    }),
+
+    // Representative mode of q114 (the q128 treatment): one row per doc,
+    // rep = earliest container-or-twin; pair mass min-aggs inside the
+    // verify stage instead of being sorted and output.
+    "q129_containment_reps" -> ((s, d) => {
+      ngramContainmentReps(
+        Tables.spread(Tables.load(s, d, "documents")).select("doc_id", "text"), 0.8)
+        .orderBy("doc_id")
     }),
 
     // INCREMENTAL containment: the last-arrived 10% of docs audited
@@ -1369,7 +1403,7 @@ object DedupOps {
     "q116_containment_vs_index" -> ((s, d) => {
       val (thr, idx) = q116ContainmentIndex(s, d)
       ngramContainmentPairsVsIndex(
-        Tables.load(s, d, "documents").select("doc_id", "text")
+        Tables.spread(Tables.load(s, d, "documents")).select("doc_id", "text")
           .filter(col("doc_id") > thr), idx)
         .orderBy("a", "b")
     }),
@@ -1424,7 +1458,7 @@ object DedupOps {
       // now the corpus-side df/prefix-window work is one-time session
       // state too, so each trial pays only batch shingling + ranking +
       // the candidate/verify joins — the true nightly per-batch cost.
-      val batchDocs = Tables.load(s, d, "documents")
+      val batchDocs = Tables.spread(Tables.load(s, d, "documents"))
         .select("doc_id", "text", "n_chars")
         .filter(isBatch(col("doc_id")))
       val newPairs = ngramJaccardPairsVsIndex(batchDocs, q87PrefixIndex(s, d))
@@ -1471,7 +1505,7 @@ object DedupOps {
     "q117_cluster_split" -> ((s, d) => {
       val labels = corpusClusterState(s, d).labels
         .withColumnRenamed("node", "doc_id")
-      Tables.load(s, d, "documents").select("doc_id")
+      Tables.spread(Tables.load(s, d, "documents")).select("doc_id")
         .join(labels, Seq("doc_id"), "left")
         .withColumn("rep", coalesce(col("label"), col("doc_id")))
         .withColumn("split", splitOf(col("rep")))
@@ -1493,7 +1527,7 @@ object DedupOps {
     // pair work, the nightly shape.
     "q118_split_apply" -> ((s, d) => {
       val (thr, _, corpusLabels, idx) = q118State(s, d)
-      val docs = Tables.load(s, d, "documents").select("doc_id", "text", "n_chars")
+      val docs = Tables.spread(Tables.load(s, d, "documents")).select("doc_id", "text", "n_chars")
       val incident = ngramJaccardPairsVsIndex(
         docs.filter(col("doc_id") > thr), idx).select("a", "b")
       splitApply(docs, thr, corpusLabels, incident).orderBy("doc_id")
@@ -1568,7 +1602,7 @@ object DedupOps {
     // match at Jaccard >= 0.5 (deterministic tie-break on corpus_id).
     "q74_incremental_dedup" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val docs = Tables.spread(Tables.load(s, d, "documents")).select("doc_id", "text")
       val pairs = minHashCrossDupPairs(
         docs.filter(col("doc_id") % 10 === 0),
         docs.filter(col("doc_id") % 10 =!= 0))
@@ -1589,7 +1623,7 @@ object DedupOps {
     // the doc_id→source projection joins on the pair ids — pairs-sized
     // shuffles, corpus touched once for the projection.
     "q97_cross_source_dups" -> ((s, d) => {
-      val docs = Tables.load(s, d, "documents")
+      val docs = Tables.spread(Tables.load(s, d, "documents"))
       val pairs = minHashNearDupPairs(docs.select("doc_id", "text"))
         .filter(col("jac") >= 0.5)
       val src = docs.select(col("doc_id"), col("source"))
@@ -1667,7 +1701,7 @@ object DedupOps {
     * at-rest family can RECORD them at init without a second mine. */
   private def q118State(s: SparkSession, d: String): (Long, DataFrame, DataFrame, NgramPrefixIndex) =
     q118Cache.computeIfAbsent((s, stateKey(d, "q118")), _ => {
-      val docs = Tables.load(s, d, "documents").select("doc_id", "text", "n_chars")
+      val docs = Tables.spread(Tables.load(s, d, "documents")).select("doc_id", "text", "n_chars")
       val thr = math.floor(
         docs.agg(max("doc_id")).collect()(0).getLong(0) * 0.9).toLong
       val corpus = docs.filter(col("doc_id") <= thr)
@@ -1711,7 +1745,7 @@ object DedupOps {
       val p = "graft_split_assign_" + math.abs(stateKey(d, "q119").hashCode)
       dropSplitTables(s, p)
       val (thr, corpusPairs, corpusLabels, idx) = q118State(s, d)
-      val docs = Tables.load(s, d, "documents").select("doc_id", "text", "n_chars")
+      val docs = Tables.spread(Tables.load(s, d, "documents")).select("doc_id", "text", "n_chars")
       val corpusIds = docs.filter(col("doc_id") <= thr).select("doc_id")
       SplitState.init(s, p, corpusIds, corpusLabels)
       val corpusSpan = corpusIds.agg(min("doc_id"), max("doc_id")).head()
@@ -1737,7 +1771,7 @@ object DedupOps {
     splitStateCache.computeIfAbsent((s, stateKey(d, "q120")), _ => {
       val p = "graft_split_resolve_" + math.abs(stateKey(d, "q120").hashCode)
       dropSplitTables(s, p)
-      val docs = Tables.load(s, d, "documents").select("doc_id")
+      val docs = Tables.spread(Tables.load(s, d, "documents")).select("doc_id")
       val st = corpusClusterState(s, d)
       SplitState.init(s, p, docs, st.labels)
       val removed = docs.filter(col("doc_id") % 5 === 0)
@@ -1764,7 +1798,7 @@ object DedupOps {
       val p = "graft_split_aging_" + math.abs(stateKey(d, "q123").hashCode)
       dropSplitTables(s, p)
       val (thr, _, corpusLabels, _) = q118State(s, d)
-      val corpusIds = Tables.load(s, d, "documents")
+      val corpusIds = Tables.spread(Tables.load(s, d, "documents"))
         .select("doc_id").filter(col("doc_id") <= thr)
       SplitState.init(s, p, corpusIds, corpusLabels)
       val comps = corpusIds
@@ -1956,6 +1990,25 @@ object DedupOps {
          |FROM pairs JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
          |WHERE shared / least(sa.n, sb.n) >= 0.8
          |ORDER BY a, b""".stripMargin,
+
+    // Same exhaustive-join replay as q114's oracle, min-collapsed per b
+    // and left-joined back onto all documents — a green row proves the
+    // prefix-filtered rep pipeline equals the exhaustive rep mapping.
+    "q129_containment_reps" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         | sh AS (SELECT doc_id, ${TextOps.shinglesSql} AS s FROM t),
+         | sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+         | p AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         | pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+         |           FROM p x JOIN p y ON x.g = y.g AND x.doc_id < y.doc_id
+         |           GROUP BY 1, 2),
+         | cp AS (SELECT a, b FROM pairs
+         |        JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+         |        WHERE shared / least(sa.n, sb.n) >= 0.8),
+         | r AS (SELECT b AS doc_id, min(a) AS m FROM cp GROUP BY b)
+         |SELECT d.doc_id, coalesce(r.m, d.doc_id) AS rep
+         |FROM documents d LEFT JOIN r USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // The incremental path must equal the full containment pass BY
     // CONSTRUCTION, so its oracle IS q114's exhaustive-join computation

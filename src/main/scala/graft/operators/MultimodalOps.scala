@@ -47,7 +47,7 @@ object MultimodalOps {
     * for media blobs, kind is a pure function of doc_id. */
   private def mediaOf(s: SparkSession, d: String) = {
     import s.implicits._
-    Tables.load(s, d, "documents")
+    Tables.spread(Tables.load(s, d, "documents"))
       .select(
         col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
@@ -179,22 +179,11 @@ object MultimodalOps {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** FIRST-MATCHING-CHUNK dedup (standard MIH duplicate elimination): a
-    * candidate (x, y) surfaced via chunk `x.c` is kept only when NO earlier
-    * chunk also matched within `radius` — both phashes are in the joined
-    * row, so "would chunk c' have produced this pair?" is per-row
-    * arithmetic. A pair matching in k chunks previously emitted k verified
-    * rows into a corpus-sized `.distinct()` exchange; under ScaleUp clique
-    * geometry that shuffle carries 2–4× the (already ~12×/decade) verified
-    * pair mass — the r15 sf10 media wall. Now each pair exits the join
-    * exactly once and the distinct disappears from the plan. */
-  private def firstMatchingChunk(radius: Int): Column = {
-    val xor = col("x.phash").bitwiseXOR(col("y.phash"))
-    (0 until 3).map(cp =>
-      col("x.c") <= cp ||
-        bit_count(shiftrightunsigned(xor, cp * 16).bitwiseAND(lit(0xFFFFL))) > radius)
-      .reduce(_ && _)
-  }
+  /** FIRST-MATCHING-CHUNK dedup over the media phash — shared geometry and
+    * rationale in [[Mih.firstMatchingChunk]] (this was the r16 fix that
+    * removed the 2.95e9-row distinct exchange from the sf10 media sweep). */
+  private def firstMatchingChunk(radius: Int): Column =
+    Mih.firstMatchingChunk("phash", radius)
 
   /** REPRESENTATIVE output mode for media near-dup (VERDICT r15 item 1):
     * rep(d) = min({d} ∪ {e < d : hamming(d, e) ≤ maxHamming}) over the
@@ -263,7 +252,7 @@ object MultimodalOps {
         val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(loc)) fs.delete(loc, true)
       }
-      val docs = Tables.load(s, d, "documents")
+      val docs = Tables.spread(Tables.load(s, d, "documents"))
       val thr = math.floor(
         docs.agg(max("doc_id")).collect()(0).getLong(0) * 0.9).toLong
       saveMediaPhashIndex(
@@ -280,9 +269,7 @@ object MultimodalOps {
   private def phashChunks(sigs: DataFrame): DataFrame =
     sigs.select(
       col("doc_id"), col("phash"),
-      explode(array((0 until 4).map(c =>
-        struct(lit(c).as("c"),
-          shiftrightunsigned(col("phash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ch"))): _*)).as("cc"))
+      explode(Mih.chunkStructs(col("phash"))).as("cc"))
       .select(col("doc_id"), col("phash"), col("cc.c").as("c"), col("cc.ch").as("ch"))
 
   /** Order-independent content fingerprint of a media batch (row count,
@@ -618,7 +605,7 @@ object MultimodalOps {
       // at 500 docs × 13 grades = 6.5k graded pairs from sf0.1 up): the
       // audit measures a property of the BANDING, not of the corpus, so
       // its cost must not scale with corpus size
-      val variants = Tables.load(s, d, "documents")
+      val variants = Tables.spread(Tables.load(s, d, "documents"))
         .filter(col("doc_id") % 2 === 0 && col("doc_id") < 1000)
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(0), lit(12))).as("k"))
@@ -639,9 +626,8 @@ object MultimodalOps {
       copies.join(origs, "base")
         .withColumn("x", col("po").bitwiseXOR(col("pv")))
         .withColumn("hamming", bit_count(col("x")).cast("bigint"))
-        .withColumn("mincd", least((0 until 4).map(c =>
-          bit_count(shiftrightunsigned(col("x"), c * 16)
-            .bitwiseAND(lit(0xFFFFL)))): _*))
+        .withColumn("mincd", least((0 until Mih.ChunkCount).map(c =>
+          bit_count(Mih.chunk(col("x"), c))): _*))
         .groupBy("hamming")
         .agg(
           count(lit(1)).as("n"),

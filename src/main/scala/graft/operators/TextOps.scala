@@ -147,13 +147,21 @@ object TextOps {
     else vocabOverlapSketch(docs)
   }
 
+  /** documents scan for this family's queries, spread across cores when
+    * the file layout caps scan parallelism (see [[Tables.spread]]) — every
+    * query here does CPU-dense per-row work (regex, hashing, shingling,
+    * token profiling) straight off the scan, which is exactly the shape a
+    * single-row-group input serializes end to end. */
+  private def loadDocs(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.load(s, d, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token counting: whitespace tokenization + distinct counts + average
     // token length — pure narrow map, no shuffle; all token stats from one
     // native TextProfile pass.
     "q30_text_stats" -> ((s, d) => {
-      Tables.load(s, d, "documents")
+      loadDocs(s, d)
         .withColumn("tp", textProfile(col("text")))
         .select(
           col("doc_id"),
@@ -175,7 +183,7 @@ object TextOps {
       // identical rounding on both engines.
       def dec(c: Column): Column = c.cast("decimal(20,10)")
       def w(x: String): Column = lit(new java.math.BigDecimal(x))
-      Tables.load(s, d, "documents")
+      loadDocs(s, d)
         .withColumn("tp", textProfile(col("text")))
         .withColumn("n_tokens", col("tp.n_tokens"))
         .withColumn("stop_hits", element_at(col("tp.hits"), 1))
@@ -196,7 +204,7 @@ object TextOps {
     // with a fixed precedence (en > de > fr > es) — the classic n-gram/
     // stopword heuristic as a single codegen'd projection.
     "q32_lang_id" -> ((s, d) => {
-      Tables.load(s, d, "documents")
+      loadDocs(s, d)
         .withColumn("tp", textProfile(col("text")))
         .withColumn("en_hits", element_at(col("tp.hits"), 1))
         .withColumn("de_hits", element_at(col("tp.hits"), 2))
@@ -217,7 +225,7 @@ object TextOps {
     // the doc's shingles, joined. Content-defined, order-insensitive, and
     // identical across engines (md5 is engine-neutral, unlike xxhash).
     "q33_fingerprint" -> ((s, d) => {
-      withShingles(Tables.load(s, d, "documents"))
+      withShingles(loadDocs(s, d))
         .withColumn("fp_full", md5(normText))
         .withColumn("fp_winnow",
           array_join(slice(array_sort(transform(col("sh"), sh => md5(sh))), 1, 8), ","))
@@ -232,7 +240,7 @@ object TextOps {
       val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
       val urlPat = "https?://[^ ]+"
       val digitPat = "[0-9]{6,}"
-      Tables.load(s, d, "documents")
+      loadDocs(s, d)
         .withColumn("n_emails", size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).cast("bigint"))
         .withColumn("n_urls", size(regexp_extract_all(col("text"), lit(urlPat), lit(0))).cast("bigint"))
         .withColumn("n_digit_runs", size(regexp_extract_all(col("text"), lit(digitPat), lit(0))).cast("bigint"))
@@ -250,7 +258,7 @@ object TextOps {
     // Java regex and RE2 so the oracle matches exactly.
     "q35_bpe_tokens" -> ((s, d) => {
       val bpePat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
-      Tables.load(s, d, "documents")
+      loadDocs(s, d)
         .withColumn("n_ws_tokens", size(toks).cast("bigint"))
         .withColumn("n_bpe_tokens",
           size(regexp_extract_all(lower(col("text")), lit(bpePat), lit(0))).cast("bigint"))
@@ -265,7 +273,7 @@ object TextOps {
     // contamination check. Eval shingles are DISTINCT and tiny → broadcast;
     // the corpus side is one explode + equi-join + count, never pairwise.
     "q37_decontamination" -> ((s, d) => {
-      val sh = withShingles(Tables.load(s, d, "documents")).select("doc_id", "sh")
+      val sh = withShingles(loadDocs(s, d)).select("doc_id", "sh")
       val evalShingles = sh.filter(col("doc_id") < 10)
         .select(explode(col("sh")).as("g")).distinct()
       val corpus = sh.filter(col("doc_id") >= 10)
@@ -287,7 +295,7 @@ object TextOps {
     // document (via the shared spill-safe rank lookup; at 100 TB swap the
     // quantile columns for the q47-style sketches — the totals stay exact).
     "q38_token_budget" -> ((s, d) => {
-      val tokens = Tables.load(s, d, "documents")
+      val tokens = loadDocs(s, d)
         .withColumn("tp", textProfile(col("text")))
         .select(col("tp.n_tokens").as("n_tokens"))
       val totals = tokens.agg(
@@ -314,7 +322,7 @@ object TextOps {
     // size.
     "q105_collapse_runs" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val toks = Tables.load(s, d, "documents")
+      val toks = loadDocs(s, d)
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       val byDoc = Window.partitionBy("doc_id").orderBy("pos")
       toks
@@ -339,7 +347,7 @@ object TextOps {
     // three stats collapse into one aggregation over (doc, gram) counts.
     "q39_repetition" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val toks = Tables.load(s, d, "documents")
+      val toks = loadDocs(s, d)
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
       val byDoc = Window.partitionBy("doc_id").orderBy("pos")
       val grams = toks
@@ -369,12 +377,12 @@ object TextOps {
     // ties that are equal in exact arithmetic.
     "q57_tfidf_keywords" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val tf = Tables.load(s, d, "documents")
+      val tf = loadDocs(s, d)
         .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
         .groupBy("doc_id", "tok")
         .agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      val nd = Tables.load(s, d, "documents").agg(count(lit(1)).as("nd"))
+      val nd = loadDocs(s, d).agg(count(lit(1)).as("nd"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
       tf.join(dfreq, "tok")
         .join(broadcast(nd)) // single-row broadcast (scalar-subquery shape)
@@ -394,7 +402,7 @@ object TextOps {
     // Scale: vocab counts are a map-side-combined agg; the token→logp join
     // partitions both sides by token; one groupBy(doc_id) closes it.
     "q75_unigram_lm" -> ((s, d) => {
-      val toks = Tables.load(s, d, "documents")
+      val toks = loadDocs(s, d)
         .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
       val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
       val n = counts.agg(sum("c").as("n_total"))
@@ -416,7 +424,7 @@ object TextOps {
     // — so the per-language sum is order-independent and engine-exact.
     // Shuffles stay at |lang × vocab|, never |tokens|.
     "q76_lang_kl" -> ((s, d) => {
-      val toks = Tables.load(s, d, "documents")
+      val toks = loadDocs(s, d)
         .select(col("lang"), explode(split(lower(col("text")), "\\s+")).as("tok"))
       val lc = toks.groupBy("lang", "tok").agg(count(lit(1)).as("clt"))
       val lt = lc.groupBy("lang").agg(sum("clt").as("nl"))
@@ -436,7 +444,7 @@ object TextOps {
     // genuinely shuffles (by token); partial aggregation keeps the shuffle
     // at |vocab| not |tokens|.
     "q34_token_freq" -> ((s, d) => {
-      Tables.load(s, d, "documents")
+      loadDocs(s, d)
         .select(explode(split(lower(col("text")), "\\s+")).as("token"))
         .groupBy("token")
         .agg(count(lit(1)).as("n"))
@@ -452,7 +460,7 @@ object TextOps {
     // than C are kept (standard convention).
     "q84_doc_chunks" -> ((s, d) => {
       val C = 16; val S = 12
-      Tables.load(s, d, "documents")
+      loadDocs(s, d)
         .select(col("doc_id"), split(lower(col("text")), "\\s+").as("tk"))
         .withColumn("start", explode(sequence(lit(0), size(col("tk")) - 1, lit(S))))
         .withColumn("chunk", slice(col("tk"), col("start") + 1, lit(C)))
@@ -477,7 +485,7 @@ object TextOps {
     // one join back — the shape C4 ran at web scale.
     "q90_boilerplate_lines" -> ((s, d) => {
       val C = 16
-      val lines = Tables.load(s, d, "documents")
+      val lines = loadDocs(s, d)
         .select(col("doc_id"), split(lower(col("text")), "\\s+").as("tk"))
         .withColumn("start", explode(sequence(lit(0), size(col("tk")) - 1, lit(C))))
         .withColumn("chunk", slice(col("tk"), col("start") + 1, lit(C)))
@@ -506,7 +514,7 @@ object TextOps {
       val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
       val urlPat = "https?://[^ ]+"
       val digitPat = "[0-9]{6,}"
-      Tables.load(s, d, "documents")
+      loadDocs(s, d)
         .select(
           col("source"),
           tokenCountOf(col("text")).as("n_tokens"),
@@ -541,7 +549,7 @@ object TextOps {
     "q86_bm25" -> ((s, d) => {
       val terms = Seq("spark", "join", "window")
       val k1 = 1.2; val b = 0.75
-      val docs = Tables.load(s, d, "documents")
+      val docs = loadDocs(s, d)
         .select(col("doc_id"), tokenCountOf(col("text")).as("dl"),
           split(lower(col("text")), "\\s+").as("tk"))
       val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
@@ -580,7 +588,7 @@ object TextOps {
     // parallel at any corpus size.
     "q91_gopher_rules" -> ((s, d) => {
       val stops = Seq("the", "a", "of", "to", "in")
-      Tables.load(s, d, "documents")
+      loadDocs(s, d)
         .withColumn("tp", textProfile(col("text")))
         .withColumn("n_tokens", col("tp.n_tokens"))
         .withColumn("n_stop_distinct",
@@ -619,7 +627,7 @@ object TextOps {
     // pass (which is inherently single-machine).
     "q93_dup_span_audit" -> ((s, d) => {
       val C = 16
-      val spans = Tables.load(s, d, "documents")
+      val spans = loadDocs(s, d)
         .select(col("doc_id"), split(lower(col("text")), "\\s+").as("tk"))
         .filter(size(col("tk")) >= C)
         .withColumn("start", explode(sequence(lit(0), size(col("tk")) - C)))
@@ -653,7 +661,7 @@ object TextOps {
     "q94_zipf_curve" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val dec = "decimal(38,0)"
-      val freq = Tables.load(s, d, "documents")
+      val freq = loadDocs(s, d)
         .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("tok"))
         .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("tok"))
@@ -689,7 +697,7 @@ object TextOps {
     // independent of |vocab| in the pair phase), and [[vocabOverlap]]
     // dispatches between them on source count.
     "q100_vocab_overlap" -> ((s, d) =>
-      vocabOverlapExact(Tables.load(s, d, "documents"))),
+      vocabOverlapExact(loadDocs(s, d))),
 
     // Estimator contract for the q100 sketch tier, q47-style: the exact
     // matrix carries the hashable values; `est_ok` asserts the 256-hash
@@ -699,7 +707,7 @@ object TextOps {
     // sketch is broken). This row is what licenses signature-only vocab
     // comparison at hundreds-of-sources scale.
     "q101_vocab_overlap_sketch" -> ((s, d) => {
-      val docs = Tables.load(s, d, "documents")
+      val docs = loadDocs(s, d)
       vocabOverlapExact(docs)
         .join(vocabOverlapSketch(docs), Seq("source_x", "source_y"))
         .select(col("source_x"), col("source_y"),
@@ -718,7 +726,7 @@ object TextOps {
     // global window runs over those ≤64 rows, not the corpus.
     "q99_token_histogram" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      Tables.load(s, d, "documents")
+      loadDocs(s, d)
         .select(textProfile(col("text")).getField("n_tokens").as("nt"))
         .groupBy(length(bin(col("nt"))).cast("long").as("bucket_bits"))
         .agg(

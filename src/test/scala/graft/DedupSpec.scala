@@ -814,6 +814,24 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty) // non-vacuous at smoke scale
   }
 
+  test("ngramContainmentReps == min-partner mapping of the pair set, one row per doc") {
+    import graft.operators.DedupOps
+    val docs = Tables.load(spark, TestSpark.sf, "documents").select("doc_id", "text")
+    val got = DedupOps.ngramContainmentReps(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // ground truth from the (independently brute-force-checked) pair set
+    val pairs = DedupOps.ngramContainmentPairs(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val minPartner = pairs.groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).min }
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0))
+    assert(got.keySet == allIds.toSet, "one row per document, no extras")
+    for (id <- allIds)
+      assert(got(id) == minPartner.getOrElse(id, id), s"rep($id)")
+    // non-vacuous: at least one doc reps to a smaller partner, and dups
+    // collapse — keep-first survivor count < corpus size
+    assert(got.exists { case (d, r) => r < d })
+  }
+
   private def ciCanon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
     df.select("a", "b", "containment").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

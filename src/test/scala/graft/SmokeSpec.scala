@@ -19,7 +19,7 @@ class SmokeSpec extends AnyFunSuite {
   test("every declared query is oracle-checked (no rows-only rows)") {
     val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked.isEmpty, s"queries without an oracle: $unchecked")
-    assert(SparkEntry.queries.size == 128, s"inventory = ${SparkEntry.queries.size}")
+    assert(SparkEntry.queries.size == 129, s"inventory = ${SparkEntry.queries.size}")
   }
 
   test("README's headline query count matches the inventory") {

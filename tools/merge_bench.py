@@ -15,10 +15,17 @@ Purely a dev tool — the engine itself never depends on this.
 """
 import sys, json, os
 
+# A 32-core sweep whose whole-chunk effective-core average (process CPU /
+# wall, Bench's "cpu_cores") sits below this ran in a squeezed window —
+# its single-trial numbers are not comparable to an uncontended record
+# (VERDICT r16 defect 3: the r16 merge said contended:false while two of
+# its own chunks measured 3.05 and 5.07 effective cores).
+LOW_EFFECTIVE_CORES = 8.0
+
 
 def main():
     out_path, chunk_paths = sys.argv[1], sys.argv[2:]
-    queries, queries_min, samples = {}, {}, {}
+    queries, queries_min, samples, source = {}, {}, {}, {}
     failed, chunks = set(), []
     for p in chunk_paths:
         with open(p) as f:
@@ -33,6 +40,7 @@ def main():
             "wall_sec": rec.get("wall_sec"),
             "noise_spread": rec.get("noise_spread"),
             "contended": rec.get("contended"),
+            "low_cores": (rec.get("cpu_cores") or 0) < LOW_EFFECTIVE_CORES,
         })
         failed.update(rec.get("failed", []))
         for name, tmin in rec.get("queries_min", rec["queries"]).items():
@@ -44,18 +52,26 @@ def main():
                 continue
             queries_min[name] = tmin
             queries[name] = rec["queries"][name]
+            source[name] = chunks[-1]
             if "samples" in rec:
                 samples[name] = rec["samples"][name]
     failed = sorted(f for f in failed if queries.get(f, -1) < 0)
     total = -1.0 if failed else round(sum(queries.values()), 6)
     total_min = -1.0 if failed else round(sum(queries_min.values()), 6)
+    low_core_chunks = sorted(c["file"] for c in chunks if c["low_cores"])
+    tainted = sorted(n for n, c in source.items() if c["low_cores"])
     merged = {
         "metric": "total", "value": total, "unit": "sec",
         "queries": queries, "queries_min": queries_min,
         "sf": chunks and json.load(open(chunk_paths[0])).get("sf"),
         "trials": max((c["trials"] or 0) for c in chunks) if chunks else 0,
         "failed": failed,
-        "contended": any(c["contended"] for c in chunks),
+        # honest headline: a merge is contended if ANY part ran contended
+        # OR below the effective-core floor — per-query blame in
+        # tainted_queries (their kept trial came from a low-core chunk)
+        "contended": any(c["contended"] for c in chunks) or bool(low_core_chunks),
+        "low_core_chunks": low_core_chunks,
+        "tainted_queries": tainted,
         "total_min_sec": total_min, "total_sec": total,
         "chunks": chunks, "samples": samples,
     }
