@@ -573,8 +573,8 @@ object DedupOps {
         greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
       .distinct()
     candidates
-      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a"), col("n_sh").as("na")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b"), col("n_sh").as("nb")), "b")
+      .join(verifySide(sh.select(col("doc_id").as("a"), col("sh").as("sh_a"), col("n_sh").as("na"))), "a")
+      .join(verifySide(sh.select(col("doc_id").as("b"), col("sh").as("sh_b"), col("n_sh").as("nb"))), "b")
       .withColumn("c_raw",
         size(array_intersect(col("sh_a"), col("sh_b"))) / least(col("na"), col("nb")))
       .filter(col("c_raw") >= minC)
@@ -1295,8 +1295,8 @@ object DedupOps {
     val allSh = idx.shingles.select("doc_id", "n_sh", "sh")
       .unionByName(shB.select("doc_id", "n_sh", "sh"))
     candidates
-      .join(allSh.select(col("doc_id").as("a"), col("sh").as("sh_a"), col("n_sh").as("na")), "a")
-      .join(allSh.select(col("doc_id").as("b"), col("sh").as("sh_b"), col("n_sh").as("nb")), "b")
+      .join(verifySide(allSh.select(col("doc_id").as("a"), col("sh").as("sh_a"), col("n_sh").as("na"))), "a")
+      .join(verifySide(allSh.select(col("doc_id").as("b"), col("sh").as("sh_b"), col("n_sh").as("nb"))), "b")
       .withColumn("c_raw",
         size(array_intersect(col("sh_a"), col("sh_b"))) / least(col("na"), col("nb")))
       .filter(col("c_raw") >= t0)
@@ -1318,12 +1318,28 @@ object DedupOps {
     math.max(minJac - 1e-4 - 1e-9, 1e-9)
   }
 
+  /** Corpus-side strategy hint for verify re-attach joins (the q66 lesson
+    * applied to the shingle family): above the broadcast threshold the
+    * planner's sort-merge join must SORT the candidate-pair stream, and
+    * after the first re-attach every pair row drags a per-doc shingle
+    * ARRAY through that sort — at sf10 exactly the spill shape that cost
+    * q66 23.7 GB. A shuffle_hash build on the doc-keyed side streams the
+    * pair rows straight through both joins: zero sort, build side is
+    * corpus/partitions-sized (what partition count scales with). Below
+    * the threshold the hint is omitted so the planner's cheaper broadcast
+    * pick stands. */
+  private def verifySide(df: DataFrame): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes >
+        df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold)
+      df.hint("shuffle_hash")
+    else df
+
   /** Exact Jaccard verification of candidate (a, b) pairs against a
     * doc_id → shingles frame. */
   private def verifyJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
     pairs
-      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+      .join(verifySide(sh.select(col("doc_id").as("a"), col("sh").as("sh_a"))), "a")
+      .join(verifySide(sh.select(col("doc_id").as("b"), col("sh").as("sh_b"))), "b")
       .withColumn("jac",
         round(graft.plans.JaccardSimilarity.of(col("sh_a"), col("sh_b")), 4))
       .select("a", "b", "jac")
@@ -1378,8 +1394,15 @@ object DedupOps {
     // Subset-duplication audit: containment ≥ 0.8 pairs (short-doc-inside-
     // long-doc near-dups that Jaccard thresholds structurally miss).
     "q114_containment_pairs" -> ((s, d) => {
+      // write-then-sort: the global ORDER BY's range sampler re-executes
+      // its child segment, and here that segment is the WHOLE candidate +
+      // verify pipeline (StageProbe sf1: the verify ran twice per run).
+      // Lazily pin the verified pairs so the sampler reads the cache; the
+      // pinned mass is the same mass the sort's own shuffle materializes
+      // anyway, so no new disk-risk class at any duplication profile.
       ngramContainmentPairs(
         Tables.spread(Tables.load(s, d, "documents")).select("doc_id", "text"), 0.8)
+        .localCheckpoint(eager = false)
         .orderBy("a", "b")
     }),
 
@@ -1402,9 +1425,11 @@ object DedupOps {
     // containment.
     "q116_containment_vs_index" -> ((s, d) => {
       val (thr, idx) = q116ContainmentIndex(s, d)
+      // write-then-sort, same rationale as q114
       ngramContainmentPairsVsIndex(
         Tables.spread(Tables.load(s, d, "documents")).select("doc_id", "text")
           .filter(col("doc_id") > thr), idx)
+        .localCheckpoint(eager = false)
         .orderBy("a", "b")
     }),
 

@@ -523,6 +523,13 @@ object MultimodalOps {
         .select((col("doc_id") + plantOffset).as("doc_id"), col("kind"),
           concat(col("payload").cast("string"), lit(" zz"),
             (col("doc_id") % 7).cast("string")).cast("binary").as("payload"))
+      // NO write-then-sort here, deliberately (contrast q114/q116): the
+      // ORDER BY's range sampler does re-execute the enumeration+verify
+      // pipeline, but pinning the 1.4e9-row pair set (~30 GB
+      // MEMORY_AND_DISK) on top of the sort's own ~48 GB spill would
+      // court exactly the r16 ENOSPC on a bench-sized disk. The recompute
+      // is the safer trade at this output mass; the scale answer to this
+      // query's cost is q128's rep mode, not a faster exact-pair sort.
       mediaNearDupPairs(media.unionByName(planted), maxHamming = 10)
         .orderBy("a", "b")
     }),
@@ -539,6 +546,7 @@ object MultimodalOps {
         .select((col("doc_id") + plantOffset).as("doc_id"), col("kind"),
           concat(col("payload").cast("string"), lit(" zz"),
             (col("doc_id") % 7).cast("string")).cast("binary").as("payload"))
+      // no write-then-sort — same disk-headroom rationale as q122
       mediaNearDupPairs(media.unionByName(planted), maxHamming = 7)
         .orderBy("a", "b")
     }),
