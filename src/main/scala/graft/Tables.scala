@@ -74,22 +74,43 @@ object Tables {
   private val MinSpreadBytes = 16L << 20
 
   /** spread decisions keyed by file layout (first file + count): the
-    * decision is a pure function of the layout, and the optimizer pass
-    * behind stats.sizeInBytes is the probe's only non-trivial cost — pay
+    * decision is a pure function of the layout, and the per-file FS stat
+    * behind the split estimate is the probe's only non-trivial cost — pay
     * it once per table per session, not once per query construction. */
   private val spreadCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Boolean]()
 
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // file count bounds split count from above (row-group granularity can
-    // only lower it); inputFiles reads the relation's cached listing — no
-    // RDD materialization, no job
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // inputFiles reads the relation's cached listing — no RDD
+    // materialization, no job. Bare file COUNT is not a bound on splits in
+    // either direction (a large file splits into multiple byte-range
+    // partitions), so only the trivial cases short-circuit here; the real
+    // decision estimates splits from file SIZES below.
     val files = df.inputFiles
     if (files.isEmpty || files.length >= target) return df
-    val key = (df.sparkSession, s"${files.min}:${files.length}")
-    val go = spreadCache.computeIfAbsent(key,
-      _ => df.queryExecution.optimizedPlan.stats.sizeInBytes >= MinSpreadBytes)
+    val key = (spark, s"${files.min}:${files.length}")
+    val go = spreadCache.computeIfAbsent(key, _ => {
+      // ≤ target-1 files to stat (guaranteed by the short-circuit above),
+      // one FS metadata call each — cheap even against an object store.
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val maxPB = math.max(1L, org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")))
+      val lens = files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(hconf).getFileStatus(p).getLen
+      }
+      // splits ≈ Σ ceil(len / maxPartitionBytes): a few-large-files layout
+      // (e.g. 8×1 GB on 32 cores) already scans with ≥ target byte-range
+      // splits and must NOT pay a full round-robin exchange of the payload.
+      // Caveat this estimate cannot see: byte-range splits over a file with
+      // ONE giant row group still hand all rows to one task — writers that
+      // produce such files (the pre-r17 ScaleUp did) need fixing at the
+      // writer, not here (ScaleUp now writes spread files).
+      val estSplits = lens.map(l => math.max(1L, (l + maxPB - 1) / maxPB)).sum
+      estSplits < target && lens.sum >= MinSpreadBytes
+    })
     if (go) df.repartition(target) else df
   }
 

@@ -1410,8 +1410,14 @@ object DedupOps {
     // rep = earliest container-or-twin; pair mass min-aggs inside the
     // verify stage instead of being sorted and output.
     "q129_containment_reps" -> ((s, d) => {
+      // write-then-sort, same rationale as q114/q116: without the pin the
+      // ORDER BY's range sampler re-executes the whole candidate+verify
+      // pipeline and the "cheap" rep mode ran 1.8× SLOWER than the exact
+      // pair mode it replaces (sf10: 99.1 s vs 55.3 s). The pinned frame
+      // is one row per doc — small by construction.
       ngramContainmentReps(
         Tables.spread(Tables.load(s, d, "documents")).select("doc_id", "text"), 0.8)
+        .localCheckpoint(eager = false)
         .orderBy("doc_id")
     }),
 
@@ -1950,6 +1956,25 @@ object DedupOps {
     val (as, bs) = MinHashPermAgg.coeffs(numHashes)
     (0 until numHashes).map(i => s"($i, ${as(i)}, ${bs(i)})").mkString(", ")
   }
+
+  /** PRE-CHECKPOINT plan twins for PlanDump (VERDICT r17 item 6): the
+    * committed dumps of the write-then-sort queries end at
+    * `Scan ExistingRDD` — the localCheckpoint pin truncates exactly the
+    * candidate+verify join tree a plan reviewer needs to audit. These
+    * build the SAME pipelines without the pin (and without the final sort
+    * the pin exists to feed) — explain-only, never benchmarked or
+    * oracle-checked. */
+  val planOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_containment_pairs" -> ((s, d) => ngramContainmentPairs(
+      Tables.spread(Tables.load(s, d, "documents")).select("doc_id", "text"), 0.8)),
+    "q129_containment_reps" -> ((s, d) => ngramContainmentReps(
+      Tables.spread(Tables.load(s, d, "documents")).select("doc_id", "text"), 0.8)),
+    "q116_containment_vs_index" -> ((s, d) => {
+      val (thr, idx) = q116ContainmentIndex(s, d)
+      ngramContainmentPairsVsIndex(
+        Tables.spread(Tables.load(s, d, "documents")).select("doc_id", "text")
+          .filter(col("doc_id") > thr), idx)
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q50_dedup_exact" ->

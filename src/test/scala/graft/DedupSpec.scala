@@ -828,8 +828,11 @@ class DedupSpec extends AnyFunSuite {
     for (id <- allIds)
       assert(got(id) == minPartner.getOrElse(id, id), s"rep($id)")
     // non-vacuous: at least one doc reps to a smaller partner, and dups
-    // collapse — keep-first survivor count < corpus size
+    // collapse — keep-first survivor count < corpus size (ADVICE r17: the
+    // second clause was promised but never asserted)
     assert(got.exists { case (d, r) => r < d })
+    assert(got.count { case (d, r) => r == d } < allIds.length,
+      "keep-first survivor count must be < corpus size")
   }
 
   private def ciCanon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =

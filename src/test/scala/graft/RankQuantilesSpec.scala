@@ -49,9 +49,14 @@ class RankQuantilesSpec extends AnyFunSuite {
     df.orderBy("g").collect().toSeq.map(_.toSeq)
 
   private def check(base: DataFrame): Unit = {
-    val got = canon(Relational.rankQuantiles(base, "g", qs))
+    // force the SELECTION path (the r18 dispatch would route these small
+    // inputs to the fused window path, which is the reference itself)
+    val got = canon(Relational.rankQuantiles(base, "g", qs, selectionMinRows = 0L))
     val want = canon(windowed(base, "g"))
     assert(got == want, s"\ngot  = $got\nwant = $want")
+    // the default dispatch must agree regardless of which path it picks
+    val dispatched = canon(Relational.rankQuantiles(base, "g", qs))
+    assert(dispatched == want, s"\ndispatched = $dispatched\nwant = $want")
   }
 
   test("selection == window formulation on deterministic pseudo-random data") {
@@ -92,9 +97,35 @@ class RankQuantilesSpec extends AnyFunSuite {
     val base = spark.range(5000)
       .select(concat(lit("z"), pmod(col("id"), lit(2))).as("g"),
         col("id").cast("double").as("v"))
-    val out = Relational.rankQuantiles(base, "g", qs).collect()
+    val out = Relational.rankQuantiles(base, "g", qs, selectionMinRows = 0L).collect()
     assert(out.length == 2)
     // group z0: values 0,2,...,4998 (n=2500): p50 = (v at rk 1250 + v at rk 1251)/2... use window truth
     check(base)
+  }
+
+  test("r18 dispatch: small inputs take the fused window path, non-double v accepted") {
+    // 5k rows << SelectionMinRows → the executed plan must contain a Window
+    // node (the selection path builds from an ExistingRDD scan instead)
+    val small = spark.range(5000)
+      .select(concat(lit("w"), pmod(col("id"), lit(2))).as("g"),
+        col("id").as("v")) // LONG v: the up-front cast must handle it
+    val df = Relational.rankQuantiles(small, "g", qs)
+    assert(df.queryExecution.executedPlan.toString.contains("Window"),
+      "small input should dispatch to the window formulation")
+    // and a LongType v through the SELECTION path must not ClassCastException
+    val sel = Relational.rankQuantiles(small, "g", qs, selectionMinRows = 0L)
+    assert(canon(sel) == canon(df))
+  }
+
+  test("r18 guard: group cardinality above the driver-collect bound falls back") {
+    // 20k one-row groups > SelectionMaxGroups (10k): even when selection is
+    // forced by row count the guard must route to the window path rather
+    // than collect a 20k×P cell map
+    val wide = spark.range(20000)
+      .select(concat(lit("g"), col("id")).as("g"), (col("id") * 1.5).as("v"))
+    val df = Relational.rankQuantiles(wide, "g", qs, selectionMinRows = 0L)
+    assert(df.queryExecution.executedPlan.toString.contains("Window"),
+      "high-G input should fall back to the window formulation")
+    assert(df.count() == 20000)
   }
 }
