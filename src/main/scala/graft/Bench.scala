@@ -94,6 +94,29 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // BOX-SPEED CALIBRATION (VERDICT r17 item 3/4): fixed single-threaded
+    // CPU-bound work, timed before anything Spark touches the machine. The
+    // r17 driver box ran fixed work 1.39× slower than r16's and nothing in
+    // the record could say so — a slow box read as a 28% plan regression.
+    // Comparison rule (README "Bench record fields"): cross-round ratios
+    // should be read BOTH raw and normalized by calib_sec (divide each
+    // round's per-query seconds by its calib_sec / the reference round's
+    // calib_sec). calib_sec is single-threaded on purpose: bootstrap_sec
+    // also measures fixed work but includes parallel I/O + JIT, so it
+    // confounds core-count and disk speed with CPU speed.
+    val calibSec = {
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0L
+      val t0 = System.nanoTime()
+      while (i < 1000000000L) {
+        h = java.lang.Long.rotateLeft(h * 0x100000001B3L, 17) ^ i
+        i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (h == 42L) System.err.println("") // keep the loop observable (no DCE)
+      math.rint(dt * 1000) / 1000
+    }
+    System.err.println(s"[bench] calib_sec = $calibSec (fixed 1e9-step scalar loop)")
     // SPARK_GRAFT_ONLY=q87,q58 — comma-separated name prefixes; restricts the
     // sweep for single-query profiling without touching the harness shape
     val onlyPrefixes = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
@@ -343,7 +366,7 @@ object Bench {
     // stores a bounded tail of stdout, which truncates the FRONT of this
     // line — total_sec at the end survives that
     def line(queries: String): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queries,"queries_min":$qsMin,"sf":"$sfDir","trials":$trials,"failed":$failedJson,"gc_sec":$gcSec,"gc_frac":$gcFrac,"heap_mb":$heapMb,"heap_peak_mb":$heapPeakMb,"heap_peak_def":"sum of per-pool JVM peaks (non-simultaneous upper bound; may exceed heap_max_mb)","heap_used_peak_mb":$heapUsedPeakMb,"heap_max_mb":$heapMaxMb,"heap_warn":$heapWarn,"cpu_cores":$cpuCores,"load_avg":${math.rint(maxLoad * 100) / 100},"ambient_cores":${math.rint(maxAmbient * 100) / 100},"noise_spread":$noise,"contended":$contended,"wall_sec":${math.rint(wallSec * 10) / 10},"warm_sweep":$warmupSweep,"bootstrap_sec":$bootstrapSec,"gc_each":$gcEach,"disk_min_free_gb":${math.rint(diskMinFreeGb * 10) / 10},"total_min_sec":${math.rint(totalMin * 1000) / 1000},"total_sec":$total}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$queries,"queries_min":$qsMin,"sf":"$sfDir","trials":$trials,"failed":$failedJson,"gc_sec":$gcSec,"gc_frac":$gcFrac,"heap_mb":$heapMb,"heap_peak_mb":$heapPeakMb,"heap_peak_def":"sum of per-pool JVM peaks (non-simultaneous upper bound; may exceed heap_max_mb)","heap_used_peak_mb":$heapUsedPeakMb,"heap_max_mb":$heapMaxMb,"heap_warn":$heapWarn,"cpu_cores":$cpuCores,"load_avg":${math.rint(maxLoad * 100) / 100},"ambient_cores":${math.rint(maxAmbient * 100) / 100},"noise_spread":$noise,"contended":$contended,"wall_sec":${math.rint(wallSec * 10) / 10},"warm_sweep":$warmupSweep,"bootstrap_sec":$bootstrapSec,"calib_sec":$calibSec,"gc_each":$gcEach,"disk_min_free_gb":${math.rint(diskMinFreeGb * 10) / 10},"total_min_sec":${math.rint(totalMin * 1000) / 1000},"total_sec":$total}"""
     // full-precision copy the driver can read WHOLE — BENCH_r04's stdout
     // tail lost 29 of 86 per-query numbers (VERDICT r4 item 8). The file
     // also carries every per-trial sample ("samples"): a grader can see

@@ -36,6 +36,22 @@ class SmokeSpec extends AnyFunSuite {
         "update its headline count to match SparkEntry.queries.size")
   }
 
+  test("README's suite count matches the test tree (VERDICT r17 item 7)") {
+    // the r17 README said "356 cases across 20 suites" while 392/24 ran —
+    // stale counts erode trust in every other README number. The CASE
+    // count can't be self-counted here (suites register tests dynamically),
+    // so the README now states the SUITE count — one *Spec.scala file per
+    // suite — and defers the case count to `sbt test` output.
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("graft.project.root", "."))
+    val suites = java.nio.file.Files.list(root.resolve("src/test/scala/graft"))
+      .filter(_.getFileName.toString.endsWith("Spec.scala")).count()
+    val readme = java.nio.file.Files.readString(root.resolve("README.md"))
+    assert(readme.contains(s"$suites ScalaTest suites"),
+      s"README.md does not say '$suites ScalaTest suites' — update the " +
+        "test-tree line to match the number of *Spec.scala files")
+  }
+
   test("PlanDump headline list stays in sync with the query inventory") {
     // no stale names (a renamed query must not silently drop its plan dump)
     val stale = PlanDump.headline.toSet -- SparkEntry.queries.keySet

@@ -39,6 +39,7 @@ def main():
             "gc_sec": rec.get("gc_sec"),
             "wall_sec": rec.get("wall_sec"),
             "noise_spread": rec.get("noise_spread"),
+            "calib_sec": rec.get("calib_sec"),
             "contended": rec.get("contended"),
             "low_cores": (rec.get("cpu_cores") or 0) < LOW_EFFECTIVE_CORES,
         })
@@ -73,6 +74,12 @@ def main():
         "low_core_chunks": low_core_chunks,
         "tainted_queries": tainted,
         "total_min_sec": total_min, "total_sec": total,
+        # box-speed calibration of the merge: the MINIMUM over chunk calibs
+        # (the fastest the box ever ran during the sweep — matching the
+        # trial-min philosophy above; a loaded window inflates calib like
+        # any other fixed work)
+        "calib_sec": min((c["calib_sec"] for c in chunks
+                          if c.get("calib_sec")), default=None),
         "chunks": chunks, "samples": samples,
     }
     with open(out_path, "w") as f:

@@ -58,6 +58,18 @@ def main():
     print()
     print(f"Total (min-sum, both-present): {tot_b:.1f} s -> {tot_s:.1f} s "
           f"= {tot_s/tot_b:.1f}x at {int(k)}x data")
+    # box-speed normalization (VERDICT r17 item 4): calib_sec is a fixed
+    # single-threaded CPU probe each record carries; a ratio of calibs != 1
+    # means the two records ran on differently-loaded/speced boxes and the
+    # raw total ratio is polluted by exactly that factor
+    cb, cs = base.get("calib_sec"), scaled.get("calib_sec")
+    if cb and cs and cb > 0 and cs > 0:
+        print(f"Box calibration: base calib {cb:.2f} s, scaled calib {cs:.2f} s "
+              f"(box-speed ratio {cs/cb:.2f}x); calib-normalized total "
+              f"= {tot_s/tot_b/(cs/cb):.1f}x at {int(k)}x data")
+    else:
+        print("Box calibration: calib_sec absent from one or both records — "
+              "raw ratios only (pre-r18 record)")
     print(f"Median per-query ratio: "
           f"{sorted(r[3] for r in ok)[len(ok)//2]:.1f}x")
     print(f"Flagged super-linear (> {k*MARGIN:.0f}x, base >= {ABS_FLOOR}s): "
