@@ -19,15 +19,43 @@ import org.apache.spark.sql.functions._
   *    join selectivity are preserved exactly. Dimension-geography tables
   *    (region/nation) are NOT replicated — dims stay, facts grow, as in a
   *    real scale-up — and nationkey FKs are left unshifted accordingly.
-  *  - `documents.text` gets a per-replica token suffix (every whitespace
-  *    token `t` becomes `t~r`): within a replica all token/shingle/n-gram
-  *    structure (dedup pairs, TF-IDF, quality scores) is preserved, across
-  *    replicas Jaccard is 0 — so near-dup pair counts, cluster counts and
-  *    vocabulary all scale ×k instead of exploding quadratically the way
-  *    byte-identical replicas would (every doc gaining k−1 exact twins is
-  *    a skew stress, probed separately in ScaleProbe, not a scale-up).
-  *    n_chars is recomputed (the suffix changes it); replica 0 stays
-  *    byte-identical to the source corpus.
+  *  - `documents.text` gets a per-replica transform with a POWER-LAW
+  *    near-dup clique profile (VERDICT r17 item 2; redesigned r18 from
+  *    measurement). Two transforms:
+  *      - replica 0 stays byte-identical to the source corpus;
+  *      - MILD (in-clique replicas 1 ≤ r < c(d)): the original text plus
+  *        1–2 APPENDED junk tokens derived from xxhash64(base, r) — the
+  *        q126 graded-family perturbation. Original tokens untouched, so
+  *        the clique is a realistic near-dup family in EVERY space:
+  *        measured phash displacement median 2–3 bits (99% within the
+  *        engine's Hamming-10 verify threshold, base↔mild AND
+  *        mild↔mild), token Jaccard ≈ 0.97, containment ≈ 1.
+  *      - FULL (replicas r ≥ c(d)): every token `w` becomes
+  *        `w~h` with h = 3 hex chars of xxhash64(w, r) — a pure per-token
+  *        bijection (within-replica token/shingle structure preserved
+  *        exactly), token overlap across replicas ≈ 1/4096 (vocabulary
+  *        scales ×k), and phash displacement ≈ 22 bits — far outside
+  *        every near-dup threshold.
+  *    WHY token-DEPENDENT suffixes (r18): the pre-r18 constant `~r`
+  *    suffix stamped the same byte grams onto every token of a replica,
+  *    CORRELATING the SimHash fingerprints of unrelated docs. Measured on
+  *    400 source docs (812 organic Hamming≤10 pairs): 1-digit constant
+  *    suffix → 4 735 pairs (5.8×), 2-digit → 74 527 (92×!), hash suffix →
+  *    364 (≈ organic). That inflation — not any planted clique (only
+  *    2/45 000 base↔replica pairs sat within Hamming 10 at sf1) — is what
+  *    made media pair mass grow ≈ 104×/decade: sf10's replicas 10–99 all
+  *    carried 2-digit suffixes. With hash suffixes the per-replica organic
+  *    density stays at the source corpus's level and TOTAL pair mass
+  *    (organic ×k + planted below) grows LINEARLY with dataset size — a
+  *    super-linear wall measured on this data now indicts the ALGORITHM,
+  *    not the artifact.
+  *    The clique size c(d) = min(k, 1 + ⌊0.5/u⌋) with u hash-uniform in
+  *    (0,1] over the BASE doc id: half the base docs are singletons
+  *    (c = 1), the rest Zipf-ish with P(c ≥ x) ≈ 0.5/(x−1) over sizes
+  *    2..k. Planted pair mass per base doc is E[C(c,2)] ≈ (k−1)/2 —
+  *    linear in dataset size. Ground truth stays id-arithmetic: base =
+  *    doc_id % docSpan, r = doc_id / docSpan, in-clique iff r < c(base)
+  *    with c recomputable from xxhash64(base). n_chars is recomputed.
   *  - `embeddings.embedding` gets a per-replica deterministic sign flip
   *    per dimension (an orthogonal transform): within-replica geometry —
   *    every pairwise cosine — is EXACTLY preserved, cross-replica cosines
@@ -135,18 +163,45 @@ object ScaleUp {
       "event_id" -> span("events", "event_id"),
       "user_id" -> span("events", "user_id")), "events")
 
-    // documents: shifted ids + per-replica token suffix (see scaladoc)
+    // documents: shifted ids + per-replica token transform with the
+    // power-law clique profile (see scaladoc)
     val docs = load("documents")
     val docSpan = span("documents", "doc_id")
+    // c(d) from the BASE id, computed before the shift overwrites doc_id:
+    // u ∈ (0,1] hash-uniform, c = min(k, 1 + floor(0.5/u)) — half the
+    // docs singletons, the rest Zipf-ish P(c ≥ x) ≈ 0.5/(x−1), sizes
+    // 2..k, E[planted pairs/doc] ≈ (k−1)/2 (linear growth)
+    val uCol = (pmod(xxhash64(col("doc_id")), lit(1000000L)) + 1.0) / 1000000.0
+    val cliqueCol = least(lit(k.toLong), (floor(lit(0.5) / uCol) + 1).cast("long"))
+    /** 3-lowercase-hex render of xxhash64(parts) — the token-dependent
+      * suffix/junk-token material. */
+    def hex3(parts: org.apache.spark.sql.Column*) =
+      lpad(lower(conv(pmod(xxhash64(parts: _*), lit(4096)).cast("string"),
+        10, 16)), 3, "0")
     val docsK = docs.crossJoin(spark.range(k).toDF("__rep"))
+      .withColumn("__clique", cliqueCol)
+      .withColumn("__base", col("doc_id"))
       .withColumn("doc_id", col("doc_id") + col("__rep") * docSpan)
       .withColumn("text",
         when(col("__rep") === 0, col("text"))
-          .otherwise(concat_ws(" ",
-            transform(split(col("text"), "\\s+"),
-              t => concat(t, lit("~"), col("__rep"))))))
+          .when(col("__rep") < col("__clique"),
+            // MILD: original text + 1–2 appended junk tokens — phash
+            // moves 2–3 bits → in-clique at the Hamming-10 threshold
+            // (concat_ws flattens the array<string> of junk tokens)
+            concat_ws(" ", col("text"),
+              transform(
+                sequence(lit(0L),
+                  pmod(xxhash64(col("__base"), col("__rep"), lit("n")), lit(2))),
+                i => concat(lit("pv"),
+                  hex3(col("__base"), col("__rep"), i)))))
+          .otherwise(
+            // FULL: per-token hash suffix — token bijection, vocab ×k,
+            // phash ~22 bits away, NO cross-doc suffix-gram correlation
+            concat_ws(" ",
+              transform(split(col("text"), "\\s+"),
+                t => concat(t, lit("~"), hex3(t, col("__rep")))))))
       .withColumn("n_chars", length(col("text")))
-      .drop("__rep")
+      .drop("__rep", "__clique", "__base")
       .select(docs.columns.map(col).toIndexedSeq: _*)
     save(docsK, "documents")
 
