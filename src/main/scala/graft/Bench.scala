@@ -90,6 +90,21 @@ object Bench {
       // (q114 132.6 vs 176.9 s, q101 47.4 vs 63.5, q51 32.5 vs 41.7,
       // q96 35.6 vs 41.7 at threshold 131072) — the big per-group buffers
       // thrash cache/GC harder than the fallback's streaming sort.
+      // AQE coalescing sizes shuffle-read partitions by BYTES with a 1 MB
+      // floor (coalescePartitions.minPartitionSize) — correct for scan-like
+      // stages, but the exact-verify joins read small, CPU-DENSE shuffles
+      // (154k candidate pairs ≈ 1.4 MB whose array_intersect costs ~2.3 s):
+      // the 1 MB floor coalesced that stage to ONE task and serialized the
+      // whole verify (StageProbe r18, q114 stage 27). 64 KB keeps such
+      // stages parallel; measured q114 3.6→1.2 s, q129 3.1→1.2, q93
+      // 3.2→1.5, q87 3.3→1.6 at sf0.1 with every byte-bound query within
+      // noise. SCALE POSTURE: the floor only governs shuffles smaller than
+      // cores×minPartitionSize — at production volumes partitions are
+      // sized by advisoryPartitionSizeInBytes and this setting is inert;
+      // it is a small-shuffle parallelism refinement, not a local[32] tune.
+      // Env-overridable for A/B (SPARK_GRAFT_MINPART).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MINPART", "64KB"))
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

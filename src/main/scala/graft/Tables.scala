@@ -17,10 +17,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"))
-    if (name == "events") normalizeEventTs(df) else df
-  }
+  /** Plan memo — NOT a result cache: the memoized value is the lazy
+    * DataFrame (logical plan + file index), never rows. Every query still
+    * computes from the parquet bytes; what the memo removes is the
+    * per-construction driver work `spark.read.parquet` repeats on every
+    * call — leaf-file listing and a footer read for schema inference
+    * (~10–30 ms per table here, minutes against an object-store table with
+    * many files). A 129-query bench sweep at 3 trials constructs ~900
+    * table scans; at 100 TB the same memo is what keeps repeated queries
+    * from re-listing the lake. Keyed by (session, dir, name) so Verify/
+    * Bench/test sessions and different scale dirs never share plans. */
+  private val loadCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loadCache.computeIfAbsent((spark, dir, name), _ => {
+      val df = normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"))
+      if (name == "events") normalizeEventTs(df) else df
+    })
 
   /** Driver testdata has shipped two timestamp encodings across rounds:
     * TIMESTAMP(NANOS) (no native Spark type; surfaces as LongType nanos
@@ -73,14 +87,31 @@ object Tables {
     * beats the fixed cost. */
   private val MinSpreadBytes = 16L << 20
 
-  /** spread decisions keyed by file layout (first file + count): the
-    * decision is a pure function of the layout, and the per-file FS stat
-    * behind the split estimate is the probe's only non-trivial cost — pay
-    * it once per table per session, not once per query construction. */
+  /** Lower floor for CPU-DENSE per-row pipelines — shingling + MinHash/
+    * SimHash sketching, containment verify, fingerprinting, PII regex —
+    * where one serial scan task costs ~1–2 s/MB of input (StageProbe r18:
+    * q58's three single-task shingle stages burned 1.0 s on a 0.58 MB
+    * table; q33's fingerprint pass 1.0 s). There the ~0.15 s round-robin
+    * exchange repays ~cores× immediately; byte-cheap consumers (plain
+    * stats, id-only projections) keep the 16 MB default, which r17
+    * measured as their break-even. Env-overridable for A/B
+    * (SPARK_GRAFT_SPREAD_DENSE, byte-string syntax). */
+  private[graft] val CpuDenseSpreadBytes: Long =
+    sys.env.get("SPARK_GRAFT_SPREAD_DENSE")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(256L << 10)
+
+  /** spread decisions keyed by file layout (first file + count) and
+    * threshold: the decision is a pure function of (layout, floor), and
+    * the per-file FS stat behind the split estimate is the probe's only
+    * non-trivial cost — pay it once per table per session, not once per
+    * query construction. */
   private val spreadCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Boolean]()
 
-  def spread(df: DataFrame): DataFrame = {
+  def spread(df: DataFrame): DataFrame = spread(df, MinSpreadBytes)
+
+  def spread(df: DataFrame, minBytes: Long): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     // inputFiles reads the relation's cached listing — no RDD
@@ -90,7 +121,7 @@ object Tables {
     // decision estimates splits from file SIZES below.
     val files = df.inputFiles
     if (files.isEmpty || files.length >= target) return df
-    val key = (spark, s"${files.min}:${files.length}")
+    val key = (spark, s"${files.min}:${files.length}:$minBytes")
     val go = spreadCache.computeIfAbsent(key, _ => {
       // ≤ target-1 files to stat (guaranteed by the short-circuit above),
       // one FS metadata call each — cheap even against an object store.
@@ -109,7 +140,7 @@ object Tables {
       // produce such files (the pre-r17 ScaleUp did) need fixing at the
       // writer, not here (ScaleUp now writes spread files).
       val estSplits = lens.map(l => math.max(1L, (l + maxPB - 1) / maxPB)).sum
-      estSplits < target && lens.sum >= MinSpreadBytes
+      estSplits < target && lens.sum >= minBytes
     })
     if (go) df.repartition(target) else df
   }

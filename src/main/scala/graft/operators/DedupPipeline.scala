@@ -163,9 +163,28 @@ object DedupPipeline {
         s"clusters(): checkpoint dir already configured " +
           s"(${sc.getCheckpointDir.get}); caller's '$d' not installed")
     }
-    def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+    // Partition discipline for the loop (optimization r18, guide §2.4/§2.6):
+    // the iteration frames are (node, label) longs — a few MB per million
+    // nodes — but they inherit partition COUNT from whatever plan produced
+    // them (the r17 shape: edges = union of two 32-partition selects = 64
+    // cached partitions, so every localCheckpoint job and every post-
+    // checkpoint read scheduled 64 near-empty tasks; StageProbe measured
+    // 0.2–0.4 s of pure task dispatch per such stage, ×3 per iteration).
+    // `looseK` below derives a byte-sized partition budget from the exact
+    // edge count (≈256k rows ≈ 8 MB per task) and the cut/edge frames are
+    // coalesced to it — a NARROW merge, no extra shuffle. Large graphs
+    // blow past the budget and keep their native width (coalesce is
+    // skipped when the budget ≥ the session's shuffle width), so this is
+    // an identity at 100 TB and a ~10× task-count cut on batch-sized
+    // contracted graphs (q87/q110/q118) and toy-scale full builds.
+    var looseK = Int.MaxValue // set after the edge count is known
+    val shuffleWidth = pairs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    def cut(df: DataFrame): DataFrame = {
+      val sized = if (looseK < shuffleWidth) df.coalesce(looseK) else df
+      if (checkpointDir.isDefined) sized.checkpoint(eager = true)
+      else sized.localCheckpoint(eager = true)
+    }
     // Reliable-mode bookkeeping: resolve the checkpoint files backing a cut
     // so a SUPERSEDED iteration's files are deleted as soon as the next cut
     // stops reading them. Without this, maxIter full copies of the label
@@ -187,9 +206,36 @@ object DedupPipeline {
           .warn(s"clusters(): failed to clean superseded checkpoint $p", e)
       }
     require(maxIter >= 1, s"clusters(): maxIter must be >= 1 (got $maxIter)")
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // Symmetric edges via ONE explode pass, not union(select, select): the
+    // union shape concatenated two copies of the pair pipeline's output
+    // partitioning (2×32 = 64 cached partitions at any input size) and ran
+    // the candidate pipeline's scan segment twice; the explode keeps the
+    // pair pipeline's own (AQE byte-sized) partition count and reads it
+    // once.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialize the edge cache NOW and learn the exact edge count: one
+    // extra (cheap) job that (a) lets every later frame in the loop get a
+    // byte-sized partition budget instead of an inherited one, (b) makes
+    // the empty graph a zero-iteration exit (it previously paid a full
+    // cut + isEmpty probe), and (c) moves the pair pipeline's cost out of
+    // hop-2's checkpoint job into a labeled, attributable one.
+    val nEdges = edges.count()
+    looseK = math.max(1L, nEdges / 262144L + 1L)
+      .min(Int.MaxValue.toLong).toInt
+    // the cached edge partitions inherit the pair pipeline's width (32 on
+    // the bench session) — every iteration's map side then schedules that
+    // many near-empty tasks (~75 ms each of broadcast-fetch + codegen
+    // setup, measured on q58's 469-label graph); merge the cache reads to
+    // the same byte-sized budget. Narrow — cached blocks are not moved.
+    val edgesR =
+      if (looseK < shuffleWidth && edges.rdd.getNumPartitions > looseK)
+        edges.coalesce(looseK)
+      else edges
     // Hop 1 fused into the seed: with every label initialized to its node
     // id, the first propagation's neighbor-min is simply min(src) per dst —
     // no label join, and no separate distinct over endpoints (symmetric
@@ -197,16 +243,21 @@ object DedupPipeline {
     // own: hop 2's checkpoint job computes it in the same stage chain, so
     // fusing removes one shuffle and one job versus seeding with identity
     // labels. Counts toward maxIter as iteration 1.
-    val labels1 = edges.groupBy(col("dst").as("node"))
+    val labels1 = edgesR.groupBy(col("dst").as("node"))
       .agg(min("src").as("m"))
       .select(col("node"), least(col("node"), col("m")).as("label"))
+    // zero-iteration exit: an empty edge set is vacuously converged — the
+    // empty (node, label) frame IS the answer (the r17 shape still paid a
+    // checkpoint job plus an isEmpty probe for it; q110-style takedown
+    // repairs routinely hand this an empty surviving subgraph)
+    if (nEdges == 0L) { edges.unpersist(); return labels1 }
     var labels: DataFrame = labels1
     var prevCut: DataFrame = null // last iteration's checkpointed frame
     var prevCkpt: Option[org.apache.hadoop.fs.Path] = None
     var converged = false
     var i = 1
     while (!converged && i < maxIter) {
-      val nbrMin = edges
+      val nbrMin = edgesR
         .join(labels.select(col("node").as("src"), col("label").as("srcLabel")), "src")
         .groupBy(col("dst").as("node"))
         .agg(min("srcLabel").as("nbrLabel"))

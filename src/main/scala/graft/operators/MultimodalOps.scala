@@ -613,7 +613,10 @@ object MultimodalOps {
       // at 500 docs × 13 grades = 6.5k graded pairs from sf0.1 up): the
       // audit measures a property of the BANDING, not of the corpus, so
       // its cost must not scale with corpus size
-      val variants = Tables.spread(Tables.load(s, d, "documents"))
+      // CPU-dense spread floor: the 13-grade fingerprint fan-out below is
+      // pure per-row hashing off this scan (3-trial A/B r18: 0.66 -> 0.43 s)
+      val variants = Tables
+        .spread(Tables.load(s, d, "documents"), Tables.CpuDenseSpreadBytes)
         .filter(col("doc_id") % 2 === 0 && col("doc_id") < 1000)
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(0), lit(12))).as("k"))

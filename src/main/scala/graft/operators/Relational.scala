@@ -29,6 +29,22 @@ object Relational {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
+  /** lineitem scan with the CPU-dense spread floor — ONLY for the four
+    * queries a 3-trial A/B proved it on (r18: q01 1.07→0.80 s, q25
+    * 0.95→0.67, q23 1.20→1.11, q18 0.72→0.66). The driver sf0.1 fixture
+    * is one 11 MB row group, so those queries' scan + per-row decimal
+    * snapping + widening products otherwise run as ONE task (~1.1–1.4 s
+    * serial, StageProbe r18); the round-robin exchange ships the pruned
+    * raw columns and the decimal work lands on every core. The SAME A/B
+    * REGRESSED q03/q13/q26/q28/q48 (+0.15…+0.34 s — their first hash
+    * exchange already re-spreads the heavy work) and q27/q47 badly
+    * (+0.6/+1.6 s — rankQuantiles' construction-time group-count collect
+    * pays the exchange once per trial), so those keep the plain scan. At
+    * production layouts (many row groups) spread's split estimate makes
+    * this an identity either way. */
+  private def li(s: SparkSession, d: String): DataFrame =
+    Tables.spread(t(s, d, "lineitem"), Tables.CpuDenseSpreadBytes)
+
   /** Exact interpolated quantiles per group via DISTRIBUTED RANK SELECTION —
     * not a buffering percentile() aggregate (per-group O(n) buffer on one
     * reducer: OOM at 100×), and (since r17) not a per-group window sort
@@ -79,6 +95,13 @@ object Relational {
     * parallel as G grows). Fall back instead of failing. */
   private val SelectionMaxGroups = 10000
 
+  /** Dispatch decision, exposed for tests: selection needs enough rows to
+    * amortize its fixed jobs AND a group cardinality the P×G driver
+    * collect can afford; everything else routes to the window twin. */
+  private[operators] def selectionPathFor(totalRows: Long, nGroups: Int,
+                                          selectionMinRows: Long = SelectionMinRows): Boolean =
+    totalRows >= selectionMinRows && nGroups <= SelectionMaxGroups
+
   private[operators] def rankQuantiles(base: DataFrame, groupCol: String,
                                        quantiles: Seq[(Double, String)], scale: Int = 4,
                                        selectionMinRows: Long = SelectionMinRows): DataFrame = {
@@ -92,8 +115,8 @@ object Relational {
     // the tail joins (a second `counts` reference would re-run the
     // scan+agg as its own job)
     val countRows = src.groupBy(groupCol).agg(count(lit(1)).as("n")).collect()
-    if (countRows.map(_.getLong(1)).sum < selectionMinRows ||
-        countRows.length > SelectionMaxGroups)
+    if (!selectionPathFor(countRows.map(_.getLong(1)).sum,
+        countRows.length, selectionMinRows))
       return windowQuantiles(src, groupCol, quantiles, scale)
     val nByGroup: Map[Any, Long] =
       countRows.map(r => r.get(0) -> r.getLong(1)).toMap
@@ -183,7 +206,16 @@ object Relational {
     val ranked = src
       .withColumn("rk", row_number().over(byG.orderBy(col("v"))).cast("long"))
       .withColumn("n", count(lit(1)).over(byG))
+    // write-then-sort pin (same rationale as the selection path's `ranked`
+    // checkpoint): the interpolation agg FUSES into the window stage (its
+    // hash partitioning already satisfies the groupBy), so a caller's
+    // presentation ORDER BY would re-execute the WHOLE window sort for
+    // range-partitioner sampling — the r17 double-execution defect
+    // re-entered through this branch when the stats dispatch landed q27
+    // here (measured sf0.1: 0.77 s selection → 1.64 s unpinned window;
+    // 0.84 s pinned). The pinned frame is G rows — free by construction.
     interpolateAtRanks(ranked, groupCol, quantiles, scale)
+      .localCheckpoint(eager = false)
   }
 
   /** Shared tail: `ranked` carries (groupCol, v double, rk long, n long) —
@@ -385,7 +417,7 @@ object Relational {
     // map-side partial agg; 6 groups out — the canonical "big scan, tiny
     // result" shape that must never shuffle raw rows.
     "q01_pricing_summary" -> ((s, d) => {
-      t(s, d, "lineitem")
+      li(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           Num.dsum(col("l_quantity")).as("sum_qty"),
@@ -583,7 +615,7 @@ object Relational {
 
     // ROLLUP grouping sets (subtotal + grand-total rows).
     "q18_rollup" -> ((s, d) => {
-      t(s, d, "lineitem")
+      li(s, d)
         .rollup("l_returnflag", "l_linestatus")
         .agg(
           count(lit(1)).as("n"),
@@ -641,7 +673,7 @@ object Relational {
     // design, and the reason q47's sketches aggregate separately. At
     // 100 TB run the q47 shape; this stays as its oracle-replayable twin.
     "q23_count_distinct" -> ((s, d) => {
-      t(s, d, "lineitem")
+      li(s, d)
         .groupBy("l_suppkey")
         .agg(
           countDistinct(col("l_partkey")).as("n_parts"),
@@ -667,7 +699,7 @@ object Relational {
     // Five-table star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region,
     // revenue per region — dims broadcast, facts shuffle once per key.
     "q25_star_join" -> ((s, d) => {
-      t(s, d, "lineitem")
+      li(s, d)
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -768,20 +800,20 @@ object Relational {
     // a drifting sketch now FAILS the hash check instead of hiding behind
     // a rows-only row.
     "q47_approx_sketches" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
+      val liDf = t(s, d, "lineitem")
       // sketches and exact distincts aggregate SEPARATELY: mixing two exact
       // countDistinct columns with sketch aggregates in one agg makes the
       // planner Expand the scan 3x and push the sketch work through every
       // expanded branch (measured 119 s vs ~2 s split at sf0.1); the 3-row
       // joins after are free
-      val sketches = li.groupBy("l_returnflag").agg(
+      val sketches = liDf.groupBy("l_returnflag").agg(
         approx_count_distinct(col("l_partkey")).as("ap"),
         approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("ao"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50a"),
         count(lit(1)).as("n"))
-      val partsEx = li.groupBy("l_returnflag")
+      val partsEx = liDf.groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("parts_exact"))
-      val ordersEx = li.groupBy("l_returnflag")
+      val ordersEx = liDf.groupBy("l_returnflag")
         .agg(countDistinct(col("l_orderkey")).as("orders_exact"))
       // exact p45/p50/p55 via the shared scale-safe rank lookup. The KLL
       // check is a RANK-tolerance band (approx p50 must land between the
@@ -789,7 +821,7 @@ object Relational {
       // value error — a 2%-of-value tolerance would flag a healthy sketch
       // on any distribution with a gap at the median.
       val quantiles = rankQuantiles(
-        li.select(col("l_returnflag"), col("l_extendedprice").as("v")),
+        liDf.select(col("l_returnflag"), col("l_extendedprice").as("v")),
         "l_returnflag", Seq(0.45 -> "p45", 0.5 -> "p50", 0.55 -> "p55"))
         .select("l_returnflag", "p45", "p50", "p55")
       sketches

@@ -155,6 +155,14 @@ object TextOps {
   private def loadDocs(s: SparkSession, d: String): DataFrame =
     Tables.spread(Tables.load(s, d, "documents"))
 
+  /** Same scan with the CPU-dense spread floor — ONLY for the two queries
+    * whose per-row cost a 3-trial A/B proved repays the exchange on a
+    * sub-MB input (r18: q33 0.78→0.49 s, q36 0.68→0.35 s; every other
+    * text/dedup query LOST 0.1–0.8 s to the extra exchange+stages, so the
+    * family default stays [[Tables.spread]]'s 16 MB). */
+  private def loadDocsDense(s: SparkSession, d: String): DataFrame =
+    Tables.spread(Tables.load(s, d, "documents"), Tables.CpuDenseSpreadBytes)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token counting: whitespace tokenization + distinct counts + average
@@ -225,7 +233,7 @@ object TextOps {
     // the doc's shingles, joined. Content-defined, order-insensitive, and
     // identical across engines (md5 is engine-neutral, unlike xxhash).
     "q33_fingerprint" -> ((s, d) => {
-      withShingles(loadDocs(s, d))
+      withShingles(loadDocsDense(s, d))
         .withColumn("fp_full", md5(normText))
         .withColumn("fp_winnow",
           array_join(slice(array_sort(transform(col("sh"), sh => md5(sh))), 1, 8), ","))
@@ -240,7 +248,7 @@ object TextOps {
       val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
       val urlPat = "https?://[^ ]+"
       val digitPat = "[0-9]{6,}"
-      loadDocs(s, d)
+      loadDocsDense(s, d)
         .withColumn("n_emails", size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).cast("bigint"))
         .withColumn("n_urls", size(regexp_extract_all(col("text"), lit(urlPat), lit(0))).cast("bigint"))
         .withColumn("n_digit_runs", size(regexp_extract_all(col("text"), lit(digitPat), lit(0))).cast("bigint"))

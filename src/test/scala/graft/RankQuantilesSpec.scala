@@ -104,14 +104,22 @@ class RankQuantilesSpec extends AnyFunSuite {
   }
 
   test("r18 dispatch: small inputs take the fused window path, non-double v accepted") {
-    // 5k rows << SelectionMinRows → the executed plan must contain a Window
-    // node (the selection path builds from an ExistingRDD scan instead)
+    // the decision itself (plan-level detection went away in r18: BOTH
+    // paths now end in a lazy localCheckpoint pin, so the executed plan is
+    // a Scan ExistingRDD either way — the pin is what stops the caller's
+    // presentation ORDER BY from re-running the window sort)
+    assert(!Relational.selectionPathFor(totalRows = 5000, nGroups = 2),
+      "small input should dispatch to the window formulation")
+    assert(Relational.selectionPathFor(totalRows = 5L * 1000 * 1000, nGroups = 4),
+      "large low-G input should dispatch to selection")
     val small = spark.range(5000)
       .select(concat(lit("w"), pmod(col("id"), lit(2))).as("g"),
         col("id").as("v")) // LONG v: the up-front cast must handle it
     val df = Relational.rankQuantiles(small, "g", qs)
-    assert(df.queryExecution.executedPlan.toString.contains("Window"),
-      "small input should dispatch to the window formulation")
+    // r18 pin: the window path's G-row output must come back checkpointed
+    // so downstream range-sampling/broadcast builds re-read cached rows
+    assert(df.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "window-path output should be pinned (lazy localCheckpoint)")
     // and a LongType v through the SELECTION path must not ClassCastException
     val sel = Relational.rankQuantiles(small, "g", qs, selectionMinRows = 0L)
     assert(canon(sel) == canon(df))
@@ -121,11 +129,11 @@ class RankQuantilesSpec extends AnyFunSuite {
     // 20k one-row groups > SelectionMaxGroups (10k): even when selection is
     // forced by row count the guard must route to the window path rather
     // than collect a 20k×P cell map
+    assert(!Relational.selectionPathFor(totalRows = 5L * 1000 * 1000, nGroups = 20000),
+      "high-G input should fall back to the window formulation")
     val wide = spark.range(20000)
       .select(concat(lit("g"), col("id")).as("g"), (col("id") * 1.5).as("v"))
     val df = Relational.rankQuantiles(wide, "g", qs, selectionMinRows = 0L)
-    assert(df.queryExecution.executedPlan.toString.contains("Window"),
-      "high-G input should fall back to the window formulation")
     assert(df.count() == 20000)
   }
 }
