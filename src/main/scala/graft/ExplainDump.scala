@@ -39,7 +39,8 @@ object ExplainDump {
         val txt = try fn(spark, sfDir).queryExecution.explainString(FormattedMode)
           catch { case e: Throwable => s"EXPLAIN FAILED: $e" }
         Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), txt)
-        graft.operators.DedupOps.planOnly.get(name).foreach { pfn =>
+        (graft.operators.DedupOps.planOnly ++
+          graft.operators.MultimodalOps.planOnly).get(name).foreach { pfn =>
           val ptxt = try pfn(spark, sfDir).queryExecution.explainString(FormattedMode)
             catch { case e: Throwable => s"EXPLAIN FAILED: $e" }
           Files.writeString(Paths.get(outDir, s"${name}_prepin_$suffix.txt"), ptxt)

@@ -145,6 +145,27 @@ object Tables {
     if (go) df.repartition(target) else df
   }
 
+  /** Summed on-disk bytes of a scan-rooted frame's input files — the cheap
+    * scale probe behind stats-conditional dispatches (pin-vs-recompute,
+    * spread): file length is ground truth where optimizer row-count stats
+    * are estimates. Cached per (session, file layout); ≤ one FS metadata
+    * call per file per session. */
+  private val bytesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Long]()
+
+  def inputBytes(df: DataFrame): Long = {
+    val files = df.inputFiles
+    if (files.isEmpty) return 0L
+    val spark = df.sparkSession
+    bytesCache.computeIfAbsent((spark, s"${files.min}:${files.length}"), _ => {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(hconf).getFileStatus(p).getLen
+      }.sum
+    })
+  }
+
   /** Register every table as a temp view so `spark.sql` / SQL-surface tests
     * can address them by the same names the DuckDB oracle uses. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -1919,14 +1919,19 @@ object DedupOps {
     val comp = docs.select("doc_id")
       .join(updated.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .withColumn("comp", coalesce(col("label"), col("doc_id")))
+    // min/max instead of countDistinct (optimization r18, guide §2.3):
+    // countDistinct planned an Expand + an extra exchange round to dedup
+    // (comp, split) pairs; over a ≤4-value split domain "≥2 distinct" is
+    // exactly min ≠ max and "=1 distinct" is min = max (both aggregates
+    // skip nulls identically), computed in ONE partial-agg pass.
     val inherited = comp.join(corpusSplit, "doc_id") // corpus members only
       .groupBy("comp")
-      .agg(countDistinct("split").as("ns"), min("split").as("sp"))
+      .agg(min("split").as("mn"), max("split").as("mx"))
     comp.filter(col("doc_id") > thr)
       .join(inherited, Seq("comp"), "left")
       .withColumn("split",
-        when(col("ns") >= 2, lit("quarantine"))
-          .when(col("ns") === 1, col("sp"))
+        when(col("mn") =!= col("mx"), lit("quarantine"))
+          .when(col("mn") === col("mx"), col("mn"))
           .otherwise(splitOf(col("comp"))))
       .select(col("doc_id"), col("comp").as("rep"), col("split"))
   }

@@ -459,6 +459,59 @@ object MultimodalOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Write-then-sort pin for the exact-pair ORDER BY, CONDITIONED on
+    * corpus scale (optimization r18; guide §1.4/§3.3): the ORDER BY's
+    * range sampler re-executes its child, and for q122/q127 that child is
+    * the whole MIH enumeration + verify join — the bench paid the
+    * candidate pipeline twice per run. Pinning unconditionally is the
+    * q114 treatment, but here the pinned mass is the PAIR SET, which
+    * under planted-clique geometry grows ~quadratically per decade — the
+    * r16 sf10 sweep ENOSPC'd on exactly this query's shuffle mass, so
+    * adding a pair-set pin on top of the sort's own spill at that scale
+    * courts the same failure. Dispatch on input file bytes (ground
+    * truth, cached): below 32 MB of documents the pair set is at most a
+    * few hundred MB and the pin is pure win (sf0.1: 0.6 MB, sf1: ~6 MB);
+    * above it the committed recompute-over-disk trade stands and the
+    * plan is byte-identical to r17's. The scale answer to q122's cost
+    * remains q128's rep mode, not a faster exact-pair sort. */
+  private def pinPairsIfSmall(pairs: DataFrame, basis: DataFrame): DataFrame =
+    if (Tables.inputBytes(basis) <= (32L << 20))
+      pairs.localCheckpoint(eager = false)
+    else pairs
+
+  /** PRE-CHECKPOINT plan twins (same contract as [[DedupOps.planOnly]]):
+    * the candidate+verify trees the write-then-sort pins hide from the
+    * committed plan dumps. Explain-only — never benchmarked or
+    * oracle-checked. */
+  val planOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_media_neardup" -> ((s, d) =>
+      mediaNearDupPairs(q122Corpus(s, d), maxHamming = 10)),
+    "q127_media_neardup_h7" -> ((s, d) =>
+      mediaNearDupPairs(q122Corpus(s, d), maxHamming = 7)),
+    "q128_media_dedup_reps" -> ((s, d) =>
+      mediaDedupReps(q122Corpus(s, d), maxHamming = 10)),
+    "q125_media_vs_index" -> ((s, d) => {
+      val (thr, p) = q125IndexPrefix(s, d)
+      val media = mediaOf(s, d).toDF()
+      val organic = media.filter(col("doc_id") > thr)
+      val planted = media.filter(col("doc_id") % 5 === 0 && col("doc_id") <= thr)
+        .select((col("doc_id") + plantOffset).as("doc_id"), col("kind"),
+          concat(col("payload").cast("string"), lit(" zz"),
+            (col("doc_id") % 7).cast("string")).cast("binary").as("payload"))
+      mediaNearDupVsIndex(organic.unionByName(planted), s, p, maxHamming = 10)
+    }))
+
+  /** The planted q122/q127/q128 corpus (originals ∪ perturbed copies of
+    * every 5th asset) — one definition, three queries. */
+  private def q122Corpus(s: SparkSession, d: String): DataFrame = {
+    val media = mediaOf(s, d).toDF()
+    val planted = media.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + plantOffset).as("doc_id"), col("kind"),
+        concat(col("payload").cast("string"), lit(" zz"),
+          (col("doc_id") % 7).cast("string")).cast("binary").as("payload"))
+    media.unionByName(planted)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Full multimodal pipeline: synthesize binary payloads from documents,
@@ -518,19 +571,16 @@ object MultimodalOps {
     // therefore the same split as its original — the takedown/wall-audit
     // machinery covers media assets for free from here).
     "q122_media_neardup" -> ((s, d) => {
-      val media = mediaOf(s, d).toDF()
-      val planted = media.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + plantOffset).as("doc_id"), col("kind"),
-          concat(col("payload").cast("string"), lit(" zz"),
-            (col("doc_id") % 7).cast("string")).cast("binary").as("payload"))
-      // NO write-then-sort here, deliberately (contrast q114/q116): the
-      // ORDER BY's range sampler does re-execute the enumeration+verify
-      // pipeline, but pinning the 1.4e9-row pair set (~30 GB
-      // MEMORY_AND_DISK) on top of the sort's own ~48 GB spill would
-      // court exactly the r16 ENOSPC on a bench-sized disk. The recompute
-      // is the safer trade at this output mass; the scale answer to this
-      // query's cost is q128's rep mode, not a faster exact-pair sort.
-      mediaNearDupPairs(media.unionByName(planted), maxHamming = 10)
+      // write-then-sort only at SMALL scale (see [[pinPairsIfSmall]]):
+      // the ORDER BY's range sampler re-executes the enumeration+verify
+      // pipeline, but unconditionally pinning the pair set (~30 GB at
+      // the r16 sf10 geometry) on top of the sort's own spill would
+      // court exactly the r16 ENOSPC on a bench-sized disk. Below the
+      // dispatch threshold the pin is pure win; above it the committed
+      // recompute-over-disk trade stands unchanged.
+      pinPairsIfSmall(
+        mediaNearDupPairs(q122Corpus(s, d), maxHamming = 10),
+        Tables.load(s, d, "documents"))
         .orderBy("a", "b")
     }),
 
@@ -541,13 +591,10 @@ object MultimodalOps {
     // takedown loop picks its threshold from q126's per-band recall curve;
     // this entry prices the tighter band and oracle-proves its exactness.
     "q127_media_neardup_h7" -> ((s, d) => {
-      val media = mediaOf(s, d).toDF()
-      val planted = media.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + plantOffset).as("doc_id"), col("kind"),
-          concat(col("payload").cast("string"), lit(" zz"),
-            (col("doc_id") % 7).cast("string")).cast("binary").as("payload"))
-      // no write-then-sort — same disk-headroom rationale as q122
-      mediaNearDupPairs(media.unionByName(planted), maxHamming = 7)
+      // scale-conditional write-then-sort, same dispatch as q122
+      pinPairsIfSmall(
+        mediaNearDupPairs(q122Corpus(s, d), maxHamming = 7),
+        Tables.load(s, d, "documents"))
         .orderBy("a", "b")
     }),
 
@@ -559,12 +606,13 @@ object MultimodalOps {
     // proves the banded min-agg path ≡ "min over ALL Hamming-≤10
     // neighbors" — the pigeonhole completeness argument, answer-checked.
     "q128_media_dedup_reps" -> ((s, d) => {
-      val media = mediaOf(s, d).toDF()
-      val planted = media.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + plantOffset).as("doc_id"), col("kind"),
-          concat(col("payload").cast("string"), lit(" zz"),
-            (col("doc_id") % 7).cast("string")).cast("binary").as("payload"))
-      mediaDedupReps(media.unionByName(planted), maxHamming = 10)
+      // write-then-sort, UNCONDITIONAL (the q129 treatment, optimization
+      // r18): without the pin the ORDER BY's range sampler re-executed
+      // the whole MIH candidate+verify+min-agg pipeline — the rep mode's
+      // one-row-per-asset output is small by construction at EVERY
+      // scale, so the pin never carries pair mass.
+      mediaDedupReps(q122Corpus(s, d), maxHamming = 10)
+        .localCheckpoint(eager = false)
         .orderBy("doc_id")
     }),
 
@@ -585,7 +633,12 @@ object MultimodalOps {
         .select((col("doc_id") + plantOffset).as("doc_id"), col("kind"),
           concat(col("payload").cast("string"), lit(" zz"),
             (col("doc_id") % 7).cast("string")).cast("binary").as("payload"))
+      // write-then-sort (the q116 treatment): the pinned mass is
+      // batch-incident pairs — O(batch), never corpus-sized — and
+      // without it the sampler re-ran the batch fingerprint + both
+      // candidate joins per invocation.
       mediaNearDupVsIndex(organic.unionByName(planted), s, p, maxHamming = 10)
+        .localCheckpoint(eager = false)
         .orderBy("a", "b")
     }),
 

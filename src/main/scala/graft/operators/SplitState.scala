@@ -279,15 +279,21 @@ object SplitState {
       .join(memberIds, Seq("doc_id"), "left_semi")
       .join(lab, Seq("doc_id"), "left")
       .withColumn("comp", coalesce(col("label"), col("doc_id")))
+    // min/max instead of countDistinct over the ≤3-value non-quarantine
+    // split domain (optimization r18, guide §2.3 — countDistinct plans an
+    // Expand + an extra dedup exchange): "≥2 distinct" ⟺ min ≠ max,
+    // "exactly 1" ⟺ min = max (non-null), "0" leaves both null and falls
+    // through to the hasq/hash branches — identical verdicts, one
+    // partial-agg pass.
     val perComp = stComp.groupBy("comp").agg(
-      countDistinct(when(col("split") =!= "quarantine", col("split"))).as("nq"),
-      max((col("split") === "quarantine").cast("int")).as("hasq"),
-      min(when(col("split") =!= "quarantine", col("split"))).as("sp"))
+      min(when(col("split") =!= "quarantine", col("split"))).as("mn"),
+      max(when(col("split") =!= "quarantine", col("split"))).as("mx"),
+      max((col("split") === "quarantine").cast("int")).as("hasq"))
     val rows = bc
       .join(perComp, Seq("comp"), "left")
       .withColumn("split",
-        when(col("nq") >= 2, lit("quarantine"))
-          .when(col("nq") === 1, col("sp"))
+        when(col("mn") =!= col("mx"), lit("quarantine"))
+          .when(col("mn") === col("mx"), col("mn"))
           .when(coalesce(col("hasq"), lit(0)) === 1, lit("quarantine"))
           .otherwise(splitOf(col("comp"))))
       .select(col("doc_id"), col("split"), lit(next).as("seq"))
