@@ -34,8 +34,15 @@ object CorpusOps {
   def ngramNovelty(docs: DataFrame): DataFrame = {
     val sh = TextOps.withShingles(docs)
       .select(col("doc_id"), explode(col("sh")).as("g"))
-    val first = sh.groupBy("g").agg(min("doc_id").as("first_doc"))
-    sh.join(first, "g")
+    // first-seen via a WINDOW over g, not a separate min-agg joined back
+    // (optimization r18, guide §2.4): the aggregate branch's exchange
+    // (partial-min) and the join branch's exchange (raw rows) do not
+    // canonicalize equal, so nothing was reused and the scan + shingle
+    // explode — the expensive subtree — ran twice. The window reads ONE
+    // shingle pass and ONE exchange on g; its per-partition sort replaces
+    // the sort the join would have needed anyway.
+    import org.apache.spark.sql.expressions.Window
+    sh.withColumn("first_doc", min("doc_id").over(Window.partitionBy("g")))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_shingles"),
@@ -66,9 +73,14 @@ object CorpusOps {
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
       .groupBy("tok").agg(min("doc_id").as("doc_id"))
     val perDoc = firstSeen.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    // lazily pinned: level 0 of the prefix recursion reads this frame from
+    // two subtrees (per-bucket totals + the offset join), and without the
+    // pin each re-ran the tokenize + first-seen aggregation — the corpus-
+    // sized head of the query. Pinned mass is one row per doc.
     val base = docs.select("doc_id")
       .join(perDoc, Seq("doc_id"), "left")
       .withColumn("new_tokens", coalesce(col("nt"), lit(0L)))
+      .localCheckpoint(eager = false)
     val span = docs.agg(max("doc_id")).head() match {
       case r if r.isNullAt(0) => 1L
       case r                  => r.getLong(0) + 1

@@ -132,12 +132,14 @@ object DedupOps {
     * Returns (a, b, jac) with a < b; used by q51 and [[DedupPipeline]]. */
   def minHashNearDupPairs(docs: DataFrame): DataFrame = {
     // The shingled frame feeds three subtrees (signatures + both verify
-    // sides). With the native WordShingles expression the recompute is a
-    // cheap narrow scan, so we deliberately do NOT persist here — a cached
-    // copy could never be safely unpersisted from inside a lazy plan and
-    // would pin block-manager memory for the session. At 100 TB, persist
-    // the SIGNATURE table explicitly at the pipeline level instead.
+    // sides), and their differently-specialized projections defeat
+    // exchange reuse — each subtree re-ran the scan + shingle pass.
+    // LAZY localCheckpoint (r18, superseding the r4 "do not persist"
+    // note that predates lazy pins): one shingle pass, blocks shared by
+    // all three subtrees, no unpersist obligation — ContextCleaner
+    // reclaims the blocks with the RDD (see [[shingleBlocks]]).
     val shingled = TextOps.withShingles(docs).select("doc_id", "sh")
+      .localCheckpoint(eager = false)
     val banded = bandedSignatures(shingled)
     val candidates = banded.as("x")
       .join(banded.as("y"),
@@ -546,9 +548,12 @@ object DedupOps {
   def ngramContainmentPairs(docs: DataFrame, minC: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tGen = genThreshold(minC)
+    // lazily pinned for the same reason as [[shingleBlocks]]: postings +
+    // both verify sides would otherwise each re-run the shingle pass
     val sh = TextOps.withShingles(docs.select("doc_id", "text")).select("doc_id", "sh")
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
+      .localCheckpoint(eager = false)
     val postings = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("t"))
     val df = postings.groupBy("t").agg(count(lit(1)).as("df"))
     // the df-join + per-doc-order window pipeline runs on the PREFIX side
@@ -666,10 +671,9 @@ object DedupOps {
 
   private def ngramJaccardPairsImpl(docs: DataFrame,
                                     minJac: Option[Double]): DataFrame = {
-    val sh = TextOps.withShingles(docs.select("doc_id", "text")).select("doc_id", "sh")
-      .join(docs.select("doc_id", "n_chars"), "doc_id")
-      .withColumn("blk", (col("n_chars") / 50).cast("bigint"))
-      .withColumn("n_sh", size(col("sh")))
+    // shared pinned head — see [[shingleBlocks]] (one shingle pass, not
+    // one per consuming subtree)
+    val sh = shingleBlocks(docs)
     val postings = sh.select(col("doc_id"), col("blk"), col("n_sh"), explode(col("sh")).as("t"))
     minJac match {
       case None =>
@@ -1267,10 +1271,13 @@ object DedupOps {
     import org.apache.spark.sql.expressions.Window
     val t0 = idx.threshold
     val tGen = genThreshold(t0)
+    // lazily pinned (see [[shingleBlocks]]): the batch head feeds the
+    // prefix ranking, two candidate-join sides and both verify sides
     val shB = TextOps.withShingles(batch.select("doc_id", "text"))
       .select("doc_id", "sh")
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
+      .localCheckpoint(eager = false)
     val postB = shB.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("t"))
     val prefB = postB.join(idx.df, Seq("t"), "left")
       .withColumn("pos", row_number().over(
@@ -1304,12 +1311,31 @@ object DedupOps {
   }
 
   /** (doc_id, blk, n_sh, sh) for a (doc_id, text, n_chars) frame — the
-    * shared head of every thresholded n-gram path. */
+    * shared head of every thresholded n-gram path.
+    *
+    * Two round-18 changes (guide §2.4, §5):
+    *  - NO self-join: `withShingles` is a plain `withColumn`, so n_chars
+    *    rides through the projection — the previous doc_id-keyed join of
+    *    the frame against its own source was an identity that planned a
+    *    real (broadcast locally, shuffle at scale) join per call site.
+    *  - LAZY localCheckpoint pin: every consumer reads this head from 3–5
+    *    subtrees (postings/df/prefix + both verify sides), and because
+    *    the optimizer specializes each subtree's projection differently
+    *    the exchanges do not canonicalize equal — NO stage reuse, so the
+    *    scan + shingle expression ran once PER SUBTREE (StageProbe r18,
+    *    q58: three serial single-task shingle stages, ~1.0 s of a 1.8 s
+    *    query). The pin computes it once and shares blocks; the pinned
+    *    mass is the shingle frame the verify joins materialize anyway.
+    *    (This supersedes the r4 "deliberately do not persist" note on the
+    *    MinHash path, which predates lazy pins: a lazy localCheckpoint
+    *    creates no unpersist obligation — ContextCleaner reclaims blocks
+    *    with the RDD, and the periodic-GC interval bounds the window.) */
   private def shingleBlocks(docs: DataFrame): DataFrame =
-    TextOps.withShingles(docs.select("doc_id", "text")).select("doc_id", "sh")
-      .join(docs.select("doc_id", "n_chars"), "doc_id")
-      .withColumn("blk", (col("n_chars") / 50).cast("bigint"))
+    TextOps.withShingles(docs.select("doc_id", "text", "n_chars"))
+      .select(col("doc_id"), (col("n_chars") / 50).cast("bigint").as("blk"),
+        col("sh"))
       .withColumn("n_sh", size(col("sh")))
+      .localCheckpoint(eager = false)
 
   /** Generation threshold slack — see [[ngramJaccardPairsImpl]]'s scaladoc
     * for why it sits below the filter threshold. */

@@ -389,10 +389,15 @@ object TextOps {
         .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
         .groupBy("doc_id", "tok")
         .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      // df via a WINDOW over tok, not a separate agg joined back
+      // (optimization r18, guide §2.4): the aggregate branch's tf subtree
+      // specialized to a distinct (no count) so the exchanges did not
+      // canonicalize equal — nothing reused, tokenize + tf ran twice. The
+      // window reads the ONE tf frame; its exchange on tok replaces the
+      // join's, so the exchange count drops by one too.
       val nd = loadDocs(s, d).agg(count(lit(1)).as("nd"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
-      tf.join(dfreq, "tok")
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
         .join(broadcast(nd)) // single-row broadcast (scalar-subquery shape)
         .withColumn("score", round(col("tf") * log(col("nd") / col("df")), 4))
         .withColumn("rank", row_number().over(w).cast("bigint"))
@@ -410,13 +415,27 @@ object TextOps {
     // Scale: vocab counts are a map-side-combined agg; the token→logp join
     // partitions both sides by token; one groupBy(doc_id) closes it.
     "q75_unigram_lm" -> ((s, d) => {
-      val toks = loadDocs(s, d)
+      // ONE tokenize pass (optimization r18, guide §2.4): the previous
+      // counts-agg + scalar-agg + join-back shape re-ran the explode
+      // three times (counts under n, counts under logp, toks in the
+      // final join — three subtrees, no exchange reuse). Per-token count
+      // c comes from a WINDOW over tok (the same |tokens| exchange the
+      // old join paid), and the scalar N — total token occurrences —
+      // from an unexploded size(split(…)) sum, a cheap narrow pass.
+      // Values are identical: same c, same N, same rounding.
+      import org.apache.spark.sql.expressions.Window
+      // when() guard: explode(NULL) emits 0 rows but size(NULL) is -1 —
+      // a NULL text must contribute 0, not -1, for N to match the
+      // exploded row count exactly
+      val n = loadDocs(s, d)
+        .agg(sum(when(col("text").isNull, lit(0L))
+          .otherwise(size(split(lower(col("text")), "\\s+")).cast("long"))).as("n_total"))
+      loadDocs(s, d)
         .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
-      val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-      val n = counts.agg(sum("c").as("n_total"))
-      val logp = counts.join(broadcast(n)) // single-row broadcast
-        .select(col("tok"), round(log(col("c") / col("n_total")) * 1e6).cast("long").as("lp"))
-      toks.join(logp, "tok")
+        .withColumn("c", count(lit(1)).over(Window.partitionBy("tok")))
+        .join(broadcast(n)) // single-row broadcast
+        .select(col("doc_id"),
+          round(log(col("c") / col("n_total")) * 1e6).cast("long").as("lp"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"), sum("lp").as("slp"))
         .select(col("doc_id"), col("n_tok"),
@@ -434,7 +453,11 @@ object TextOps {
     "q76_lang_kl" -> ((s, d) => {
       val toks = loadDocs(s, d)
         .select(col("lang"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      // lazily pinned: lc feeds three subtrees (lt, cc, the join), each of
+      // which re-ran the tokenize + (lang, tok) aggregation without the
+      // pin. Pinned mass is |lang × vocab| — sublinear in corpus size.
       val lc = toks.groupBy("lang", "tok").agg(count(lit(1)).as("clt"))
+        .localCheckpoint(eager = false)
       val lt = lc.groupBy("lang").agg(sum("clt").as("nl"))
       val cc = lc.groupBy("tok").agg(sum("clt").as("ct"))
       val n = lt.agg(sum("nl").as("n_total"))
@@ -566,9 +589,13 @@ object TextOps {
         .filter(col("tok").isin(terms: _*))
         .groupBy("doc_id", "dl", "tok")
         .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      // df via a WINDOW over tok (same rationale as q57): the dfreq
+      // branch re-ran the tokenize+filter+tf pipeline — the query's
+      // expensive subtree. tf here is ≤ |terms|·|docs| rows, so the
+      // window exchange is trivial at every scale.
       val scored = tf
-        .join(broadcast(dfreq), "tok")
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("tok")))
         .join(broadcast(stats)) // single-row broadcast (scalar-subquery shape)
         .withColumn("idf",
           log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
@@ -643,9 +670,20 @@ object TextOps {
           md5(concat_ws(" ", slice(col("tk"), col("start") + 1, lit(C)))).as("sh"))
       // one row per (window, doc): c = how often this doc repeats the span
       val perDoc = spans.groupBy("sh", "doc_id").agg(count(lit(1)).as("c"))
-      // rows per sh in perDoc ARE its distinct docs — count(*) = ndocs
-      val shared = perDoc.groupBy("sh").agg(count(lit(1)).as("ndocs"))
-      perDoc.join(shared, "sh")
+      // rows per sh in perDoc ARE its distinct docs — count over the sh
+      // window = ndocs. A WINDOW, not a separate aggregate + join back
+      // (optimization r18, guide §2.4): the optimizer specialized the
+      // aggregate branch's perDoc subtree to a bare distinct (no count),
+      // so the two exchanges did not canonicalize equal, nothing was
+      // reused, and the tokenize+md5 span pipeline — the most expensive
+      // subtree in the query — ran TWICE (two full Scan→Generate→md5
+      // chains in the committed before-plan). The window reads the ONE
+      // (sh, doc_id) aggregate: span stream tokenized once at every
+      // scale, and the frame under the window is bounded by distinct
+      // (window, doc) pairs, not positions.
+      import org.apache.spark.sql.expressions.Window
+      perDoc
+        .withColumn("ndocs", count(lit(1)).over(Window.partitionBy("sh")))
         .groupBy("doc_id")
         .agg(
           sum(col("c")).as("n_spans"),
