@@ -166,6 +166,24 @@ object Tables {
     })
   }
 
+  /** Pin-then-sort for presentation ORDER BYs over scan-rooted NARROW
+    * pipelines — plans with no exchange between the scan and the sort
+    * (optimization r18, guide §1.4/§2.4): the sort's range sampler
+    * executes the child once to pick partition bounds, and the sort
+    * exchange then executes it AGAIN to write shuffle — a 2× tax on the
+    * whole map (StageProbe at sf1: q33's twin ~75-CPU-s stages, q35/q36
+    * the same shape; 16 declared queries carried it). The lazy
+    * localCheckpoint materializes the map once and both passes read the
+    * blocks; pinned mass = exactly the rows the sort's own shuffle
+    * carries, so no new disk class at any scale. Queries whose sort
+    * child already contains an exchange do NOT need this — AQE reuses
+    * the shuffle stage for the sampler (verified: q85's single pass). */
+  def sortOnce(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.localCheckpoint(eager = false).orderBy(cols: _*)
+
+  def sortOnce(df: DataFrame, col0: String, rest: String*): DataFrame =
+    df.localCheckpoint(eager = false).orderBy(col0, rest: _*)
+
   /** Register every table as a temp view so `spark.sql` / SQL-surface tests
     * can address them by the same names the DuckDB oracle uses. */
   def registerAll(spark: SparkSession, dir: String): Unit =

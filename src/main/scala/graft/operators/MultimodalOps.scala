@@ -517,10 +517,12 @@ object MultimodalOps {
     // Full multimodal pipeline: synthesize binary payloads from documents,
     // decode per partition batch, project typed features.
     "q70_media_features" -> ((s, d) => {
-      mediaOf(s, d)
+      // sortOnce: the decode map would otherwise run twice (range sampler
+      // + sort exchange) — see Tables.sortOnce scaladoc
+      Tables.sortOnce(mediaOf(s, d)
         .mapPartitions(_.map(decodeStub))(org.apache.spark.sql.Encoders.product[MediaFeatures])
-        .toDF()
-        .orderBy("doc_id")
+        .toDF(),
+        "doc_id")
     }),
 
     // Downstream relational aggregation over extracted features — shows the
@@ -547,7 +549,7 @@ object MultimodalOps {
       val features = mediaOf(s, d)
         .mapPartitions(_.map(decodeStub))(org.apache.spark.sql.Encoders.product[MediaFeatures])
         .toDF()
-      features
+      Tables.sortOnce(features
         .filter(col("kind") === "video")
         .withColumn("stride", greatest(lit(1L), floor(col("n_frames") / 8).cast("bigint")))
         .select(
@@ -556,8 +558,8 @@ object MultimodalOps {
           col("content_hash"))
         .withColumn("frame_hash",
           (col("content_hash") % 1000000007L * 31 + col("frame_idx")) % 1000000007L)
-        .select("doc_id", "n_frames", "stride", "frame_idx", "frame_hash")
-        .orderBy("doc_id", "frame_idx")
+        .select("doc_id", "n_frames", "stride", "frame_idx", "frame_hash"),
+        "doc_id", "frame_idx")
     }),
 
     // MEDIA NEAR-DUP (VERDICT r12 demand 4): every 5th media asset gets a
@@ -710,14 +712,14 @@ object MultimodalOps {
         .mapPartitions(_.map(decodeStub))(org.apache.spark.sql.Encoders.product[MediaFeatures])
         .toDF()
       val m = greatest(col("width"), col("height"))
-      features
+      Tables.sortOnce(features
         .filter(col("kind") === "image")
         .withColumn("out_w", greatest(lit(1L), floor(col("width") * 224 / m).cast("bigint")))
         .withColumn("out_h", greatest(lit(1L), floor(col("height") * 224 / m).cast("bigint")))
         .withColumn("resized_hash",
           (col("content_hash") % 1000000007L * 37 + col("out_w") * 224 + col("out_h")) % 1000000007L)
-        .select("doc_id", "width", "height", "out_w", "out_h", "resized_hash")
-        .orderBy("doc_id")
+        .select("doc_id", "width", "height", "out_w", "out_h", "resized_hash"),
+        "doc_id")
     }))
 
   /** The perceptual SIGNATURE pipeline in SQL (expects a `media(doc_id,

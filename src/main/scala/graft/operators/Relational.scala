@@ -434,10 +434,12 @@ object Relational {
     // Predicate + projection pushdown: both reach the parquet scan
     // (PushedFilters / ReadSchema in explain).
     "q02_filter_project" -> ((s, d) => {
-      t(s, d, "lineitem")
+      // sortOnce: narrow scan→filter→sort plans run the map twice (range
+      // sampler + sort exchange) without the pin — Tables.sortOnce scaladoc
+      Tables.sortOnce(t(s, d, "lineitem")
         .filter(col("l_quantity") > 45 && col("l_discount") < 0.05)
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
-        .orderBy("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"),
+        "l_orderkey", "l_linenumber")
     }),
 
     // Fact-fact-dim join chain: lineitem ⋈ orders shuffles on the order key,
@@ -577,7 +579,8 @@ object Relational {
 
     // String scalar-function surface (codegen'd built-ins, no UDFs).
     "q15_string_funcs" -> ((s, d) => {
-      t(s, d, "part")
+      // sortOnce: see Tables.sortOnce (narrow map + global sort = 2× map)
+      Tables.sortOnce(t(s, d, "part")
         .select(
           col("p_partkey"),
           lower(col("p_name")).as("name_lc"),
@@ -585,8 +588,8 @@ object Relational {
           length(col("p_name")).cast("bigint").as("name_len"),
           substring(col("p_type"), 1, 4).as("type4"),
           concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
-          regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"))
-        .orderBy("p_partkey")
+          regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels")),
+        "p_partkey")
     }),
 
     // Date/time extraction + monthly aggregation.
@@ -659,11 +662,13 @@ object Relational {
     // — composed from codegen'd built-ins, NOT a UDF. Customer name stands in
     // for the email column; semantics identical (UTF-8, lowercase hex).
     "q22_salted_hash" -> ((s, d) => {
-      t(s, d, "customer")
+      // sortOnce: see Tables.sortOnce (narrow map + global sort = 2× map —
+      // here the sha2 pass)
+      Tables.sortOnce(t(s, d, "customer")
         .select(
           col("c_custkey"),
-          sha2(concat(lit("graft-salt::"), col("c_name")), 256).as("user_hash"))
-        .orderBy("c_custkey")
+          sha2(concat(lit("graft-salt::"), col("c_name")), 256).as("user_hash")),
+        "c_custkey")
     }),
 
     // Exact + distinct counting per group — the EXACT tier of the

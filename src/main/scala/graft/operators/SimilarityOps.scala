@@ -307,15 +307,17 @@ object SimilarityOps {
     // Per-vector statistics: L2 norm, mean, min, max — narrow map over the
     // array column, oracle-checked against DuckDB list lambdas.
     "q62_vector_stats" -> ((s, d) => {
-      vectors(s, d)
+      // sortOnce: narrow map + global sort would run the map twice
+      // (range sampler + sort exchange) — see Tables.sortOnce scaladoc
+      graft.Tables.sortOnce(vectors(s, d)
         .withColumn("l2_norm",
           round(sqrt(aggregate(transform(col("emb"), x => x * x), lit(0.0), (a, x) => a + x)), 6))
         .withColumn("mean",
           round(aggregate(col("emb"), lit(0.0), (a, x) => a + x) / size(col("emb")), 6))
         .withColumn("vmin", round(array_min(col("emb")), 6))
         .withColumn("vmax", round(array_max(col("emb")), 6))
-        .select("vec_id", "label", "l2_norm", "mean", "vmin", "vmax")
-        .orderBy("vec_id")
+        .select("vec_id", "label", "l2_norm", "mean", "vmin", "vmax"),
+        "vec_id")
     }),
 
     // Embedding-cosine near-duplicate detection: same-label blocking, top-20
@@ -431,7 +433,7 @@ object SimilarityOps {
     // does not). Pure narrow map: one pass, no shuffle, reports per-vector
     // reconstruction error.
     "q68_vector_quantize" -> ((s, d) => {
-      vectors(s, d)
+      Tables.sortOnce(vectors(s, d)
         .withColumn("scale", lit(127.0) / array_max(transform(col("emb"), x => abs(x))))
         .withColumn("q", transform(col("emb"),
           x => floor(x * col("scale") + lit(0.5)).cast("long")))
@@ -442,8 +444,8 @@ object SimilarityOps {
           array_max(col("q")).as("max_q"),
           round(
             aggregate(zip_with(col("emb"), col("q"), (x, q) => abs(x - q / col("scale"))),
-              lit(0.0), (a, e) => a + e) / size(col("emb")), 6).as("mean_abs_err"))
-        .orderBy("vec_id")
+              lit(0.0), (a, e) => a + e) / size(col("emb")), 6).as("mean_abs_err")),
+        "vec_id")
     }),
 
     // Quantization-quality QA: recall@5 of brute-force top-k computed on

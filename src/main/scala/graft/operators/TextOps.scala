@@ -169,15 +169,18 @@ object TextOps {
     // token length — pure narrow map, no shuffle; all token stats from one
     // native TextProfile pass.
     "q30_text_stats" -> ((s, d) => {
-      loadDocs(s, d)
+      // sortOnce (here and on every scan-rooted narrow map below): the
+      // range sampler + sort exchange each execute the map without the
+      // pin — see Tables.sortOnce scaladoc
+      Tables.sortOnce(loadDocs(s, d)
         .withColumn("tp", textProfile(col("text")))
         .select(
           col("doc_id"),
           col("tp.n_tokens").as("n_tokens"),
           col("tp.n_unique").as("n_unique_tokens"),
           length(col("text")).cast("bigint").as("n_chars_calc"),
-          round(col("tp.n_nonws") / col("tp.n_tokens"), 4).as("avg_token_len"))
-        .orderBy("doc_id")
+          round(col("tp.n_nonws") / col("tp.n_tokens"), 4).as("avg_token_len")),
+        "doc_id")
     }),
 
     // Quality scoring: stopword ratio, type-token ratio, length saturation —
@@ -191,7 +194,7 @@ object TextOps {
       // identical rounding on both engines.
       def dec(c: Column): Column = c.cast("decimal(20,10)")
       def w(x: String): Column = lit(new java.math.BigDecimal(x))
-      loadDocs(s, d)
+      Tables.sortOnce(loadDocs(s, d)
         .withColumn("tp", textProfile(col("text")))
         .withColumn("n_tokens", col("tp.n_tokens"))
         .withColumn("stop_hits", element_at(col("tp.hits"), 1))
@@ -204,15 +207,15 @@ object TextOps {
         .withColumn("quality_score",
           round(dec(col("raw_stop")) * w("0.3") + dec(col("raw_ttr")) * w("0.4")
             + dec(col("raw_len")) * w("0.3"), 4).cast("double"))
-        .select("doc_id", "n_tokens", "stop_hits", "stop_ratio", "ttr", "len_sat", "quality_score")
-        .orderBy("doc_id")
+        .select("doc_id", "n_tokens", "stop_hits", "stop_ratio", "ttr", "len_sat", "quality_score"),
+        "doc_id")
     }),
 
     // Language-ID: stopword-list hit counts per candidate language, argmax
     // with a fixed precedence (en > de > fr > es) — the classic n-gram/
     // stopword heuristic as a single codegen'd projection.
     "q32_lang_id" -> ((s, d) => {
-      loadDocs(s, d)
+      Tables.sortOnce(loadDocs(s, d)
         .withColumn("tp", textProfile(col("text")))
         .withColumn("en_hits", element_at(col("tp.hits"), 1))
         .withColumn("de_hits", element_at(col("tp.hits"), 2))
@@ -224,8 +227,8 @@ object TextOps {
             .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits"), "de")
             .when(col("fr_hits") >= col("es_hits"), "fr")
             .otherwise("es"))
-        .select("doc_id", "en_hits", "de_hits", "fr_hits", "es_hits", "lang_guess")
-        .orderBy("doc_id")
+        .select("doc_id", "en_hits", "de_hits", "fr_hits", "es_hits", "lang_guess"),
+        "doc_id")
     }),
 
     // Document fingerprinting: md5 over the canonical normalized text plus a
@@ -233,12 +236,16 @@ object TextOps {
     // the doc's shingles, joined. Content-defined, order-insensitive, and
     // identical across engines (md5 is engine-neutral, unlike xxhash).
     "q33_fingerprint" -> ((s, d) => {
-      withShingles(loadDocsDense(s, d))
+      // sortOnce closed the VERDICT r17 item-5 watch: the 10.5×/decade
+      // slope was twin ~75-CPU-s stages at sf1 (sampler + sort exchange,
+      // each running the full md5/winnow map at 31.8 effective cores —
+      // no straggler, no skew); the pin halves the map work at every scale
+      Tables.sortOnce(withShingles(loadDocsDense(s, d))
         .withColumn("fp_full", md5(normText))
         .withColumn("fp_winnow",
           array_join(slice(array_sort(transform(col("sh"), sh => md5(sh))), 1, 8), ","))
-        .select("doc_id", "fp_full", "fp_winnow")
-        .orderBy("doc_id")
+        .select("doc_id", "fp_full", "fp_winnow"),
+        "doc_id")
     }),
 
     // PII scrubbing: redact email addresses, URLs, and long digit runs —
@@ -248,7 +255,7 @@ object TextOps {
       val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
       val urlPat = "https?://[^ ]+"
       val digitPat = "[0-9]{6,}"
-      loadDocsDense(s, d)
+      Tables.sortOnce(loadDocsDense(s, d)
         .withColumn("n_emails", size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).cast("bigint"))
         .withColumn("n_urls", size(regexp_extract_all(col("text"), lit(urlPat), lit(0))).cast("bigint"))
         .withColumn("n_digit_runs", size(regexp_extract_all(col("text"), lit(digitPat), lit(0))).cast("bigint"))
@@ -256,8 +263,8 @@ object TextOps {
           regexp_replace(regexp_replace(regexp_replace(col("text"),
             emailPat, "<EMAIL>"), urlPat, "<URL>"), digitPat, "<NUM>"))
         .withColumn("scrub_fp", md5(col("scrubbed")))
-        .select("doc_id", "n_emails", "n_urls", "n_digit_runs", "scrub_fp")
-        .orderBy("doc_id")
+        .select("doc_id", "n_emails", "n_urls", "n_digit_runs", "scrub_fp"),
+        "doc_id")
     }),
 
     // BPE-ish pre-tokenization: GPT-2-style split into letter runs, digit
@@ -266,13 +273,13 @@ object TextOps {
     // Java regex and RE2 so the oracle matches exactly.
     "q35_bpe_tokens" -> ((s, d) => {
       val bpePat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
-      loadDocs(s, d)
+      Tables.sortOnce(loadDocs(s, d)
         .withColumn("n_ws_tokens", size(toks).cast("bigint"))
         .withColumn("n_bpe_tokens",
           size(regexp_extract_all(lower(col("text")), lit(bpePat), lit(0))).cast("bigint"))
         .withColumn("bpe_per_ws", round(col("n_bpe_tokens") / col("n_ws_tokens"), 4))
-        .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "bpe_per_ws")
-        .orderBy("doc_id")
+        .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "bpe_per_ws"),
+        "doc_id")
     }),
 
     // Benchmark decontamination: per corpus document, the fraction of its
@@ -491,7 +498,7 @@ object TextOps {
     // than C are kept (standard convention).
     "q84_doc_chunks" -> ((s, d) => {
       val C = 16; val S = 12
-      loadDocs(s, d)
+      Tables.sortOnce(loadDocs(s, d)
         .select(col("doc_id"), split(lower(col("text")), "\\s+").as("tk"))
         .withColumn("start", explode(sequence(lit(0), size(col("tk")) - 1, lit(S))))
         .withColumn("chunk", slice(col("tk"), col("start") + 1, lit(C)))
@@ -500,8 +507,8 @@ object TextOps {
           (col("start") / S).cast("long").as("chunk_idx"),
           col("start").cast("long").as("start"),
           size(col("chunk")).cast("long").as("n_tok"),
-          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
-        .orderBy("doc_id", "chunk_idx")
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5")),
+        "doc_id", "chunk_idx")
     }),
 
     // C4/RefinedWeb-style boilerplate-line removal, audited per doc: split
@@ -623,7 +630,7 @@ object TextOps {
     // parallel at any corpus size.
     "q91_gopher_rules" -> ((s, d) => {
       val stops = Seq("the", "a", "of", "to", "in")
-      loadDocs(s, d)
+      Tables.sortOnce(loadDocs(s, d)
         .withColumn("tp", textProfile(col("text")))
         .withColumn("n_tokens", col("tp.n_tokens"))
         .withColumn("n_stop_distinct",
@@ -639,8 +646,8 @@ object TextOps {
         .withColumn("r_ttr", (col("tp.n_unique") * 2 >= col("n_tokens")).cast("long"))
         .withColumn("keep",
           (col("r_wc") + col("r_mwl") + col("r_stop") + col("r_ttr") === 4).cast("long"))
-        .select("doc_id", "n_tokens", "r_wc", "r_mwl", "r_stop", "r_ttr", "keep")
-        .orderBy("doc_id")
+        .select("doc_id", "n_tokens", "r_wc", "r_mwl", "r_stop", "r_ttr", "keep"),
+        "doc_id")
     }),
 
     // Exact-substring duplication audit (Lee et al. 2022,
