@@ -179,10 +179,31 @@ object Tables {
     * child already contains an exchange do NOT need this — AQE reuses
     * the shuffle stage for the sampler (verified: q85's single pass). */
   def sortOnce(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
-    df.localCheckpoint(eager = false).orderBy(cols: _*)
+    pin(df).orderBy(cols: _*)
 
   def sortOnce(df: DataFrame, col0: String, rest: String*): DataFrame =
-    df.localCheckpoint(eager = false).orderBy(col0, rest: _*)
+    pin(df).orderBy(col0, rest: _*)
+
+  /** EXPLAIN-ONLY escape hatch: every pin truncates the committed plan
+    * dump at `Scan ExistingRDD`, hiding exactly the pipeline a plan
+    * reviewer needs to audit (the r17-verdict PlanDump lesson).
+    * `SPARK_GRAFT_NOPIN=1` makes [[pin]]/[[sortOnce]] identities so
+    * ExplainDump can emit the full `_prepin_` twin of each plan. Never
+    * set for Bench/Verify — the pins are load-bearing there. */
+  private[graft] val noPin: Boolean =
+    sys.env.get("SPARK_GRAFT_NOPIN").contains("1")
+
+  /** The ONE spelling of the lazy write-then-read pin (see call sites for
+    * per-operator rationale; scale notes in [[sortOnce]]'s scaladoc and
+    * the r18 optimization log). */
+  def pin(df: DataFrame): DataFrame =
+    if (noPin) df else df.localCheckpoint(eager = false)
+
+  /** Eager twin of [[pin]] — for frames multiple subtrees read where the
+    * materialization must happen before plan assembly (the media sigs
+    * pattern). Same NOPIN escape hatch. */
+  def pinEager(df: DataFrame): DataFrame =
+    if (noPin) df else df.localCheckpoint(eager = true)
 
   /** Register every table as a temp view so `spark.sql` / SQL-surface tests
     * can address them by the same names the DuckDB oracle uses. */

@@ -80,7 +80,7 @@ object CorpusOps {
     val base = docs.select("doc_id")
       .join(perDoc, Seq("doc_id"), "left")
       .withColumn("new_tokens", coalesce(col("nt"), lit(0L)))
-      .localCheckpoint(eager = false)
+      .transform(Tables.pin)
     val span = docs.agg(max("doc_id")).head() match {
       case r if r.isNullAt(0) => 1L
       case r                  => r.getLong(0) + 1

@@ -139,7 +139,7 @@ object DedupOps {
     // all three subtrees, no unpersist obligation — ContextCleaner
     // reclaims the blocks with the RDD (see [[shingleBlocks]]).
     val shingled = TextOps.withShingles(docs).select("doc_id", "sh")
-      .localCheckpoint(eager = false)
+      .transform(Tables.pin)
     val banded = bandedSignatures(shingled)
     val candidates = banded.as("x")
       .join(banded.as("y"),
@@ -439,7 +439,7 @@ object DedupOps {
     // self-join branches; the media family's measured trap). radius 0
     // keeps q52's committed single-subtree broadcast plan untouched.
     val sigs = if (mihRadius == 0) sigsRaw
-               else sigsRaw.localCheckpoint(eager = true)
+               else Tables.pinEager(sigsRaw)
     val chunks = sigs.select(
       col("doc_id"), col("simhash"),
       explode(Mih.chunkStructs(col("simhash"))).as("cc"))
@@ -553,7 +553,7 @@ object DedupOps {
     val sh = TextOps.withShingles(docs.select("doc_id", "text")).select("doc_id", "sh")
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
-      .localCheckpoint(eager = false)
+      .transform(Tables.pin)
     val postings = sh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("t"))
     val df = postings.groupBy("t").agg(count(lit(1)).as("df"))
     // the df-join + per-doc-order window pipeline runs on the PREFIX side
@@ -1277,7 +1277,7 @@ object DedupOps {
       .select("doc_id", "sh")
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
-      .localCheckpoint(eager = false)
+      .transform(Tables.pin)
     val postB = shB.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("t"))
     val prefB = postB.join(idx.df, Seq("t"), "left")
       .withColumn("pos", row_number().over(
@@ -1335,7 +1335,7 @@ object DedupOps {
       .select(col("doc_id"), (col("n_chars") / 50).cast("bigint").as("blk"),
         col("sh"))
       .withColumn("n_sh", size(col("sh")))
-      .localCheckpoint(eager = false)
+      .transform(Tables.pin)
 
   /** Generation threshold slack — see [[ngramJaccardPairsImpl]]'s scaladoc
     * for why it sits below the filter threshold. */
@@ -1428,7 +1428,7 @@ object DedupOps {
       // anyway, so no new disk-risk class at any duplication profile.
       ngramContainmentPairs(
         Tables.spread(Tables.load(s, d, "documents")).select("doc_id", "text"), 0.8)
-        .localCheckpoint(eager = false)
+        .transform(Tables.pin)
         .orderBy("a", "b")
     }),
 
@@ -1443,7 +1443,7 @@ object DedupOps {
       // is one row per doc — small by construction.
       ngramContainmentReps(
         Tables.spread(Tables.load(s, d, "documents")).select("doc_id", "text"), 0.8)
-        .localCheckpoint(eager = false)
+        .transform(Tables.pin)
         .orderBy("doc_id")
     }),
 
@@ -1461,7 +1461,7 @@ object DedupOps {
       ngramContainmentPairsVsIndex(
         Tables.spread(Tables.load(s, d, "documents")).select("doc_id", "text")
           .filter(col("doc_id") > thr), idx)
-        .localCheckpoint(eager = false)
+        .transform(Tables.pin)
         .orderBy("a", "b")
     }),
 

@@ -162,7 +162,7 @@ object MultimodalOps {
     // sf0.1; Spark does not reuse the aggregate exchange across the
     // self-join's branches)
     val chunks = phashChunks(
-      mediaFingerprint(media).localCheckpoint(eager = true))
+      Tables.pinEager(mediaFingerprint(media)))
     // SHUFFLE hash join, built on the compact exact side: the Generate
     // fan-out hides the variant side's true size from the planner, which
     // otherwise BROADCASTS the 137×-enumerated side — a corpus-sized
@@ -208,7 +208,7 @@ object MultimodalOps {
     require(radius <= MIH_MAX_RADIUS,
       s"mediaDedupReps: Hamming $maxHamming needs enumeration radius " +
         s"$radius > $MIH_MAX_RADIUS — use a wider-chunk banding instead")
-    val sigs = mediaFingerprint(media).localCheckpoint(eager = true)
+    val sigs = Tables.pinEager(mediaFingerprint(media))
     val chunks = phashChunks(sigs)
     val repOf = mihVariants(chunks, radius).as("x")
       .join(chunks.as("y").hint("shuffle_hash"),
@@ -433,7 +433,7 @@ object MultimodalOps {
     // self-join variants, self-join exact side) — one batch fingerprint
     // pass, not three
     val bChunks = phashChunks(
-      mediaFingerprint(batch).localCheckpoint(eager = true))
+      Tables.pinEager(mediaFingerprint(batch)))
     val bVariants = mihVariants(bChunks, radius)
     val corpus = loadMediaPhashChunks(s, namePrefix)
     // first-matching-chunk dedup on both branches (see
@@ -469,14 +469,21 @@ object MultimodalOps {
     * r16 sf10 sweep ENOSPC'd on exactly this query's shuffle mass, so
     * adding a pair-set pin on top of the sort's own spill at that scale
     * courts the same failure. Dispatch on input file bytes (ground
-    * truth, cached): below 32 MB of documents the pair set is at most a
-    * few hundred MB and the pin is pure win (sf0.1: 0.6 MB, sf1: ~6 MB);
-    * above it the committed recompute-over-disk trade stands and the
-    * plan is byte-identical to r17's. The scale answer to q122's cost
-    * remains q128's rep mode, not a faster exact-pair sort. */
+    * truth, cached): below 1 GB of documents the pin is pure win —
+    * measured at sf10 on the r18 power-law corpus (~507 MB input), the
+    * unpinned ORDER BY ran the 331M-row candidate join+verify TWICE
+    * (StageProbe stages 19/22: 1279 + 1404 task-s reading the same
+    * 3.6 GB candidate shuffle) while the verified pair set a pin holds
+    * is 20.5M rows / 189 MB — realistic-geometry pair mass is
+    * near-linear in input, so the pinned mass is far inside the sort's
+    * own spill headroom. Above 1 GB (production corpora, where pair
+    * mass cannot be bounded a priori) the committed recompute-over-disk
+    * trade stands and the plan is byte-identical to r17's. The scale
+    * answer to q122's cost remains q128's rep mode, not a faster
+    * exact-pair sort. */
   private def pinPairsIfSmall(pairs: DataFrame, basis: DataFrame): DataFrame =
-    if (Tables.inputBytes(basis) <= (32L << 20))
-      pairs.localCheckpoint(eager = false)
+    if (Tables.inputBytes(basis) <= (1L << 30))
+      Tables.pin(pairs)
     else pairs
 
   /** PRE-CHECKPOINT plan twins (same contract as [[DedupOps.planOnly]]):
@@ -614,7 +621,7 @@ object MultimodalOps {
       // one-row-per-asset output is small by construction at EVERY
       // scale, so the pin never carries pair mass.
       mediaDedupReps(q122Corpus(s, d), maxHamming = 10)
-        .localCheckpoint(eager = false)
+        .transform(Tables.pin)
         .orderBy("doc_id")
     }),
 
@@ -640,7 +647,7 @@ object MultimodalOps {
       // without it the sampler re-ran the batch fingerprint + both
       // candidate joins per invocation.
       mediaNearDupVsIndex(organic.unionByName(planted), s, p, maxHamming = 10)
-        .localCheckpoint(eager = false)
+        .transform(Tables.pin)
         .orderBy("a", "b")
     }),
 
@@ -683,7 +690,7 @@ object MultimodalOps {
                 "j -> concat('pq', cast(k as string), 'x', cast(j as string))))")))
             .cast("binary").as("payload"))
       val sigs = mediaFingerprint(variants.withColumn("kind", lit("image")))
-        .localCheckpoint(eager = true) // read by both pair endpoints
+        .transform(Tables.pinEager) // read by both pair endpoints
       val origs = sigs.filter(col("doc_id") % 13 === 0)
         .select(col("doc_id").as("base"), col("phash").as("po"))
       val copies = sigs

@@ -189,7 +189,7 @@ object Relational {
     // sampling / broadcast build re-reads the cache, not the pipeline
     val ranked = spark.createDataFrame(pickedRdd, pickedSchema)
       .join(broadcast(countsDf), groupCol)
-      .localCheckpoint(eager = false)
+      .transform(Tables.pin)
     interpolateAtRanks(ranked, groupCol, quantiles, scale)
   }
 
@@ -215,7 +215,7 @@ object Relational {
     // here (measured sf0.1: 0.77 s selection → 1.64 s unpinned window;
     // 0.84 s pinned). The pinned frame is G rows — free by construction.
     interpolateAtRanks(ranked, groupCol, quantiles, scale)
-      .localCheckpoint(eager = false)
+      .transform(Tables.pin)
   }
 
   /** Shared tail: `ranked` carries (groupCol, v double, rk long, n long) —

@@ -464,7 +464,7 @@ object TextOps {
       // which re-ran the tokenize + (lang, tok) aggregation without the
       // pin. Pinned mass is |lang × vocab| — sublinear in corpus size.
       val lc = toks.groupBy("lang", "tok").agg(count(lit(1)).as("clt"))
-        .localCheckpoint(eager = false)
+        .transform(Tables.pin)
       val lt = lc.groupBy("lang").agg(sum("clt").as("nl"))
       val cc = lc.groupBy("tok").agg(sum("clt").as("ct"))
       val n = lt.agg(sum("nl").as("n_total"))
