@@ -25,13 +25,28 @@ object Tables {
     * (~10–30 ms per table here, minutes against an object-store table with
     * many files). A 129-query bench sweep at 3 trials constructs ~900
     * table scans; at 100 TB the same memo is what keeps repeated queries
-    * from re-listing the lake. Keyed by (session, dir, name) so Verify/
-    * Bench/test sessions and different scale dirs never share plans. */
+    * from re-listing the lake. Keyed by (session uuid, dir, name) so
+    * Verify/Bench/test sessions and different scale dirs never share
+    * plans. */
   private val loadCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+  operators.WarmState.registerCache(() => loadCache.clear())
+
+  /** Session identity as a STRING (classic sessionUUID; identityHashCode
+    * fallback for non-classic impls): cache keys built on it hold no
+    * strong reference to the session object — the r18 shape keyed these
+    * maps on the SparkSession itself, which pinned every session (and its
+    * driver-side object graph) for the JVM lifetime in long-lived multi-
+    * session processes (ADVICE r18). Cached VALUES that are DataFrames
+    * still reference their session, so the DataFrame-valued maps also
+    * register a WarmState clearer; the primitive-valued maps are leak-free
+    * by key alone. */
+  private def sessionKey(spark: SparkSession): String =
+    org.apache.spark.sql.GraftBridge.sessionUUID(spark)
+      .getOrElse(s"id@${System.identityHashCode(spark)}")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    loadCache.computeIfAbsent((spark, dir, name), _ => {
+    loadCache.computeIfAbsent((sessionKey(spark), dir, name), _ => {
       val df = normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"))
       if (name == "events") normalizeEventTs(df) else df
     })
@@ -85,7 +100,10 @@ object Tables {
     * 16 MB compressed ≈ 50–60 MB of text ≈ multiple seconds of serial
     * regex/hash work — the first point where cores× repayment clearly
     * beats the fixed cost. */
-  private val MinSpreadBytes = 16L << 20
+  private val MinSpreadBytes: Long =
+    sys.env.get("SPARK_GRAFT_SPREAD_MIN") // A/B override only — default is the measured break-even
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(16L << 20)
 
   /** Lower floor for CPU-DENSE per-row pipelines — shingling + MinHash/
     * SimHash sketching, containment verify, fingerprinting, PII regex —
@@ -101,13 +119,25 @@ object Tables {
       .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
       .getOrElse(256L << 10)
 
-  /** spread decisions keyed by file layout (first file + count) and
-    * threshold: the decision is a pure function of (layout, floor), and
-    * the per-file FS stat behind the split estimate is the probe's only
-    * non-trivial cost — pay it once per table per session, not once per
-    * query construction. */
+  /** Layout cache key: session uuid + hash of the FULL sorted file list +
+    * count. The r18 key (`files.min + ":" + length`) went stale when a
+    * dataset was regenerated AT THE SAME PATH with the same file count
+    * within one session (ADVICE r18: a stale byte total can flip
+    * pinPairsIfSmall into pinning a huge pair set — the exact ENOSPC the
+    * threshold exists to prevent). Spark parquet writers UUID their part
+    * files, so any regeneration changes the full list; hashing it keys the
+    * cache on actual layout identity without paying an FS stat on hit. */
+  private def layoutKey(spark: SparkSession, files: Array[String]): (String, String) =
+    (sessionKey(spark),
+      s"${scala.util.hashing.MurmurHash3.orderedHash(files.sorted.toSeq)}:${files.length}")
+
+  /** spread decisions keyed by file layout ([[layoutKey]]) and threshold:
+    * the decision is a pure function of (layout, floor), and the per-file
+    * FS stat behind the split estimate is the probe's only non-trivial
+    * cost — pay it once per table per session, not once per query
+    * construction. */
   private val spreadCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[((String, String), Long), Boolean]()
 
   def spread(df: DataFrame): DataFrame = spread(df, MinSpreadBytes)
 
@@ -121,7 +151,7 @@ object Tables {
     // decision estimates splits from file SIZES below.
     val files = df.inputFiles
     if (files.isEmpty || files.length >= target) return df
-    val key = (spark, s"${files.min}:${files.length}:$minBytes")
+    val key = (layoutKey(spark, files), minBytes)
     val go = spreadCache.computeIfAbsent(key, _ => {
       // ≤ target-1 files to stat (guaranteed by the short-circuit above),
       // one FS metadata call each — cheap even against an object store.
@@ -148,16 +178,17 @@ object Tables {
   /** Summed on-disk bytes of a scan-rooted frame's input files — the cheap
     * scale probe behind stats-conditional dispatches (pin-vs-recompute,
     * spread): file length is ground truth where optimizer row-count stats
-    * are estimates. Cached per (session, file layout); ≤ one FS metadata
-    * call per file per session. */
+    * are estimates. Cached per (session uuid, file layout — [[layoutKey]],
+    * so a same-path regeneration can't serve stale bytes); ≤ one FS
+    * metadata call per file per session. */
   private val bytesCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
 
   def inputBytes(df: DataFrame): Long = {
     val files = df.inputFiles
     if (files.isEmpty) return 0L
     val spark = df.sparkSession
-    bytesCache.computeIfAbsent((spark, s"${files.min}:${files.length}"), _ => {
+    bytesCache.computeIfAbsent(layoutKey(spark, files), _ => {
       val hconf = spark.sparkContext.hadoopConfiguration
       files.map { f =>
         val p = new org.apache.hadoop.fs.Path(f)

@@ -89,6 +89,18 @@ object MultimodalOps {
       .filter(length(col("s")) >= 4)
       .select(col("doc_id"), graft.plans.SimHashGrams.of(col("s")).as("phash"))
 
+  /** CPU-dense spread for fingerprint inputs (optimization r19, guide
+    * §2.3): SimHashGrams is an md5-per-payload-byte map, and the media
+    * frames arrive at SCAN parallelism — StageProbe r19 showed q122's
+    * fingerprint pin and variant explode running on TWO tasks at sf0.1
+    * (the documents layout is under the 16 MB default spread floor), i.e.
+    * the eager pin's wall was a serial hash pass. The dense floor is the
+    * same one the text family's hash-heavy queries use; identity when the
+    * scan already has enough splits (100 TB) or the frame is not
+    * scan-rooted (unit tests). */
+  private def spreadDense(media: DataFrame): DataFrame =
+    Tables.spread(media, Tables.CpuDenseSpreadBytes)
+
   // Multi-index hashing (Norouzi/Punjani/Fleet CVPR'12): a query chunk
   // matches a stored chunk when their 16-bit values differ in ≤ radius
   // bits, implemented by enumerating the query chunk's Hamming-≤radius
@@ -162,7 +174,7 @@ object MultimodalOps {
     // sf0.1; Spark does not reuse the aggregate exchange across the
     // self-join's branches)
     val chunks = phashChunks(
-      Tables.pinEager(mediaFingerprint(media)))
+      Tables.pinEager(mediaFingerprint(spreadDense(media))))
     // SHUFFLE hash join, built on the compact exact side: the Generate
     // fan-out hides the variant side's true size from the planner, which
     // otherwise BROADCASTS the 137×-enumerated side — a corpus-sized
@@ -208,7 +220,7 @@ object MultimodalOps {
     require(radius <= MIH_MAX_RADIUS,
       s"mediaDedupReps: Hamming $maxHamming needs enumeration radius " +
         s"$radius > $MIH_MAX_RADIUS — use a wider-chunk banding instead")
-    val sigs = Tables.pinEager(mediaFingerprint(media))
+    val sigs = Tables.pinEager(mediaFingerprint(spreadDense(media)))
     val chunks = phashChunks(sigs)
     val repOf = mihVariants(chunks, radius).as("x")
       .join(chunks.as("y").hint("shuffle_hash"),
@@ -433,7 +445,7 @@ object MultimodalOps {
     // self-join variants, self-join exact side) — one batch fingerprint
     // pass, not three
     val bChunks = phashChunks(
-      Tables.pinEager(mediaFingerprint(batch)))
+      Tables.pinEager(mediaFingerprint(spreadDense(batch))))
     val bVariants = mihVariants(bChunks, radius)
     val corpus = loadMediaPhashChunks(s, namePrefix)
     // first-matching-chunk dedup on both branches (see
@@ -586,10 +598,15 @@ object MultimodalOps {
       // the r16 sf10 geometry) on top of the sort's own spill would
       // court exactly the r16 ENOSPC on a bench-sized disk. Below the
       // dispatch threshold the pin is pure win; above it the committed
-      // recompute-over-disk trade stands unchanged.
+      // recompute-over-disk trade stands unchanged. The dispatch basis
+      // is the CORPUS FRAME ITSELF (scan-rooted on documents, so
+      // inputFiles resolve) — not the raw documents table — so the
+      // threshold tracks what the pair set is actually derived from
+      // (ADVICE r18: the documents-table basis silently coupled the
+      // measured headroom to mediaOf's derivation and the plant rate).
+      val corpus = q122Corpus(s, d)
       pinPairsIfSmall(
-        mediaNearDupPairs(q122Corpus(s, d), maxHamming = 10),
-        Tables.load(s, d, "documents"))
+        mediaNearDupPairs(corpus, maxHamming = 10), corpus)
         .orderBy("a", "b")
     }),
 
@@ -600,10 +617,11 @@ object MultimodalOps {
     // takedown loop picks its threshold from q126's per-band recall curve;
     // this entry prices the tighter band and oracle-proves its exactness.
     "q127_media_neardup_h7" -> ((s, d) => {
-      // scale-conditional write-then-sort, same dispatch as q122
+      // scale-conditional write-then-sort, same dispatch (and same
+      // corpus-frame basis) as q122
+      val corpus = q122Corpus(s, d)
       pinPairsIfSmall(
-        mediaNearDupPairs(q122Corpus(s, d), maxHamming = 7),
-        Tables.load(s, d, "documents"))
+        mediaNearDupPairs(corpus, maxHamming = 7), corpus)
         .orderBy("a", "b")
     }),
 

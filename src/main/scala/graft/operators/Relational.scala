@@ -340,16 +340,25 @@ object Relational {
     * dimension family). */
   def scd2Apply(existing: DataFrame, delta: DataFrame, key: String,
                 time: String, tieBreak: String, attrs: Seq[String]): DataFrame = {
-    val d = scd2History(delta, key, time, tieBreak, attrs)
+    // d is read by TWO subtrees (d1 → the open-row join, and dOut) and
+    // `open` by two more (openOut + keyMeta). The optimizer specializes
+    // each copy's projection, the exchanges do not canonicalize equal, and
+    // nothing is reused — StageProbe r19 showed the delta scan and its
+    // gaps-and-islands window executing TWICE per invocation (q108 stages
+    // 4/5 and 7/8: twin stages over the same 74k delta rows). Lazy pins
+    // compute each once; pinned mass is O(batch segments) for d and one
+    // row per delta-touched key for `open` — both already smaller than
+    // the output the caller materializes.
+    val d = Tables.pin(scd2History(delta, key, time, tieBreak, attrs))
     val attrEq = attrs.map(a => col(a) <=> col(s"__d1_$a")).reduce(_ && _)
     val d1 = d.filter(col("version") === 1).select(
       (col(key) +: attrs.map(a => col(a).as(s"__d1_$a"))) ++ Seq(
         col("valid_from").as("__d1_from"), col("valid_to").as("__d1_to"),
         col("n_orders").as("__d1_n")): _*)
-    val open = existing.filter(col("valid_to").isNull)
+    val open = Tables.pin(existing.filter(col("valid_to").isNull)
       .join(d1, Seq(key), "left")
       .withColumn("__match", when(col("__d1_from").isNull, lit(null))
-        .otherwise(attrEq))
+        .otherwise(attrEq)))
     // open segment: untouched key -> pass through; matching first delta
     // segment -> extend (merge counts, inherit delta's forward link);
     // differing -> close at the delta's first observation
@@ -402,7 +411,10 @@ object Relational {
                  lateRows: DataFrame, key: String, time: String,
                  tieBreak: String, attrs: Seq[String]): DataFrame = {
     val cols = (Seq(key, tieBreak, time) ++ attrs).map(col)
-    val touched = lateRows.select(key).distinct()
+    // pinned: the rebuild's semi-join and the pass-through anti-join both
+    // read `touched`; without the pin each re-ran the late-row scan +
+    // distinct. Pinned mass = distinct touched keys — batch-bounded.
+    val touched = Tables.pin(lateRows.select(key).distinct())
     val rebuilt = scd2History(
       observations.select(cols: _*).join(touched, Seq(key))
         .unionByName(lateRows.select(cols: _*)),
@@ -937,9 +949,15 @@ object Relational {
         WarmState.pinHot(
           scd2History(t(s, d, "orders").filter(col("o_orderdate") < cutoff),
             "o_custkey", "o_orderdate", "o_orderkey", attrs)))
-      scd2Apply(existing, t(s, d, "orders").filter(col("o_orderdate") >= cutoff),
-          "o_custkey", "o_orderdate", "o_orderkey", attrs)
-        .orderBy("o_custkey", "version")
+      // sortOnce: the union feeding this ORDER BY is filter/union-rooted
+      // (no exchange for AQE to reuse), so the range sampler executed the
+      // whole apply pipeline a second time — StageProbe r19, twin 93-task
+      // stages 13/15 (21.5 + 41.5 task-s over the same union). Pinned
+      // mass = the updated dimension = the sort's own shuffle mass.
+      Tables.sortOnce(
+        scd2Apply(existing, t(s, d, "orders").filter(col("o_orderdate") >= cutoff),
+          "o_custkey", "o_orderdate", "o_orderkey", attrs),
+        "o_custkey", "version")
     }),
 
     // LATE-DATA SCD-2 repair, answer-checked against the full rebuild:
@@ -967,6 +985,10 @@ object Relational {
         // pinHot: same small-dimension rationale as q108 (VERDICT r11 item 1)
         WarmState.pinHot(scd2History(onTime,
           "o_custkey", "o_orderdate", "o_orderkey", attrs)))
+      // NO sortOnce here (unlike q108, measured): the rebuilt branch is
+      // exchange-rooted (scd2History's key window), so AQE reuses its
+      // shuffle stages under the sampler and a whole-dimension pin only
+      // adds its own write (5-trial A/B: +0.09 s with the pin)
       scd2Repair(existing, onTime, orders.filter(isLate(col("o_orderkey"))),
           "o_custkey", "o_orderdate", "o_orderkey", attrs)
         .orderBy("o_custkey", "version")

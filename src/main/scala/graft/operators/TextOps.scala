@@ -163,6 +163,107 @@ object TextOps {
   private def loadDocsDense(s: SparkSession, d: String): DataFrame =
     Tables.spread(Tables.load(s, d, "documents"), Tables.CpuDenseSpreadBytes)
 
+  /** Skew-posture dispatch for corpus token-frequency lookups (ADVICE r18
+    * medium + guide §2.5; optimization r19). A `count().over(Window.
+    * partitionBy(tok))` computes df/c in ONE exchange, but a window
+    * partition cannot be split across tasks — under a power-law corpus a
+    * stopword's entire posting stream (df ≈ |docs| rows) funnels through
+    * one task's sort, and that wall grows UNBOUNDED with corpus size. The
+    * skew-safe shape (pin the tf aggregate, groupBy-join the counts back)
+    * is AQE-skew-join-splittable but pays a pin job + one extra exchange —
+    * measured +0.18–0.30 s per query at sf0.1 (7 MB input), pure fixed
+    * cost. Dispatch on input bytes, the [[Relational.rankQuantiles]] /
+    * pinPairsIfSmall pattern: below the threshold the window's worst
+    * partition is small by construction (64 MB compressed ≈ 30M token
+    * occurrences; the hottest token's stream, a few percent of that, sorts
+    * in one task comfortably), above it the join path's fixed costs are
+    * amortized and the unsplittable-partition hazard is real. Both paths
+    * compute identical values — the q57/q75 oracles hash-check each
+    * (sf0.01 drives the window path; TokenStatsSpec pins the join path).
+    * Env-overridable for A/B (SPARK_GRAFT_TOKWIN_MAX, byte syntax). */
+  private[graft] val TokenWindowMaxBytes: Long =
+    sys.env.get("SPARK_GRAFT_TOKWIN_MAX")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(64L << 20)
+
+  private[graft] def tokenWindowSafe(docs: DataFrame): Boolean =
+    Tables.inputBytes(docs) < TokenWindowMaxBytes
+
+  /** q57's body over any (doc_id, text) frame — df computed along the path
+    * [[tokenWindowSafe]] picked; ONE tokenize pass on both paths (the r18
+    * duplicated-subtree fix stays). `windowPath = false` is the skew-safe
+    * shape: tf lazily pinned, df = partial-agg groupBy joined back on tok
+    * (AQE-skew-splittable), vs the window whose hot-token partition cannot
+    * be split. TokenStatsSpec pins path equality; values are identical by
+    * construction (df = rows per tok over the SAME tf frame). */
+  private[graft] def tfidfKeywordsOf(docs: DataFrame, windowPath: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val withDf =
+      if (windowPath)
+        tf.withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+      else {
+        val tfp = tf.transform(Tables.pin)
+        tfp.join(tfp.groupBy("tok").agg(count(lit(1)).as("df")), "tok")
+      }
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    withDf
+      .join(broadcast(nd)) // single-row broadcast (scalar-subquery shape)
+      .withColumn("score", round(col("tf") * log(col("nd") / col("df")), 4))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "tok", "score")
+      .orderBy("doc_id", "rank")
+  }
+
+  /** q75's body over any (doc_id, text) frame — corpus count c along the
+    * path [[tokenWindowSafe]] picked. `windowPath = true` is the r18 shape
+    * (count().over(tok) on the raw occurrence stream — one exchange, no
+    * pin job; fine while the hottest token's stream fits one task);
+    * `windowPath = false` aggregates per-(doc, tok) tf FIRST (map-side
+    * partial agg — the shuffle carries distinct pairs, not occurrences),
+    * lazily pins it, and joins c = Σ tf back on tok (AQE-skew-splittable).
+    * Values identical: same c, same N; n_tok = Σ tf and slp = Σ tf·lp are
+    * the exact integer sums the per-occurrence shape computes (pinned by
+    * TokenStatsSpec). N comes from an unexploded size(split(…)) sum either
+    * way, with a when() guard because explode(NULL) emits 0 rows but
+    * size(NULL) is -1 — a NULL text must contribute 0 for N to match the
+    * exploded row count exactly. */
+  private[graft] def unigramLmOf(docs: DataFrame, windowPath: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs
+      .agg(sum(when(col("text").isNull, lit(0L))
+        .otherwise(size(split(lower(col("text")), "\\s+")).cast("long"))).as("n_total"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val perDoc =
+      if (windowPath)
+        toks.withColumn("c", count(lit(1)).over(Window.partitionBy("tok")))
+          .join(broadcast(n)) // single-row broadcast
+          .select(col("doc_id"),
+            round(log(col("c") / col("n_total")) * 1e6).cast("long").as("lp"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"), sum("lp").as("slp"))
+      else {
+        val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+          .transform(Tables.pin)
+        tf.join(tf.groupBy("tok").agg(sum("tf").as("c")), "tok")
+          .join(broadcast(n)) // single-row broadcast
+          .select(col("doc_id"), col("tf"),
+            round(log(col("c") / col("n_total")) * 1e6).cast("long").as("lp"))
+          .groupBy("doc_id")
+          .agg(sum("tf").as("n_tok"), sum(col("tf") * col("lp")).as("slp"))
+      }
+    perDoc
+      .select(col("doc_id"), col("n_tok"),
+        round(col("slp") / (col("n_tok") * 1e6), 4).as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token counting: whitespace tokenization + distinct counts + average
@@ -391,26 +492,8 @@ object TextOps {
     // tie-break) so last-ulp libm differences between engines cannot reorder
     // ties that are equal in exact arithmetic.
     "q57_tfidf_keywords" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val tf = loadDocs(s, d)
-        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(count(lit(1)).as("tf"))
-      // df via a WINDOW over tok, not a separate agg joined back
-      // (optimization r18, guide §2.4): the aggregate branch's tf subtree
-      // specialized to a distinct (no count) so the exchanges did not
-      // canonicalize equal — nothing reused, tokenize + tf ran twice. The
-      // window reads the ONE tf frame; its exchange on tok replaces the
-      // join's, so the exchange count drops by one too.
-      val nd = loadDocs(s, d).agg(count(lit(1)).as("nd"))
-      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
-      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
-        .join(broadcast(nd)) // single-row broadcast (scalar-subquery shape)
-        .withColumn("score", round(col("tf") * log(col("nd") / col("df")), 4))
-        .withColumn("rank", row_number().over(w).cast("bigint"))
-        .filter(col("rank") <= 3)
-        .select("doc_id", "rank", "tok", "score")
-        .orderBy("doc_id", "rank")
+      val docs = loadDocs(s, d)
+      tfidfKeywordsOf(docs, tokenWindowSafe(docs))
     }),
 
     // Unigram language-model quality scoring (the CCNet/KenLM-style filter
@@ -422,32 +505,8 @@ object TextOps {
     // Scale: vocab counts are a map-side-combined agg; the token→logp join
     // partitions both sides by token; one groupBy(doc_id) closes it.
     "q75_unigram_lm" -> ((s, d) => {
-      // ONE tokenize pass (optimization r18, guide §2.4): the previous
-      // counts-agg + scalar-agg + join-back shape re-ran the explode
-      // three times (counts under n, counts under logp, toks in the
-      // final join — three subtrees, no exchange reuse). Per-token count
-      // c comes from a WINDOW over tok (the same |tokens| exchange the
-      // old join paid), and the scalar N — total token occurrences —
-      // from an unexploded size(split(…)) sum, a cheap narrow pass.
-      // Values are identical: same c, same N, same rounding.
-      import org.apache.spark.sql.expressions.Window
-      // when() guard: explode(NULL) emits 0 rows but size(NULL) is -1 —
-      // a NULL text must contribute 0, not -1, for N to match the
-      // exploded row count exactly
-      val n = loadDocs(s, d)
-        .agg(sum(when(col("text").isNull, lit(0L))
-          .otherwise(size(split(lower(col("text")), "\\s+")).cast("long"))).as("n_total"))
-      loadDocs(s, d)
-        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
-        .withColumn("c", count(lit(1)).over(Window.partitionBy("tok")))
-        .join(broadcast(n)) // single-row broadcast
-        .select(col("doc_id"),
-          round(log(col("c") / col("n_total")) * 1e6).cast("long").as("lp"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"), sum("lp").as("slp"))
-        .select(col("doc_id"), col("n_tok"),
-          round(col("slp") / (col("n_tok") * 1e6), 4).as("avg_logp"))
-        .orderBy("doc_id")
+      val docs = loadDocs(s, d)
+      unigramLmOf(docs, tokenWindowSafe(docs))
     }),
 
     // Per-language KL divergence from the corpus-wide unigram distribution
@@ -596,13 +655,17 @@ object TextOps {
         .filter(col("tok").isin(terms: _*))
         .groupBy("doc_id", "dl", "tok")
         .agg(count(lit(1)).as("tf"))
-      // df via a WINDOW over tok (same rationale as q57): the dfreq
-      // branch re-ran the tokenize+filter+tf pipeline — the query's
-      // expensive subtree. tf here is ≤ |terms|·|docs| rows, so the
-      // window exchange is trivial at every scale.
+        .transform(Tables.pin)
+      // df via a partial-agg groupBy over the PINNED tf, BROADCAST back
+      // (optimization r19, ADVICE r18): the pin keeps the dfreq branch
+      // from re-running the tokenize+filter+tf pipeline (the r18 concern),
+      // and the dfreq frame is ≤ |terms| = 3 rows BY CONSTRUCTION, so the
+      // join-back is a broadcast — tf itself is never shuffled by tok at
+      // all. The r18 window over tok had only 3 partition keys: each key's
+      // ≤ |docs| rows through ONE unsplittable window task.
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val scored = tf
-        .withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("tok")))
+        .join(broadcast(dfreq), "tok")
         .join(broadcast(stats)) // single-row broadcast (scalar-subquery shape)
         .withColumn("idf",
           log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))

@@ -13,4 +13,12 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Stable per-session identity STRING (`private[sql] sessionUUID`) — lets
+    * library caches key on a string instead of retaining the session object
+    * (graft.Tables' leak fix, ADVICE r18). */
+  def sessionUUID(spark: SparkSession): Option[String] = spark match {
+    case c: classic.SparkSession => Some(c.sessionUUID)
+    case _ => None
+  }
 }
