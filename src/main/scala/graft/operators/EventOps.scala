@@ -180,7 +180,8 @@ object EventOps {
     "q40_hourly_by_type" -> ((s, d) => {
       Tables.load(s, d, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
-        .agg(count(lit(1)).as("n"), Num.dsum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          Num.tierFor(Tables.load(s, d, "events")).dsum(col("value")).as("sum_value"))
         .orderBy("hr", "event_type")
     }),
 
@@ -209,7 +210,7 @@ object EventOps {
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(min("event_id").as("session_first_event"),
           count(lit(1)).as("n_events"),
-          Num.dsum(col("value")).as("sum_value"))
+          Num.tierFor(Tables.load(s, d, "events")).dsum(col("value")).as("sum_value"))
         .select("user_id", "session_first_event", "n_events", "sum_value")
         .orderBy("user_id", "session_first_event")
     }),

@@ -243,11 +243,10 @@ object Relational {
       .select((col(groupCol) +: interp :+ col("n")): _*)
   }
 
-  /** Exact-decimal revenue addends: inputs snapped to their 2-decimal grid,
-    * products computed in decimal — see [[Num]]. */
-  private val discPriceDec: Column =
-    Num.money(col("l_extendedprice")) * (Num.one - Num.money(col("l_discount")))
-  private val chargeDec: Column = discPriceDec * (Num.one + Num.money(col("l_tax")))
+  // Exact-decimal revenue addends live on Num.Tier (discPrice / charge):
+  // each query picks its money-precision tier from its fact table's input
+  // bytes (Num.tierFor — see Num's scaladoc for the compact-buffer win and
+  // the overflow-safety bound) and every cast/product/sum follows it.
 
   /** SCD type-2 history build (gaps-and-islands): each row of `df` is an
     * observation of `attr` for `key` at `time` (ties broken by the unique
@@ -429,16 +428,17 @@ object Relational {
     // map-side partial agg; 6 groups out — the canonical "big scan, tiny
     // result" shape that must never shuffle raw rows.
     "q01_pricing_summary" -> ((s, d) => {
+      val N = Num.tierFor(t(s, d, "lineitem"))
       li(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          Num.dsum(col("l_quantity")).as("sum_qty"),
-          Num.dsum(col("l_extendedprice")).as("sum_base_price"),
-          Num.dsumDec(discPriceDec).as("sum_disc_price"),
-          Num.dsumDec(chargeDec).as("sum_charge"),
-          Num.davg(col("l_quantity")).as("avg_qty"),
-          Num.davg(col("l_extendedprice")).as("avg_price"),
-          Num.davg(col("l_discount")).as("avg_disc"),
+          N.dsum(col("l_quantity")).as("sum_qty"),
+          N.dsum(col("l_extendedprice")).as("sum_base_price"),
+          N.dsumDec(N.discPrice).as("sum_disc_price"),
+          N.dsumDec(N.charge).as("sum_charge"),
+          N.davg(col("l_quantity")).as("avg_qty"),
+          N.davg(col("l_extendedprice")).as("avg_price"),
+          N.davg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -457,12 +457,13 @@ object Relational {
     // Fact-fact-dim join chain: lineitem ⋈ orders shuffles on the order key,
     // customer joins on custkey; revenue per customer.
     "q03_revenue_by_customer" -> ((s, d) => {
+      val N = Num.tierFor(t(s, d, "lineitem"))
       t(s, d, "lineitem")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(
-          Num.dsumDec(discPriceDec).as("revenue"),
+          N.dsumDec(N.discPrice).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("c_custkey")
     }),
@@ -477,7 +478,7 @@ object Relational {
         .groupBy("r_name", "n_name")
         .agg(
           count(lit(1)).as("n_customers"),
-          Num.davg(col("c_acctbal")).as("avg_bal"))
+          Num.tierFor(t(s, d, "customer")).davg(col("c_acctbal")).as("avg_bal"))
         .orderBy("r_name", "n_name")
     }),
 
@@ -505,7 +506,7 @@ object Relational {
         .groupBy("c_custkey")
         .agg(
           count(col("o_orderkey")).as("n_orders"),
-          coalesce(Num.dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+          coalesce(Num.tierFor(t(s, d, "orders")).dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
         .orderBy("c_custkey")
     }),
 
@@ -567,7 +568,7 @@ object Relational {
         .agg(
           round(min("l_quantity"), 2).as("min_qty"),
           round(max("l_quantity"), 2).as("max_qty"),
-          Num.davg(col("l_quantity")).as("avg_qty"),
+          Num.tierFor(t(s, d, "lineitem")).davg(col("l_quantity")).as("avg_qty"),
           round(stddev_samp("l_quantity"), 4).as("sd_qty"),
           round(var_samp("l_quantity"), 4).as("var_qty"),
           count(lit(1)).as("n"))
@@ -584,7 +585,7 @@ object Relational {
         .groupBy("bucket")
         .agg(
           count(lit(1)).as("n_orders"),
-          Num.dsum(col("o_totalprice")).as("total"),
+          Num.tierFor(t(s, d, "orders")).dsum(col("o_totalprice")).as("total"),
           count(when(col("o_orderstatus") === "F", 1)).as("n_finished"))
         .orderBy("bucket")
     }),
@@ -612,7 +613,7 @@ object Relational {
         .groupBy("yr", "mo")
         .agg(
           count(lit(1)).as("n_orders"),
-          Num.dsum(col("o_totalprice")).as("total"))
+          Num.tierFor(t(s, d, "orders")).dsum(col("o_totalprice")).as("total"))
         .orderBy("yr", "mo")
     }),
 
@@ -624,7 +625,7 @@ object Relational {
         .groupBy("k_bucket")
         .agg(
           count(lit(1)).as("n"),
-          Num.dsum(col("value")).as("sum_value"))
+          Num.tierFor(t(s, d, "events")).dsum(col("value")).as("sum_value"))
         .orderBy("k_bucket")
     }),
 
@@ -634,7 +635,7 @@ object Relational {
         .rollup("l_returnflag", "l_linestatus")
         .agg(
           count(lit(1)).as("n"),
-          Num.dsum(col("l_quantity")).as("sum_qty"))
+          Num.tierFor(t(s, d, "lineitem")).dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
@@ -652,7 +653,8 @@ object Relational {
     "q20_having" -> ((s, d) => {
       t(s, d, "orders")
         .groupBy("o_custkey")
-        .agg(count(lit(1)).as("n_orders"), Num.dsum(col("o_totalprice")).as("total"))
+        .agg(count(lit(1)).as("n_orders"),
+          Num.tierFor(t(s, d, "orders")).dsum(col("o_totalprice")).as("total"))
         .filter(col("n_orders") >= 5)
         .orderBy("o_custkey")
     }),
@@ -709,7 +711,8 @@ object Relational {
       t(s, d, "orders")
         .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
         .groupBy("band")
-        .agg(count(lit(1)).as("n_orders"), Num.dsum(col("o_totalprice")).as("total"))
+        .agg(count(lit(1)).as("n_orders"),
+          Num.tierFor(t(s, d, "orders")).dsum(col("o_totalprice")).as("total"))
         .orderBy("band")
     }),
 
@@ -723,7 +726,7 @@ object Relational {
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(
-          Num.dsumDec(discPriceDec).as("revenue"),
+          { val N = Num.tierFor(t(s, d, "lineitem")); N.dsumDec(N.discPrice) }.as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("r_name")
     }),
@@ -752,7 +755,8 @@ object Relational {
       t(s, d, "lineitem")
         .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
         .groupBy("l_returnflag", "salt")
-        .agg(sum(discPriceDec).as("partial_rev"), count(lit(1)).as("partial_n"))
+        .agg(sum(Num.tierFor(t(s, d, "lineitem")).discPrice).as("partial_rev"),
+          count(lit(1)).as("partial_n"))
         .groupBy("l_returnflag")
         .agg(round(sum("partial_rev"), 2).cast("double").as("revenue"), sum("partial_n").as("n_items"))
         .orderBy("l_returnflag")
@@ -870,7 +874,7 @@ object Relational {
       val pre = t(s, d, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("pn"),
-          sum(Num.money(col("l_extendedprice"))).as("ps"))
+          sum(Num.tierFor(t(s, d, "lineitem")).money(col("l_extendedprice"))).as("ps"))
       pre.cube("l_returnflag", "l_linestatus")
         .agg(
           grouping(col("l_returnflag")).cast("bigint").as("g_rf"),
@@ -886,7 +890,8 @@ object Relational {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "orders")
-        .withColumn("running_spend", Num.dsumOver(col("o_totalprice"), w))
+        .withColumn("running_spend",
+          Num.tierFor(t(s, d, "orders")).dsumOver(col("o_totalprice"), w))
         .withColumn("order_seq", row_number().over(
           Window.partitionBy("o_custkey").orderBy("o_orderkey")).cast("bigint"))
         .select("o_custkey", "order_seq", "o_orderkey", "o_totalprice", "running_spend")
@@ -998,7 +1003,8 @@ object Relational {
     "q26_supplier_activity" -> ((s, d) => {
       t(s, d, "lineitem")
         .groupBy(col("l_suppkey"))
-        .agg(Num.dsumDec(discPriceDec).as("revenue"), count(lit(1)).as("n_items"))
+        .agg({ val N = Num.tierFor(t(s, d, "lineitem")); N.dsumDec(N.discPrice) }.as("revenue"),
+          count(lit(1)).as("n_items"))
         .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name", "revenue", "n_items")
@@ -1022,7 +1028,8 @@ object Relational {
       val small = t(s, d, "customer").select("c_custkey", "c_name")
       SkewOps.saltedJoin(big, small, "c_custkey", salts = 8)
         .groupBy("c_custkey", "c_name")
-        .agg(count(lit(1)).as("n_orders"), Num.dsum(col("o_totalprice")).as("total"))
+        .agg(count(lit(1)).as("n_orders"),
+          Num.tierFor(t(s, d, "orders")).dsum(col("o_totalprice")).as("total"))
         .orderBy("c_custkey")
     }))
 
