@@ -212,6 +212,29 @@ object Tables {
   def sortOnce(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
     pin(df).orderBy(cols: _*)
 
+  /** Presentation sort for outputs whose CARDINALITY IS BOUNDED BY
+    * CONSTRUCTION (fixed group domains: return-flag × line-status,
+    * regions, buckets — a handful to a few thousand rows at ANY corpus
+    * size). A global ORDER BY plans a range exchange whose partitioner
+    * runs a separate SAMPLING JOB over the child before the sort proper —
+    * two driver round-trips and an exchange to order rows that already fit
+    * one task. `coalesce(1).sortWithinPartitions` produces the identical
+    * total order (single partition ⇒ within-partition order IS the total
+    * order) with no exchange and no sampler at all; the single sort task
+    * is the natural shape for a presentation-sized result on a 100 TB
+    * corpus too. Do NOT use for outputs that scale with the data (one row
+    * per doc/pair) — those keep the distributed sort. Also do NOT use
+    * over a LAZILY pinned (or otherwise narrow) child: coalesce(1) is a
+    * narrow merge, so an unmaterialized upstream pipeline would execute
+    * INSIDE the single sort task (measured: q27's pinned window path
+    * +0.73 s) — the child must be exchange-rooted (an aggregate/join
+    * output) for the collapse to stop at the shuffle boundary. */
+  def sortSmall(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols: _*)
+
+  def sortSmall(df: DataFrame, col0: String, rest: String*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(col0, rest: _*)
+
   def sortOnce(df: DataFrame, col0: String, rest: String*): DataFrame =
     pin(df).orderBy(col0, rest: _*)
 

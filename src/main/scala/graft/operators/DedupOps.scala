@@ -580,8 +580,10 @@ object DedupOps {
     candidates
       .join(verifySide(sh.select(col("doc_id").as("a"), col("sh").as("sh_a"), col("n_sh").as("na"))), "a")
       .join(verifySide(sh.select(col("doc_id").as("b"), col("sh").as("sh_b"), col("n_sh").as("nb"))), "b")
+      // fused native count — value-identical to size(array_intersect(..)),
+      // no per-pair intersection array (see IntersectCount)
       .withColumn("c_raw",
-        size(array_intersect(col("sh_a"), col("sh_b"))) / least(col("na"), col("nb")))
+        graft.plans.IntersectCount.of(col("sh_a"), col("sh_b")) / least(col("na"), col("nb")))
       .filter(col("c_raw") >= minC)
       .select(col("a"), col("b"), round(col("c_raw"), 4).as("containment"))
   }
@@ -1304,8 +1306,9 @@ object DedupOps {
     candidates
       .join(verifySide(allSh.select(col("doc_id").as("a"), col("sh").as("sh_a"), col("n_sh").as("na"))), "a")
       .join(verifySide(allSh.select(col("doc_id").as("b"), col("sh").as("sh_b"), col("n_sh").as("nb"))), "b")
+      // fused native count — value-identical to size(array_intersect(..))
       .withColumn("c_raw",
-        size(array_intersect(col("sh_a"), col("sh_b"))) / least(col("na"), col("nb")))
+        graft.plans.IntersectCount.of(col("sh_a"), col("sh_b")) / least(col("na"), col("nb")))
       .filter(col("c_raw") >= t0)
       .select(col("a"), col("b"), round(col("c_raw"), 4).as("containment"))
   }
@@ -1942,6 +1945,11 @@ object DedupOps {
       .withColumn("split", splitOf(coalesce(col("label"), col("doc_id"))))
       .select("doc_id", "split")
     val updated = DedupPipeline.updateClusters(corpusLabels, incident, maxIter = 100)
+    // NOT pinned (measured, optimization r19): `comp` is read by the
+    // inherited aggregate and the final batch projection, but its relabel
+    // joins are exchange-rooted, so AQE stage reuse already covers the
+    // shared segment — a lazy pin here A/B'd +0.25 s on q118 (the pin's
+    // own materialization job is pure overhead).
     val comp = docs.select("doc_id")
       .join(updated.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .withColumn("comp", coalesce(col("label"), col("doc_id")))

@@ -182,7 +182,7 @@ object EventOps {
         .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           Num.tierFor(Tables.load(s, d, "events")).dsum(col("value")).as("sum_value"))
-        .orderBy("hr", "event_type")
+        .transform(df => Tables.sortSmall(df, "hr", "event_type"))
     }),
 
     // Gap-based sessionization via window functions: new session when the
@@ -226,7 +226,7 @@ object EventOps {
     "q82_unpivot" -> ((s, d) => {
       dailyPivot(s, d)
         .unpivot(Array(col("day")), eventTypes.map(col).toArray, "event_type", "n")
-        .orderBy("day", "event_type")
+        .transform(df => Tables.sortSmall(df, "day", "event_type"))
     }),
 
     // As-of lookup as a window: for every event, the value of the user's

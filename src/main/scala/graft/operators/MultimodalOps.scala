@@ -556,7 +556,7 @@ object MultimodalOps {
           sum("n_bytes").as("total_bytes"),
           round(avg("width"), 4).as("avg_width"),
           max("n_frames").as("max_frames"))
-        .orderBy("kind")
+        .transform(df => Tables.sortSmall(df, "kind"))
     }),
 
     // Frame sampling: for video, take every ⌈n_frames/8⌉-th frame — the
@@ -729,7 +729,7 @@ object MultimodalOps {
           round(col("n_exact") / col("n"), 4).as("exact_recall"),
           round(col("n_r1") / col("n"), 4).as("r1_recall"),
           round(col("n_r2") / col("n"), 4).as("r2_recall"))
-        .orderBy("hamming")
+        .transform(df => Tables.sortSmall(df, "hamming"))
     }),
 
     "q73_media_resize" -> ((s, d) => {

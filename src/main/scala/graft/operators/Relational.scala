@@ -440,7 +440,7 @@ object Relational {
           N.davg(col("l_extendedprice")).as("avg_price"),
           N.davg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(df => Tables.sortSmall(df, "l_returnflag", "l_linestatus"))
     }),
 
     // Predicate + projection pushdown: both reach the parquet scan
@@ -479,7 +479,7 @@ object Relational {
         .agg(
           count(lit(1)).as("n_customers"),
           Num.tierFor(t(s, d, "customer")).davg(col("c_acctbal")).as("avg_bal"))
-        .orderBy("r_name", "n_name")
+        .transform(df => Tables.sortSmall(df, "r_name", "n_name"))
     }),
 
     // Left-semi join (EXISTS): customers having at least one order.
@@ -558,7 +558,7 @@ object Relational {
       t(s, d, "lineitem")
         .select("l_returnflag", "l_linestatus")
         .distinct()
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(df => Tables.sortSmall(df, "l_returnflag", "l_linestatus"))
     }),
 
     // Statistical aggregates per group.
@@ -572,7 +572,7 @@ object Relational {
           round(stddev_samp("l_quantity"), 4).as("sd_qty"),
           round(var_samp("l_quantity"), 4).as("var_qty"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag")
+        .transform(df => Tables.sortSmall(df, "l_returnflag"))
     }),
 
     // CASE WHEN bucketing + conditional aggregation.
@@ -587,7 +587,7 @@ object Relational {
           count(lit(1)).as("n_orders"),
           Num.tierFor(t(s, d, "orders")).dsum(col("o_totalprice")).as("total"),
           count(when(col("o_orderstatus") === "F", 1)).as("n_finished"))
-        .orderBy("bucket")
+        .transform(df => Tables.sortSmall(df, "bucket"))
     }),
 
     // String scalar-function surface (codegen'd built-ins, no UDFs).
@@ -614,7 +614,7 @@ object Relational {
         .agg(
           count(lit(1)).as("n_orders"),
           Num.tierFor(t(s, d, "orders")).dsum(col("o_totalprice")).as("total"))
-        .orderBy("yr", "mo")
+        .transform(df => Tables.sortSmall(df, "yr", "mo"))
     }),
 
     // JSON-in-string extraction (events.props = {"k": int}).
@@ -626,7 +626,7 @@ object Relational {
         .agg(
           count(lit(1)).as("n"),
           Num.tierFor(t(s, d, "events")).dsum(col("value")).as("sum_value"))
-        .orderBy("k_bucket")
+        .transform(df => Tables.sortSmall(df, "k_bucket"))
     }),
 
     // ROLLUP grouping sets (subtotal + grand-total rows).
@@ -636,7 +636,8 @@ object Relational {
         .agg(
           count(lit(1)).as("n"),
           Num.tierFor(t(s, d, "lineitem")).dsum(col("l_quantity")).as("sum_qty"))
-        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+        .transform(df => Tables.sortSmall(df,
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
     }),
 
     // Scalar subquery: orders above the global average price.
@@ -713,7 +714,7 @@ object Relational {
         .groupBy("band")
         .agg(count(lit(1)).as("n_orders"),
           Num.tierFor(t(s, d, "orders")).dsum(col("o_totalprice")).as("total"))
-        .orderBy("band")
+        .transform(df => Tables.sortSmall(df, "band"))
     }),
 
     // Five-table star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region,
@@ -728,7 +729,7 @@ object Relational {
         .agg(
           { val N = Num.tierFor(t(s, d, "lineitem")); N.dsumDec(N.discPrice) }.as("revenue"),
           count(lit(1)).as("n_items"))
-        .orderBy("r_name")
+        .transform(df => Tables.sortSmall(df, "r_name"))
     }),
 
     // Exact interpolated percentiles per group — sort-based rank lookup, NOT
@@ -743,6 +744,10 @@ object Relational {
         t(s, d, "lineitem").select(col("l_returnflag"), col("l_extendedprice").as("v")),
         "l_returnflag",
         Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95"))
+        // plain ORDER BY, not sortSmall (measured +0.73 s): rankQuantiles'
+        // small-input twin returns a LAZILY pinned window output, and
+        // coalesce(1) over an unmaterialized pin is NARROW — the whole
+        // per-group window sort would run inside the single sort task
         .orderBy("l_returnflag")
     }),
 
@@ -759,7 +764,7 @@ object Relational {
           count(lit(1)).as("partial_n"))
         .groupBy("l_returnflag")
         .agg(round(sum("partial_rev"), 2).cast("double").as("revenue"), sum("partial_n").as("n_items"))
-        .orderBy("l_returnflag")
+        .transform(df => Tables.sortSmall(df, "l_returnflag"))
     }),
 
     // Top-k per group through the CUSTOM physical operator (bounded
@@ -855,7 +860,7 @@ object Relational {
           (abs(col("ap") - col("parts_exact")) <= col("parts_exact") * 0.15).as("parts_approx_ok"),
           (abs(col("ao") - col("orders_exact")) <= col("orders_exact") * 0.03).as("orders_approx_ok"),
           (col("p50a") >= col("p45") && col("p50a") <= col("p55")).as("p50_approx_ok"))
-        .orderBy("l_returnflag")
+        .orderBy("l_returnflag") // not sortSmall — see q27 (pinned-window child)
     }),
 
     // CUBE grouping sets with per-column grouping flags.
@@ -882,7 +887,7 @@ object Relational {
           sum(col("pn")).as("n"),
           round(sum(col("ps")), 2).cast("double").as("total"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first,
-          col("g_rf"), col("g_ls"))
+          col("g_rf"), col("g_ls")) // sortSmall A/B'd +0.02 twice here (r19)
     }),
 
     // Running total per customer (cumulative window over a unique order).

@@ -114,7 +114,7 @@ object SamplingOps {
           expr(s"sum(n_tok) DIV $seqLen").as("n_full_seqs"),
           expr(s"sum(n_tok) % $seqLen").as("tail_waste"),
           sum(when(col("crosses"), 1L).otherwise(0L)).as("n_docs_crossing"))
-        .orderBy("lang")
+        .transform(df => Tables.sortSmall(df, "lang"))
     }),
 
     // Corpus mixture ("data mixing"): allocate a global token budget across
@@ -140,7 +140,7 @@ object SamplingOps {
         .agg(max("budget").as("budget"),
           count(lit(1)).as("n_docs_kept"),
           sum("n_tok").as("tokens_kept"))
-        .orderBy("lang")
+        .orderBy("lang") // sortSmall A/B'd +0.07 here (r19) — kept global
     }),
 
     // DSIR-style data selection (Data Selection via Importance Resampling,

@@ -534,7 +534,7 @@ object TextOps {
         .agg(max("nl").as("n_tokens"), sum("term").as("sterm"))
         .select(col("lang"), col("n_tokens"),
           round(col("sterm") / (col("n_tokens") * 1e6), 6).as("kl"))
-        .orderBy("lang")
+        .transform(df => Tables.sortSmall(df, "lang"))
     }),
 
     // Corpus token frequency: explode + count — the one text op that
@@ -632,7 +632,7 @@ object TextOps {
           col("total_tokens"),
           round(col("total_tokens") / col("n_docs"), 4).as("avg_tokens"),
           col("pii_docs"))
-        .orderBy("source")
+        .transform(df => Tables.sortSmall(df, "source"))
     }),
 
     // BM25 retrieval (Robertson/Lucene scoring, k1=1.2 b=0.75) for a fixed
@@ -696,10 +696,14 @@ object TextOps {
       Tables.sortOnce(loadDocs(s, d)
         .withColumn("tp", textProfile(col("text")))
         .withColumn("n_tokens", col("tp.n_tokens"))
+        // fused native count — value-identical to the composed
+        // size(array_intersect(array_distinct(..), ..)): IntersectCount
+        // already counts DISTINCT matches, so neither the distinct array
+        // nor the intersection array is materialized per doc
         .withColumn("n_stop_distinct",
-          size(array_intersect(
-            array_distinct(split(lower(col("text")), "\\s+")),
-            array(stops.map(lit): _*))).cast("long"))
+          graft.plans.IntersectCount.of(
+            split(lower(col("text")), "\\s+"),
+            array(stops.map(lit): _*)))
         .withColumn("r_wc",
           (col("n_tokens") >= 30 && col("n_tokens") <= 10000).cast("long"))
         .withColumn("r_mwl",
@@ -800,7 +804,7 @@ object TextOps {
           round(col("slope_d"), 6).as("slope"),
           round((col("sy").cast("double") - col("slope_d") * col("sx").cast("double"))
             / col("n_types") / 1e6, 6).as("intercept"))
-        .orderBy("source")
+        .transform(df => Tables.sortSmall(df, "source"))
     }),
 
     // Per-source VOCABULARY overlap matrix — the lexical leg of the
@@ -829,7 +833,7 @@ object TextOps {
         .select(col("source_x"), col("source_y"),
           col("vocab_x"), col("vocab_y"), col("inter"), col("jac"),
           (abs(col("jac_est") - col("jac")) <= 0.15).as("est_ok"))
-        .orderBy("source_x", "source_y")
+        .orderBy("source_x", "source_y") // sortSmall A/B'd +0.07 here (r19)
     }),
 
     // Sequence-length histogram in power-of-2 buckets — the planning input
@@ -852,7 +856,7 @@ object TextOps {
           max("nt").as("max_tokens"))
         .withColumn("share",
           round(col("n_docs") / sum("n_docs").over(Window.partitionBy()), 4))
-        .orderBy("bucket_bits")
+        .transform(df => Tables.sortSmall(df, "bucket_bits"))
     }))
 
   private def hitCountSql(words: Seq[String]): String = {

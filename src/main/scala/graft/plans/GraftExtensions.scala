@@ -53,6 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       JaccardSimilarity.info,
       (children: Seq[Expression]) => { arity("graft_jaccard", children, 2)
         JaccardSimilarity(children.head, children(1)) }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_intersect_count"),
+      IntersectCount.info,
+      (children: Seq[Expression]) => { arity("graft_intersect_count", children, 2)
+        IntersectCount(children.head, children(1)) }))
     ext.injectOptimizerRule(_ => SelfCosineToOne)
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }

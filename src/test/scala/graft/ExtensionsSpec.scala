@@ -31,6 +31,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(sim - 1.0) < 1e-12)
   }
 
+  test("graft_intersect_count matches size(array_intersect(..)) exactly") {
+    import spark.implicits._
+    // corpus pairs
+    val sh = graft.operators.TextOps.withShingles(
+      Tables.load(spark, TestSpark.sf, "documents").limit(60)).select("doc_id", "sh")
+    val pairs = sh.select(col("doc_id").as("a"), col("sh").as("sa")).as("x")
+      .crossJoin(sh.select(col("doc_id").as("b"), col("sh").as("sb")).as("y"))
+      .filter(col("a") < col("b"))
+      .withColumn("native", expr("graft_intersect_count(sa, sb)"))
+      .withColumn("composed", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+    assert(pairs.filter(!(col("native") <=> col("composed"))).count() == 0)
+    // edge semantics: duplicates count once, null-in-both counts once,
+    // NULL array → NULL, empty → 0 — all byte-for-byte array_intersect
+    val edges = Seq(
+      (Seq("x", "x", "y"), Seq("x", "z")),
+      (Seq[String]("x", null, "y"), Seq[String](null, "y")),
+      (Seq[String](null), Seq("x")),
+      (null.asInstanceOf[Seq[String]], Seq("x")),
+      (Seq.empty[String], Seq.empty[String])
+    ).toDF("sa", "sb")
+      .withColumn("native", expr("graft_intersect_count(sa, sb)"))
+      .withColumn("composed", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+    assert(edges.filter(!(col("native") <=> col("composed"))).count() == 0)
+  }
+
   test("graft_jaccard matches the composed intersect/union form on shingles") {
     val sh = graft.operators.TextOps.withShingles(
       Tables.load(spark, TestSpark.sf, "documents").limit(60)).select("doc_id", "sh")
