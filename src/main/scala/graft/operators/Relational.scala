@@ -458,7 +458,7 @@ object Relational {
     // customer joins on custkey; revenue per customer.
     "q03_revenue_by_customer" -> ((s, d) => {
       val N = Num.tierFor(t(s, d, "lineitem"))
-      t(s, d, "lineitem")
+      li(s, d)
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "c_name")
@@ -693,6 +693,10 @@ object Relational {
     // design, and the reason q47's sketches aggregate separately. At
     // 100 TB run the q47 shape; this stays as its oracle-replayable twin.
     "q23_count_distinct" -> ((s, d) => {
+      // Expand ×3 kept DELIBERATELY (re-measured r19): splitting the two
+      // countDistincts into Expand-free single-distinct aggregates costs
+      // three scans + three shuffles and A/B'd +0.16 s — the Expand's
+      // extra partial-agg rows are cheaper than the extra passes.
       li(s, d)
         .groupBy("l_suppkey")
         .agg(
@@ -1006,6 +1010,9 @@ object Relational {
 
     // Correlated-style aggregation pushed through a join: supplier activity.
     "q26_supplier_activity" -> ((s, d) => {
+      // plain scan, not li() (measured r19): the single-sum agg does not
+      // repay the dense spread's payload exchange here (+0.33 s A/B),
+      // unlike q03's join+agg pipeline (−0.38 s)
       t(s, d, "lineitem")
         .groupBy(col("l_suppkey"))
         .agg({ val N = Num.tierFor(t(s, d, "lineitem")); N.dsumDec(N.discPrice) }.as("revenue"),

@@ -650,22 +650,27 @@ object TextOps {
         .select(col("doc_id"), tokenCountOf(col("text")).as("dl"),
           split(lower(col("text")), "\\s+").as("tk"))
       val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-      val tf = docs
+      val tfBase = docs
         .select(col("doc_id"), col("dl"), explode(col("tk")).as("tok"))
         .filter(col("tok").isin(terms: _*))
         .groupBy("doc_id", "dl", "tok")
         .agg(count(lit(1)).as("tf"))
-        .transform(Tables.pin)
-      // df via a partial-agg groupBy over the PINNED tf, BROADCAST back
-      // (optimization r19, ADVICE r18): the pin keeps the dfreq branch
-      // from re-running the tokenize+filter+tf pipeline (the r18 concern),
-      // and the dfreq frame is ≤ |terms| = 3 rows BY CONSTRUCTION, so the
-      // join-back is a broadcast — tf itself is never shuffled by tok at
-      // all. The r18 window over tok had only 3 partition keys: each key's
-      // ≤ |docs| rows through ONE unsplittable window task.
-      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      val scored = tf
-        .join(broadcast(dfreq), "tok")
+      // df: skew-posture dispatch ([[tokenWindowSafe]], ADVICE r18 —
+      // same shape as q57/q75). Small inputs keep the r18 window over tf
+      // (the pin job + broadcast A/B'd +0.04..0.11 s at sf0.1); past the
+      // threshold the window's 3 partition keys each funnel ≤ |docs|
+      // rows through ONE unsplittable task, so tf is pinned and the
+      // ≤ |terms| = 3-row dfreq BROADCASTS back — tf itself is never
+      // shuffled by tok at all.
+      val withDf =
+        if (tokenWindowSafe(docs))
+          tfBase.withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("tok")))
+        else {
+          val tfp = tfBase.transform(Tables.pin)
+          tfp.join(broadcast(tfp.groupBy("tok").agg(count(lit(1)).as("df"))), "tok")
+        }
+      val scored = withDf
         .join(broadcast(stats)) // single-row broadcast (scalar-subquery shape)
         .withColumn("idf",
           log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
